@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator from SURVEY.md §2 has an entry in
+  * [[queries]] and a DuckDB oracle in [[oracleSql]]; non-SQL-expressible
+  * operators (pure-Scala chunkers, stubbed external providers, ANN paths)
+  * have `queries` entries only (rows-only check) plus ScalaTest specs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The reference's ingestion path (SURVEY.md §3.1) in batch form:
+    * scan → ingest filters (F1/F2/F10) → chunk generator (G1 fixed form)
+    * → per-chunk projections (P15/P16) → deterministic point ids (T6).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    TextQueries.fixedChunks(Tables.documents(spark, dir))
+      .withColumn("point_id",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("chunk_index").cast("string"))
+          .cast("binary")))
+      .withColumn("detected_languages",
+        graft.functions.TextOps.detectedLanguagesCsv(col("chunk_text")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      VectorQueries.queries
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      VectorQueries.oracles
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All queries take a scale-factor directory so the same plan runs at
+  * sf0.001 (smoke), sf0.01 (oracle) and sf0.1+ (bench). At cluster scale
+  * the same loaders point at partitioned table roots; nothing below ever
+  * collects to the driver.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    * timestamp directly; read nanos as long (legacy conf) and truncate to
+    * microseconds — the same truncation DuckDB applies, so oracle parity
+    * holds.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

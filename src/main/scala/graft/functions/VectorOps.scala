@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` columns, built from native
+  * Catalyst higher-order functions so Catalyst can prune/push around them
+  * and no Scala UDF boxing appears on the hot path.
+  *
+  * Reference semantics: Qdrant collections use COSINE distance
+  * (reference: frappe_data_pipelines/services/qdrant_service.py:80-84);
+  * dense top-k search is services/qdrant_service.py:117-154.
+  *
+  * Determinism note: products and sums are computed sequentially in
+  * double precision (aggregate folds left-to-right), which matches the
+  * DuckDB oracle's `list_reduce` fold bit-for-bit — required because the
+  * correctness harness hash-compares rounded scores.
+  */
+object VectorOps {
+
+  /** Sequential double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Squared L2 norm (double, sequential). */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Cosine rounded for stable cross-engine comparison/ordering. */
+  def cosineScore(a: Column, b: Column, scale: Int = 6): Column =
+    round(cosine(a, b), scale)
+}
+
+/** DuckDB-dialect SQL snippets equivalent to [[VectorOps]], used to build
+  * the oracle strings. `list_reduce` folds left-to-right like Spark's
+  * `aggregate`, so scores match bit-for-bit before rounding.
+  */
+object VectorSql {
+  def dot(a: String, b: String, dim: Int): String =
+    s"list_reduce([CAST($a[i+1] AS DOUBLE)*CAST($b[i+1] AS DOUBLE) for i in range($dim)], (x,y)->x+y)"
+
+  def cosine(a: String, b: String, dim: Int = 64): String =
+    s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
+
+  def cosineScore(a: String, b: String, dim: Int = 64, scale: Int = 6): String =
+    s"round(${cosine(a, b, dim)}, $scale)"
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextOps, TextSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite — the scale-path operators a training-data
+  * pipeline needs (BASELINE.json north star). All variants are
+  * partition-parallel: no driver-side collection, candidate generation is
+  * always a key-equality join (shingle, band signature) so Spark shuffles
+  * on the blocking key instead of computing O(n²) pairs.
+  *
+  *  - exact:    hash-groupBy on content fingerprint
+  *  - jaccard:  word-3-gram shingle inverted index → pair scores
+  *  - minhash:  16 md5-permutation minhash, 4 bands × 4 rows LSH
+  *  - simhash:  60-bit sign-aggregated token-hash fingerprint
+  *
+  * Cross-engine determinism: every hash is md5 (identical in Spark and
+  * DuckDB); minhash takes the lexicographic min of hex digests, which is
+  * a valid uniform permutation min and needs no hex→int conversion.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, n_sh, sh) exploded distinct shingle relation. */
+  private def shingleRel(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
+  }
+
+  private def shingleSqlRel: String =
+    "SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh, unnest(shs) AS sh FROM " +
+      s"(SELECT doc_id, ${TextSql.shingles("toks")} AS shs FROM " +
+      s"(SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents))"
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: group by content hash, keep lowest doc_id.
+    "dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    }),
+    // N-gram Jaccard near-dup: inverted shingle index join; at 100 TB the
+    // shingle key is the shuffle/blocking key (never all-pairs).
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingleRel(Tables.documents(s, d))
+      val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+      a.join(b, Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          round(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    // MinHash + LSH banding: 16 hash permutations (md5 keyed by perm id),
+    // 4 bands of 4 — candidate pairs share a full band signature.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = shingleRel(Tables.documents(s, d)).select(col("doc_id"), col("sh")).distinct()
+      val perms = (0 until 16).map(lit(_))
+      val hashed = sh
+        .select(col("doc_id"), explode(array(perms: _*)).as("perm"), col("sh"))
+        .select(col("doc_id"), col("perm"),
+          md5(concat(col("perm").cast("string"), lit(":"), col("sh")).cast("binary")).as("h"))
+      val minh = hashed.groupBy(col("doc_id"), col("perm")).agg(min(col("h")).as("m"))
+      val bands = minh
+        .groupBy(col("doc_id"), (col("perm") / 4).cast("int").as("band"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("perm"), col("m")))), x => x.getField("m")),
+          "_").as("sig"))
+      val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+      l.join(r, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+    // SimHash: 60-bit fingerprint; near-dups have small hamming distance.
+    // Emits the per-document fingerprint (join on it for exact-band pairs).
+    "dedup_simhash" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+      val bits = (0 until 60).map(lit(_))
+      val perBit = toks
+        .select(col("doc_id"), col("hv"), explode(array(bits: _*)).as("j"))
+        .select(col("doc_id"), col("j"),
+          when(expr("shiftright(hv, j) & 1") === 1, 1L).otherwise(-1L).as("sign"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("sign")).as("s"))
+      perBit
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+          .as("simhash60"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val hexToLong =
+    "list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
+      "regexp_extract_all(substr(md5(tok), 1, 15), '.')], (a,b) -> a*16 + b)"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT fp, min(doc_id) AS keeper_doc, count(*) AS n_copies FROM " +
+        "(SELECT doc_id, md5(text) AS fp FROM documents) GROUP BY fp ORDER BY fp"),
+    "dedup_ngram_jaccard" ->
+      (s"WITH sh AS ($shingleSqlRel) " +
+        "SELECT doc_a, doc_b, shared, jaccard FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, any_value(a.n_sh) AS n_a, " +
+        "any_value(b.n_sh) AS n_b, count(*) AS shared, " +
+        "round(CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    "dedup_minhash_lsh" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shingleSqlRel)), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM sh, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4) " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a " +
+        "JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
+        "ORDER BY doc_a, doc_b"),
+    "dedup_simhash" ->
+      (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
+        s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +
+        "b AS (SELECT doc_id, r.j AS j, sum(CASE WHEN (hv >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM h, unnest(range(60)) AS r(j) GROUP BY doc_id, r.j) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash60 " +
+        "FROM b GROUP BY doc_id ORDER BY doc_id")
+  )
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational / metadata operators from SURVEY.md §2: ingest filters
+  * (F1-F6), lookup joins (J1-J3), RLS semi-join (F8/J2), backfill
+  * anti-join (S2/F4), status aggregations (A1/A4), sorts (V6), set ops
+  * (§2.8) and sessionization over the event stream (T1-T2 in batch form).
+  *
+  * Scale notes: dimension sides of joins are explicitly `broadcast`; all
+  * aggregations are partial-agg friendly (plain groupBy over scalar
+  * exprs); final `orderBy` exists only for oracle determinism and is
+  * eliminated by Catalyst under count-only benchmarks.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // F2: size gate (drive_file_handler.py:53-61) on documents.n_chars.
+    "f2_size_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("n_chars") <= 300)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // F1: supported-type filter (text_extraction.py:43-61), lang as the type.
+    "f1_type_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(lower(col("lang")).isin("en", "de", "fr"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    // F5: retryable-job filter (process_embedding.py:523-530).
+    "f5_retry_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "error" && col("value") < 3)
+        .select(col("event_id"), col("user_id"), round(col("value"), 6).as("retry_value"))
+        .orderBy("event_id")
+    }),
+    // F6: TTL filter (process_embedding.py:552-563) on completed orders.
+    "f6_ttl_filter" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+    // S2/F4/J3: backfill anti-join — files with no live job
+    // (data_pipeline_settings.py:166-180). Customers with no open order.
+    "j3_backfill_anti" -> ((s, d) => {
+      val jobs = Tables.orders(s, d).filter(col("o_orderstatus").isin("O", "P"))
+      Tables.customer(s, d)
+        .join(jobs, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    // F8/J2: RLS semi-join over owned ∪ shared (permissions.py:66-77).
+    "j2_rls_semijoin" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val owned = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val shared = cust.filter(col("c_acctbal") > 8000).select(col("c_custkey"))
+      Tables.orders(s, d)
+        .join(owned.union(shared).distinct(), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    // J1/J5: chunk→file metadata enrichment via broadcast lookup join
+    // (process_embedding.py:379-384).
+    "j1_enrich_broadcast" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      Tables.lineitem(s, d)
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // A1: processing stats by status (data_pipeline_settings.py:224-236).
+    "a1_status_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    // A1 single-pass variant: all counters in one scan.
+    "a1_single_pass" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.agg(
+        count(lit(1)).as("total"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"))
+    }),
+    // A4: per-user progress accounting (process_embedding.py:364-367).
+    "a4_progress" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("total_events"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"))
+        .withColumn("progress_pct",
+          round(col("purchases") * 100.0 / col("total_events"), 2))
+        .orderBy("user_id")
+    }),
+    // V6: list-view default sort, newest first (document_chunk.json:212).
+    "v6_sort_limit" -> ((s, d) => {
+      Tables.events(s, d)
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("ts"))
+    }),
+    // §2.8: UNION of owned and shared principals (permissions.py:69-76).
+    "setop_union" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(cust.filter(col("c_acctbal") > 8000).select(col("c_custkey")))
+        .distinct()
+        .orderBy("c_custkey")
+    }),
+    // Multi-hop dimension joins + grouped aggregation (region→nation→cust→orders).
+    "multihop_revenue" -> ((s, d) => {
+      Tables.region(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+    // Window top-N per group (two-phase top-k analog of V3/V4).
+    "window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+        .orderBy("o_custkey", "rnk")
+    }),
+    // T1/T2 batch form: sessionize events per user (30-minute gap rule).
+    "sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prevTs = lag(col("ts"), 1).over(byUser)
+      Tables.events(s, d)
+        .withColumn("is_new",
+          when(prevTs.isNull ||
+            unix_micros(col("ts")) - unix_micros(prevTs) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f2_size_filter" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE n_chars <= 300 ORDER BY doc_id",
+    "f1_type_filter" ->
+      "SELECT doc_id, lang FROM documents WHERE lower(lang) IN ('en','de','fr') ORDER BY doc_id",
+    "f5_retry_filter" ->
+      ("SELECT event_id, user_id, round(value, 6) AS retry_value FROM events " +
+        "WHERE event_type = 'error' AND value < 3 ORDER BY event_id"),
+    "f6_ttl_filter" ->
+      ("SELECT o_orderkey, o_orderdate FROM orders " +
+        "WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01' ORDER BY o_orderkey"),
+    "j3_backfill_anti" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus IN ('O','P')) " +
+        "ORDER BY c_custkey"),
+    "j2_rls_semijoin" ->
+      ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 8000) ORDER BY o_orderkey"),
+    "j1_enrich_broadcast" ->
+      ("SELECT l_orderkey, l_linenumber, o_orderdate, o_orderpriority FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey ORDER BY l_orderkey, l_linenumber"),
+    "a1_status_stats" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "a1_single_pass" ->
+      ("SELECT count(*) AS total, " +
+        "count(CASE WHEN event_type='view' THEN 1 END) AS n_view, " +
+        "count(CASE WHEN event_type='click' THEN 1 END) AS n_click, " +
+        "count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase, " +
+        "count(CASE WHEN event_type='error' THEN 1 END) AS n_error, " +
+        "count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup FROM events"),
+    "a4_progress" ->
+      ("SELECT user_id, count(*) AS total_events, " +
+        "count(CASE WHEN event_type='purchase' THEN 1 END) AS purchases, " +
+        "round(count(CASE WHEN event_type='purchase' THEN 1 END) * 100.0 / count(*), 2) AS progress_pct " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "v6_sort_limit" ->
+      "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id LIMIT 100",
+    "setop_union" ->
+      ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 8000 ORDER BY c_custkey"),
+    "multihop_revenue" ->
+      ("SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue " +
+        "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "window_topn" ->
+      ("SELECT o_custkey, o_orderkey, rnk FROM (" +
+        "SELECT o_custkey, o_orderkey, CAST(row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk FROM orders) " +
+        "WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
+    "sessionize" ->
+      ("SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (" +
+        "SELECT user_id, event_id, sum(is_new) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM (" +
+        "SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
+        "ORDER BY user_id, event_id")
+  )
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text pipeline operators from SURVEY.md §2.3/§2.4 over `documents`,
+  * plus the text-analysis extensions (token counting, quality scoring,
+  * fingerprinting). Everything here is a native Column expression — the
+  * chunk generator is `sequence`+`posexplode` (Catalyst Generator), so
+  * whole-stage codegen covers the full pipeline and the generator
+  * parallelizes per input row regardless of document size.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed-size chunking (G1 contract form): chunks of `size` chars every
+    * `size - overlap` chars. chunk_index is carried explicitly (never row
+    * order — SURVEY §7.4.2).
+    */
+  def fixedChunks(docs: DataFrame, size: Int = 200, overlap: Int = 40): DataFrame = {
+    val stride = size - overlap
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        col("text"),
+        posexplode(sequence(lit(0L), greatest(length(col("text")) - 1, lit(0)).cast("long"), lit(stride.toLong)))
+          .as(Seq("chunk_index", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("text").substr(col("start") + 1, lit(size)).as("chunk_text"))
+      .withColumn("character_count", length(col("chunk_text")).cast("long"))
+  }
+
+  private val chunkSqlBody =
+    "FROM documents d, unnest(generate_series(0, length(d.text) - 1, 160)) AS s(start) " +
+      "WHERE length(trim(d.text)) > 0"
+
+  val queries: Map[String, Q] = Map(
+    // G1 (fixed-size contract) + P16: the flagship scan→filter→generate→project.
+    "chunk_fixed" -> ((s, d) => {
+      fixedChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_index")
+    }),
+    // T6: deterministic point ids — content-addressed, idempotent on retry
+    // (improves on the reference's uuid4, qdrant_service.py:101-102).
+    "chunk_point_ids" -> ((s, d) => {
+      fixedChunks(Tables.documents(s, d))
+        .select(
+          col("doc_id"),
+          col("chunk_index"),
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("chunk_index").cast("string"))
+            .cast("binary")).as("point_id"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+    // P16: character count (document_chunk.py:9-11).
+    "p16_char_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("character_count"))
+        .orderBy("doc_id")
+    }),
+    // P15: payload text truncation (process_embedding.py:394).
+    "p15_truncate" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          substring(col("text"), 1, 100).as("text_trunc"),
+          length(substring(col("text"), 1, 100)).cast("long").as("trunc_len"))
+        .orderBy("doc_id")
+    }),
+    // P10 (stub prefix) + P11: embedded_text = context + "\n\n" + chunk
+    // (context_service.py:99-103).
+    "p11_embed_concat" -> ((s, d) => {
+      val ctx = concat(lit("Context for "), col("source"), lit(":"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          ctx.as("context_prefix"),
+          concat_ws("\n\n", ctx, substring(col("text"), 1, 120)).as("embedded_text"))
+        .orderBy("doc_id")
+    }),
+    // P4/P17: unicode-block language flags, CSV-encoded (ocr_service.py:189-226).
+    "p4_lang_flags" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.detectedLanguagesCsv(col("text")).as("detected_languages"))
+        .orderBy("doc_id")
+    }),
+    // P1/P3/P5/P6: strategy classifier + chunk-size suggester + smart gate
+    // (decision_agent.py:38-83, 275-299).
+    "p1_strategy_classify" -> ((s, d) => {
+      val strategy = when(col("lang") === "zh", "structured")
+        .when(col("lang") === "ar", "visual")
+        .when(col("lang").isin("de", "fr", "es"), "article")
+        .otherwise("text")
+      val size = when(col("lang") === "zh", 800)
+        .when(col("lang") === "ar", 1200)
+        .otherwise(1000)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          strategy.as("strategy"),
+          size.as("suggested_chunk_size"),
+          (col("n_chars") > 400 || col("lang") === "zh").as("needs_smart"))
+        .orderBy("doc_id")
+    }),
+    // P9: visual-element keyword tagger (vision_service.py:179-208).
+    "p9_visual_tagger" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.visualElementsCsv(col("text")).as("visual_elements"))
+        .orderBy("doc_id")
+    }),
+    // Text-analysis extension: quality scoring (length/stopword ratios).
+    "quality_score" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("word_count"),
+          size(filter(toks, t => t.isin(TextOps.Stopwords: _*))).cast("long").as("stop_cnt"),
+          length(array_join(toks, "")).cast("long").as("char_total"))
+        .select(
+          col("doc_id"),
+          col("word_count"),
+          round(col("stop_cnt").cast("double") / col("word_count"), 6).as("stop_ratio"),
+          round(col("char_total").cast("double") / col("word_count"), 6).as("avg_word_len"),
+          (col("word_count") >= 10 &&
+            col("stop_cnt").cast("double") / col("word_count") <= 0.5).as("quality_ok"))
+        .orderBy("doc_id")
+    }),
+    // Text-analysis extension: token counting (whitespace + BPE-ish regex).
+    "token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextOps.wordCount(col("text")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("regex_tokens"),
+          ceil(col("n_chars") / 4.0).cast("long").as("est_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    // Text-analysis extension: document fingerprinting (exact-dedup key).
+    "fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("fp"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp_normalized"))
+        .orderBy("doc_id")
+    }),
+    // G4/G5: visual-chunk union (process_embedding.py:156-166) — text chunks
+    // unioned with whole-description visual rows.
+    "g4_union_visual" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val textChunks = docs.select(
+        col("doc_id"),
+        substring(col("text"), 1, 200).as("chunk_text"),
+        lit(false).as("has_visual_content"))
+      val visual = docs.filter(col("lang") === "zh").select(
+        col("doc_id"),
+        concat(lit("Visual Content: "), col("source")).as("chunk_text"),
+        lit(true).as("has_visual_content"))
+      textChunks.unionByName(visual).orderBy("doc_id", "has_visual_content")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "chunk_fixed" ->
+      ("SELECT d.doc_id, s.start // 160 AS chunk_index, " +
+        "substr(d.text, s.start + 1, 200) AS chunk_text, " +
+        "length(substr(d.text, s.start + 1, 200)) AS character_count " +
+        chunkSqlBody + " ORDER BY doc_id, chunk_index"),
+    "chunk_point_ids" ->
+      ("SELECT d.doc_id, s.start // 160 AS chunk_index, " +
+        "md5(d.doc_id::VARCHAR || ':' || (s.start // 160)::VARCHAR) AS point_id " +
+        chunkSqlBody + " ORDER BY doc_id, chunk_index"),
+    "p16_char_count" ->
+      "SELECT doc_id, length(text) AS character_count FROM documents ORDER BY doc_id",
+    "p15_truncate" ->
+      ("SELECT doc_id, substr(text, 1, 100) AS text_trunc, " +
+        "length(substr(text, 1, 100)) AS trunc_len FROM documents ORDER BY doc_id"),
+    "p11_embed_concat" ->
+      ("SELECT doc_id, 'Context for ' || source || ':' AS context_prefix, " +
+        "'Context for ' || source || ':' || chr(10) || chr(10) || substr(text, 1, 120) AS embedded_text " +
+        "FROM documents ORDER BY doc_id"),
+    "p4_lang_flags" ->
+      ("SELECT doc_id, lang, concat_ws(',', " +
+        "CASE WHEN regexp_matches(text, '[\\x{0600}-\\x{06FF}]') THEN 'ar' END, " +
+        "CASE WHEN regexp_matches(text, '[A-Za-z]') THEN 'en' END, " +
+        "CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END) AS detected_languages " +
+        "FROM documents ORDER BY doc_id"),
+    "p1_strategy_classify" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN lang = 'zh' THEN 'structured' WHEN lang = 'ar' THEN 'visual' " +
+        "WHEN lang IN ('de','fr','es') THEN 'article' ELSE 'text' END AS strategy, " +
+        "CASE WHEN lang = 'zh' THEN 800 WHEN lang = 'ar' THEN 1200 ELSE 1000 END AS suggested_chunk_size, " +
+        "(n_chars > 400 OR lang = 'zh') AS needs_smart FROM documents ORDER BY doc_id"),
+    "p9_visual_tagger" ->
+      ("SELECT doc_id, coalesce(nullif(concat_ws(',', " +
+        "CASE WHEN contains(lower(text), 'table') THEN 'table' END, " +
+        "CASE WHEN contains(lower(text), 'window') THEN 'diagram' END, " +
+        "CASE WHEN contains(lower(text), 'stream') THEN 'flow' END, " +
+        "CASE WHEN contains(lower(text), 'vector') THEN 'chart' END), ''), 'image') AS visual_elements " +
+        "FROM documents ORDER BY doc_id"),
+    "quality_score" ->
+      ("SELECT doc_id, word_count, " +
+        "round(CAST(stop_cnt AS DOUBLE) / word_count, 6) AS stop_ratio, " +
+        "round(CAST(char_total AS DOUBLE) / word_count, 6) AS avg_word_len, " +
+        "(word_count >= 10 AND CAST(stop_cnt AS DOUBLE) / word_count <= 0.5) AS quality_ok " +
+        "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS word_count, " +
+        s"CAST(len(list_filter(toks, t -> t IN ${graft.functions.TextSql.StopwordsSql})) AS BIGINT) AS stop_cnt, " +
+        "CAST(length(array_to_string(toks, '')) AS BIGINT) AS char_total " +
+        s"FROM (SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks FROM documents)) " +
+        "ORDER BY doc_id"),
+    "token_count" ->
+      ("SELECT doc_id, " +
+        s"CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tokens, " +
+        "CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents ORDER BY doc_id"),
+    "fingerprint" ->
+      ("SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_normalized " +
+        "FROM documents ORDER BY doc_id"),
+    "g4_union_visual" ->
+      ("SELECT * FROM (" +
+        "SELECT doc_id, substr(text, 1, 200) AS chunk_text, false AS has_visual_content FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id, 'Visual Content: ' || source AS chunk_text, true AS has_visual_content " +
+        "FROM documents WHERE lang = 'zh') ORDER BY doc_id, has_visual_content")
+  )
+}

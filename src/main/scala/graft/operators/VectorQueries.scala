@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorOps, VectorSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dense-vector search operators (SURVEY.md §2.7 V1-V4) and the
+  * similarity-search extensions over `embeddings` (64-dim float).
+  *
+  * Scale design: the query side of every top-k is tiny and explicitly
+  * `broadcast`; the scan side computes scores partition-parallel and
+  * `orderBy(...).limit(k)` lowers to TakeOrderedAndProject (per-partition
+  * top-k + driver merge — no global sort shuffle). The knn-join keeps the
+  * query set broadcast so the 100 TB side streams once.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  /** Query vector(s) by id, renamed for the cross join. */
+  private def queryVec(s: SparkSession, d: String, id: Long): DataFrame =
+    emb(s, d).filter(col("vec_id") === id)
+      .select(col("embedding").as("qv"), col("label").as("q_label"))
+
+  val queries: Map[String, Q] = Map(
+    // V1: dense cosine top-k against one query vector
+    // (qdrant_service.py:117-154; COSINE per :80-84).
+    "v1_cosine_topk" -> ((s, d) => {
+      emb(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, d, 0).select(col("qv"))))
+        .select(col("vec_id"), col("label"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+    // V2: filtered search — payload must-match on label
+    // (search_by_document, search_service.py:139-160) + F9 self-exclusion.
+    "v2_filtered_topk" -> ((s, d) => {
+      emb(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .filter(col("label") === col("q_label"))
+        .select(col("vec_id"), col("label"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+    // V3/V4: two-phase rerank — over-fetch k*5 by first-stage score, rerank
+    // with a second deterministic scorer, emit top k
+    // (search_service.py:83,239-316; deterministic stub per SURVEY §5).
+    "v3_rerank" -> ((s, d) => {
+      val q0 = queryVec(s, d, 0).select(col("qv").as("qv0"))
+      val q1 = queryVec(s, d, 1).select(col("qv").as("qv1"))
+      val candidates = emb(s, d).filter(!col("vec_id").isin(0, 1))
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.cosineScore(col("embedding"), col("qv0")).as("stage1_score"))
+        .orderBy(col("stage1_score").desc, col("vec_id"))
+        .limit(50)
+      candidates
+        .crossJoin(broadcast(q1))
+        .select(col("vec_id"), col("stage1_score"),
+          VectorOps.cosineScore(col("embedding"), col("qv1")).as("rerank_score"))
+        .orderBy(col("rerank_score").desc, col("vec_id"))
+        .limit(10)
+    }),
+    // Similarity-search extension: brute-force knn join — top-3 neighbors
+    // for each of 20 query vectors in one pass (queries broadcast).
+    "sim_knn_join" -> ((s, d) => {
+      val queries = emb(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val cands = emb(s, d).filter(col("vec_id") >= 20)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      cands.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
+        .orderBy("q_id", "rnk")
+    }),
+    // Dedup extension: embedding-cosine near-dup pairs, blocked by label
+    // so the pair space is per-bucket (at 100 TB: block by coarse LSH
+    // bucket instead of label; see AnnQueries).
+    "embed_neardup" -> ((s, d) => {
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("label"), col("id_a"), col("id_b"),
+          VectorOps.cosineScore(col("emb_a"), col("emb_b")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  private def cos(a: String, b: String) = VectorSql.cosineScore(a, b)
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT e.vec_id, e.label, ${cos("e.embedding", "q.qv")} AS score " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 " +
+        "ORDER BY score DESC, vec_id LIMIT 10"),
+    "v2_filtered_topk" ->
+      ("WITH q AS (SELECT embedding AS qv, label AS q_label FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT e.vec_id, e.label, ${cos("e.embedding", "q.qv")} AS score " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.q_label " +
+        "ORDER BY score DESC, vec_id LIMIT 10"),
+    "v3_rerank" ->
+      ("WITH q0 AS (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0), " +
+        "q1 AS (SELECT embedding AS qv1 FROM embeddings WHERE vec_id = 1), " +
+        "cand AS (SELECT e.vec_id, e.embedding, " +
+        s"${cos("e.embedding", "q0.qv0")} AS stage1_score " +
+        "FROM embeddings e, q0 WHERE e.vec_id NOT IN (0, 1) " +
+        "ORDER BY stage1_score DESC, vec_id LIMIT 50) " +
+        s"SELECT c.vec_id, c.stage1_score, ${cos("c.embedding", "q1.qv1")} AS rerank_score " +
+        "FROM cand c, q1 ORDER BY rerank_score DESC, vec_id LIMIT 10"),
+    "sim_knn_join" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
+        "scored AS (SELECT q.q_id, e.vec_id, " +
+        s"${cos("e.embedding", "q.qv")} AS score " +
+        "FROM embeddings e, q WHERE e.vec_id >= 20), " +
+        "ranked AS (SELECT q_id, vec_id, score, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rnk FROM scored) " +
+        "SELECT q_id, vec_id, rnk, score FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "embed_neardup" ->
+      ("SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cos("a.embedding", "b.embedding")} AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "b.embedding")} >= 0.3 " +
+        "ORDER BY id_a, id_b")
+  )
+}

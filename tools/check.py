@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate: run each
+oracle_sql.json query in DuckDB over the sf parquet tables and compare
+with the Spark parquet dumps (columns sorted by name, rows sorted)."""
+import duckdb, json, math, sys
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v1"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        o = con.sql(sql).df()
+        s = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        ocols, scols = sorted(o.columns), sorted(s.columns)
+        if ocols != scols:
+            fails.append(name); print(f"FAIL {name}: cols oracle={ocols} spark={scols}"); continue
+        if len(o) != len(s):
+            fails.append(name); print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}"); continue
+        orows = sorted([tuple(norm(x) for x in r) for r in o[ocols].itertuples(index=False)])
+        srows = sorted([tuple(norm(x) for x in r) for r in s[scols].itertuples(index=False)])
+        if orows != srows:
+            bad = next(i for i,(a,b) in enumerate(zip(orows,srows)) if a!=b)
+            fails.append(name)
+            print(f"FAIL {name}: value mismatch at sorted row {bad}:\n  oracle={orows[bad]}\n  spark ={srows[bad]}")
+            continue
+        print(f"ok   {name} ({len(o)} rows)")
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
