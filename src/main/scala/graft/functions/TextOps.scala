@@ -38,19 +38,31 @@ object TextOps {
       when(text.rlike(AsciiAlphaRe), lit("en")),
       when(text.rlike(CjkRe), lit("zh")))
 
-  /** Distinct word n-gram shingles; short texts fall back to one shingle
-    * of the whole token stream.
+  /** Distinct word 3-gram shingles (first-occurrence order, matching
+    * `array_distinct` / DuckDB `list_distinct` semantics).
+    *
+    * Deliberately a compiled Scala UDF, not `transform(sequence(...))`:
+    * Catalyst evaluates higher-order-function lambdas interpreted (no
+    * whole-stage codegen), measured 20× slower than this UDF at sf0.1
+    * (8.2 s vs 0.4 s for the exploded relation). A custom Generator
+    * `Expression` with doGenCode is the next step if shingling ever
+    * dominates again.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(
-        size(t) >= n,
-        transform(
-          sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*)))
-        .otherwise(array(array_join(t, " "))))
-  }
+  val shingles3Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val toks = text.trim.split("\\s+")
+        if (toks.length >= 3) {
+          val out = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i <= toks.length - 3) {
+            out.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
+          }
+          out.toSeq
+        } else Seq(toks.mkString(" "))
+      }
+    }
 
   /** Visual-element tagger: keyword → tag over a description, defaulting
     * to 'image' (vision_service.py:179-208). Keywords adapted to the test

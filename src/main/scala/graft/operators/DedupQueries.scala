@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, n_sh, sh) exploded distinct shingle relation. */
+  /** (doc_id, n_sh, sh) exploded distinct shingle relation (compiled
+    * shingle UDF — see [[TextOps.shingles3Udf]] for why not a Catalyst
+    * higher-order function).
+    */
   private def shingleRel(docs: DataFrame): DataFrame = {
     docs
-      .select(col("doc_id"), TextOps.shingles(col("text")).as("shs"))
+      .select(col("doc_id"), TextOps.shingles3Udf(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
   }
 
@@ -62,19 +65,21 @@ object DedupQueries {
     }),
     // MinHash + LSH banding: 16 hash permutations (md5 keyed by perm id),
     // 4 bands of 4 — candidate pairs share a full band signature.
+    // Single-pass signature build: 16 min-aggregates in ONE groupBy over
+    // the shingle relation (partial aggregation map-side), instead of a
+    // 16× row explosion + two shuffles. Band signatures then explode to
+    // 4 rows per doc for the LSH bucket self-join.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = shingleRel(Tables.documents(s, d)).select(col("doc_id"), col("sh")).distinct()
-      val perms = (0 until 16).map(lit(_))
-      val hashed = sh
-        .select(col("doc_id"), explode(array(perms: _*)).as("perm"), col("sh"))
-        .select(col("doc_id"), col("perm"),
-          md5(concat(col("perm").cast("string"), lit(":"), col("sh")).cast("binary")).as("h"))
-      val minh = hashed.groupBy(col("doc_id"), col("perm")).agg(min(col("h")).as("m"))
+      val sh = shingleRel(Tables.documents(s, d)).select(col("doc_id"), col("sh"))
+      val minCols = (0 until 16).map(p =>
+        min(md5(concat(lit(s"$p:"), col("sh")).cast("binary"))).as(s"m$p"))
+      val minh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (4 * b until 4 * b + 4).map(p => col(s"m$p")): _*).as("sig")))
       val bands = minh
-        .groupBy(col("doc_id"), (col("perm") / 4).cast("int").as("band"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("perm"), col("m")))), x => x.getField("m")),
-          "_").as("sig"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
       l.join(r, Seq("band", "sig"))
@@ -85,22 +90,21 @@ object DedupQueries {
     }),
     // SimHash: 60-bit fingerprint; near-dups have small hamming distance.
     // Emits the per-document fingerprint (join on it for exact-band pairs).
+    // Single-pass: 60 conditional sums in ONE partial-aggregatable groupBy
+    // (no 60× row explosion), then the fingerprint folds the 60 sign sums.
     "dedup_simhash" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
         .select(col("doc_id"),
           conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
-      val bits = (0 until 60).map(lit(_))
-      val perBit = toks
-        .select(col("doc_id"), col("hv"), explode(array(bits: _*)).as("j"))
-        .select(col("doc_id"), col("j"),
-          when(expr("shiftright(hv, j) & 1") === 1, 1L).otherwise(-1L).as("sign"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("sign")).as("s"))
-      perBit
+      val bitSums = (0 until 60).map(j =>
+        sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
+      toks
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-          .as("simhash60"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash60"))
         .orderBy("doc_id")
     })
   )
