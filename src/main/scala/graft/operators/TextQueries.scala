@@ -39,7 +39,48 @@ object TextQueries {
     "FROM documents d, unnest(generate_series(0, length(d.text) - 1, 160)) AS s(start) " +
       "WHERE length(trim(d.text)) > 0"
 
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+
+  /** G2 semantic chunker as a generator UDF (array<struct> + posexplode —
+    * SURVEY §2.10: the idiomatic Spark form of a UDTF).
+    */
+  val semanticChunkUdf: UserDefinedFunction = udf { (text: String) =>
+    graft.text.SemanticChunker.chunk(text)
+      .map(c => (c.chunkIndex, c.text, c.sectionPath, c.startChar, c.endChar))
+  }
+
+  /** G1 recursive character chunker as a generator UDF. */
+  val recursiveChunkUdf: UserDefinedFunction = udf { (text: String) =>
+    graft.text.RecursiveChunker.chunk(text)
+  }
+
   val queries: Map[String, Q] = Map(
+    // G2: structure-preserving semantic chunker (chunking_service.py:166-481).
+    // On the structure-free test corpus every doc yields one 'Document'
+    // chunk — the oracle checks exactly that equivalence; structured
+    // inputs are covered by ChunkersSpec goldens.
+    "g2_semantic_chunks" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(semanticChunkUdf(col("text"))).as("c"))
+        .select(
+          col("doc_id"),
+          col("c._1").cast("long").as("chunk_index"),
+          col("c._2").as("chunk_text"),
+          col("c._3").as("section_path"),
+          col("c._4").as("start_char"),
+          col("c._5").as("end_char"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+    // G1: recursive character chunker (chunking_service.py:127-163 legacy
+    // mode; our documented contract — rows-only check + ChunkersSpec).
+    "g1_recursive_chunks" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(recursiveChunkUdf(col("text"))).as(Seq("chunk_index", "chunk_text")))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk_text"), length(col("chunk_text")).cast("long").as("character_count"))
+        .orderBy("doc_id", "chunk_index")
+    }),
     // G1 (fixed-size contract) + P16: the flagship scan→filter→generate→project.
     "chunk_fixed" -> ((s, d) => {
       fixedChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_index")
@@ -167,6 +208,15 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Valid because the corpus is structure-free (no headers/paragraph
+    // breaks): the semantic chunker provably emits one chunk per doc,
+    // end = len(text)+1 (the reference counts a phantom trailing newline
+    // in current_pos — chunking_service.py:283).
+    "g2_semantic_chunks" ->
+      ("SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, trim(text) AS chunk_text, " +
+        "'Document' AS section_path, CAST(0 AS BIGINT) AS start_char, " +
+        "CAST(length(text) + 1 AS BIGINT) AS end_char " +
+        "FROM documents WHERE trim(text) <> '' ORDER BY doc_id"),
     "chunk_fixed" ->
       ("SELECT d.doc_id, s.start // 160 AS chunk_index, " +
         "substr(d.text, s.start + 1, 200) AS chunk_text, " +

@@ -1,0 +1,253 @@
+package graft.text
+
+import scala.collection.mutable
+
+/** One produced chunk (mirrors the reference's SemanticChunk dataclass,
+  * reference: frappe_data_pipelines/services/chunking_service.py:13-20).
+  */
+final case class SemanticChunk(
+    text: String,
+    sectionPath: String,
+    chunkIndex: Int,
+    startChar: Long,
+    endChar: Long)
+
+/** Python string semantics needed for header detection fidelity
+  * (SURVEY.md §7.4.4 — Java's Character differs at the edges).
+  */
+object PyStr {
+  /** Python `str.isupper`: at least one cased char and no lowercase. */
+  def isUpper(s: String): Boolean = {
+    var hasCased = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (Character.isLowerCase(ch)) return false
+      if (Character.isUpperCase(ch) || Character.getType(ch) == Character.TITLECASE_LETTER)
+        hasCased = true
+      i += 1
+    }
+    hasCased
+  }
+
+  /** Python `str.title`: first char of each letter-run titlecased, the
+    * rest lowercased; non-letters break runs (so "they're" → "They'Re").
+    */
+  def title(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var prevCased = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      val cased = Character.isLetter(ch)
+      if (cased && !prevCased) sb.append(Character.toTitleCase(ch))
+      else if (cased) sb.append(Character.toLowerCase(ch))
+      else sb.append(ch)
+      prevCased = cased
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+/** G2 — structure-preserving semantic chunker: a faithful pure-Scala
+  * re-expression of the reference's SemanticChunker
+  * (frappe_data_pipelines/services/chunking_service.py:166-481):
+  *
+  *  - header detection: markdown `#{1,6}`, numbered `1.2.3.`
+  *    (level = Python `num.split('.')` length, trailing dot included),
+  *    ALL-CAPS 5–60 chars (level 1, Python title-cased)
+  *    — the 'colon' pattern in the reference's HEADER_PATTERNS table is
+  *    dead (never consulted by _match_header), so it is omitted here
+  *  - section paths = header stack joined " > ", default "Document"
+  *  - greedy merge of small sections up to the soft target (2000 chars),
+  *    merged section keeps the LATEST section's path (reference quirk)
+  *  - paragraph packing per section; a chunk may exceed the target by
+  *    one paragraph (reference checks size BEFORE adding)
+  *  - the reference's sentence-split fallback (_split_long_text) is dead
+  *    code (references an undefined attribute) and is not reproduced
+  */
+object SemanticChunker {
+  val DefaultTargetSize = 2000
+
+  private final case class Section(path: String, text: String, start: Long, end: Long)
+
+  private val MdHeader = "^(#{1,6})\\s+(.+)$".r
+  private val NumHeader = "^(\\d+(?:\\.\\d+)*\\.?)\\s+(.+)$".r
+
+  private[text] def matchHeader(rawLine: String): Option[(Int, String)] = {
+    val line = rawLine.trim
+    if (line.isEmpty) return None
+    line match {
+      case MdHeader(hashes, title) => Some((hashes.length, title.trim))
+      case NumHeader(num, title) =>
+        // Python len("1.".split('.')) == 2 — keep trailing empty segment.
+        Some((num.split("\\.", -1).length, s"$num ${title.trim}"))
+      case _ =>
+        if (PyStr.isUpper(line) && line.length >= 5 && line.length <= 60)
+          Some((1, PyStr.title(line)))
+        else None
+    }
+  }
+
+  private def detectSections(text: String): Vector[Section] = {
+    val sections = Vector.newBuilder[Section]
+    var nSections = 0
+    val headers = mutable.ArrayBuffer.empty[String]
+    val curLines = mutable.ArrayBuffer.empty[String]
+    var start = 0L
+    var pos = 0L
+    def path(): String = if (headers.isEmpty) "Document" else headers.mkString(" > ")
+    for (line <- text.split("\n", -1)) {
+      val lineStart = pos
+      pos += line.length + 1
+      matchHeader(line) match {
+        case Some((level, title)) =>
+          if (curLines.nonEmpty) {
+            val sectionText = curLines.mkString("\n")
+            if (sectionText.trim.nonEmpty) {
+              sections += Section(path(), sectionText.trim, start, lineStart)
+              nSections += 1
+            }
+          }
+          headers.dropRightInPlace(math.max(0, headers.length - (level - 1)))
+          headers += title
+          curLines.clear()
+          start = pos
+        case None =>
+          curLines += line
+      }
+    }
+    if (curLines.nonEmpty) {
+      val sectionText = curLines.mkString("\n")
+      if (sectionText.trim.nonEmpty) {
+        sections += Section(path(), sectionText.trim, start, pos)
+        nSections += 1
+      }
+    }
+    if (nSections == 0) Vector(Section("Document", text.trim, 0, text.length.toLong))
+    else sections.result()
+  }
+
+  private def mergeSmallSections(sections: Vector[Section], target: Int): Vector[Section] = {
+    if (sections.length <= 1) return sections
+    val merged = Vector.newBuilder[Section]
+    var acc: Section = null
+    for (section <- sections) {
+      if (acc == null) acc = section
+      else if (acc.text.length < target)
+        acc = Section(section.path, acc.text + "\n\n" + section.text, acc.start, section.end)
+      else { merged += acc; acc = section }
+    }
+    if (acc != null) merged += acc
+    merged.result()
+  }
+
+  private val ParaSplit = "\n\\s*\n".r
+
+  private def chunkSection(section: Section, startIndex: Int, target: Int): Vector[SemanticChunk] = {
+    if (section.text.length <= target)
+      return Vector(SemanticChunk(section.text, section.path, startIndex, section.start, section.end))
+    val chunks = Vector.newBuilder[SemanticChunk]
+    val paragraphs = ParaSplit.split(section.text).iterator.map(_.trim).filter(_.nonEmpty)
+    var cur = ""
+    var curStart = section.start
+    var idx = startIndex
+    for (para <- paragraphs) {
+      if (cur.length >= target && cur.nonEmpty) {
+        chunks += SemanticChunk(cur.trim, section.path, idx, curStart, curStart + cur.length)
+        idx += 1
+        curStart += cur.length
+        cur = para
+      } else cur = if (cur.isEmpty) para else cur + "\n\n" + para
+    }
+    if (cur.trim.nonEmpty)
+      chunks += SemanticChunk(cur.trim, section.path, idx, curStart, section.end)
+    chunks.result()
+  }
+
+  def chunk(text: String, targetSize: Int = DefaultTargetSize): Vector[SemanticChunk] = {
+    if (text == null || text.trim.isEmpty) return Vector.empty
+    val sections = mergeSmallSections(detectSections(text), targetSize)
+    val out = Vector.newBuilder[SemanticChunk]
+    var idx = 0
+    for (s <- sections) {
+      val cs = chunkSection(s, idx, targetSize)
+      out ++= cs
+      idx += cs.length
+    }
+    out.result()
+  }
+}
+
+/** G1 — recursive character chunker. Semantics (our documented contract,
+  * in the spirit of the reference's legacy splitter configured at
+  * frappe_data_pipelines/services/chunking_service.py:137-149: separators
+  * ["\n\n","\n",". "," ",""], size 1000, overlap 200, strip + drop
+  * blanks):
+  *
+  *  1. choose the first separator that occurs in the text ("" always
+  *     matches); split keeping each separator attached to the FOLLOWING
+  *     piece, so chunks are contiguous substrings of the input
+  *  2. pieces longer than `size` are recursively split with the
+  *     remaining separators; "" splits into fixed `size`-char windows
+  *     with `size - overlap` stride
+  *  3. adjacent small pieces are greedily packed into chunks of at most
+  *     `size` chars; when a chunk closes, pieces are retained from its
+  *     tail up to `overlap` chars to start the next chunk
+  *  4. chunks are trimmed; blank chunks dropped
+  */
+object RecursiveChunker {
+  val DefaultSeparators: List[String] = List("\n\n", "\n", ". ", " ", "")
+
+  def chunk(
+      text: String,
+      size: Int = 1000,
+      overlap: Int = 200,
+      separators: List[String] = DefaultSeparators): Vector[String] = {
+    if (text == null || text.trim.isEmpty) Vector.empty
+    else split(text, separators, size, overlap).map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def split(text: String, seps: List[String], size: Int, overlap: Int): Vector[String] = {
+    if (text.length <= size) return Vector(text)
+    val (sep, rest) = seps.dropWhile(s => s.nonEmpty && !text.contains(s)) match {
+      case Nil => ("", Nil)
+      case s :: tail => (s, tail)
+    }
+    if (sep.isEmpty) {
+      // character-window base case
+      val stride = math.max(1, size - overlap)
+      return (0 until text.length by stride).map(i => text.substring(i, math.min(i + size, text.length))).toVector
+    }
+    val raw = text.split(java.util.regex.Pattern.quote(sep), -1)
+    val pieces = raw.head +: raw.tail.map(sep + _)
+    val out = Vector.newBuilder[String]
+    val good = mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = { if (good.nonEmpty) { out ++= merge(good.toVector, size, overlap); good.clear() } }
+    for (p <- pieces) {
+      if (p.length <= size) { if (p.nonEmpty) good += p }
+      else { flush(); out ++= split(p, rest, size, overlap) }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Greedy packing with tail-overlap carry (sliding window). */
+  private def merge(pieces: Vector[String], size: Int, overlap: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = mutable.Queue.empty[String]
+    var total = 0
+    for (p <- pieces) {
+      if (total + p.length > size && cur.nonEmpty) {
+        out += cur.mkString("")
+        while (total > overlap || (total + p.length > size && total > 0))
+          total -= cur.dequeue().length
+      }
+      cur += p
+      total += p.length
+    }
+    if (cur.nonEmpty) out += cur.mkString("")
+    out.result()
+  }
+}
