@@ -34,7 +34,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -43,5 +44,6 @@ object SparkEntry {
     RelationalQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++
+      PipelineQueries.oracles
 }

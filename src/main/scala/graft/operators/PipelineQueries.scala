@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import graft.pipeline.IngestPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated query surface for the assembled ingestion pipeline
+  * (SURVEY.md §3.1). The fixed-chunker variants are fully SQL-mirrorable;
+  * the G1 recursive variant is covered rows-only + by PipelineSpec.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §3.1 flagship lineage (relational skeleton): filters → chunks →
+    // context prefix → embedded text → content-addressed point ids.
+    "pipeline_e2e" -> ((s, d) => {
+      IngestPipeline.enrich(
+        IngestPipeline.fixedChunkRel(
+          IngestPipeline.ingestFilter(Tables.documents(s, d), graft.PipelineSettings.default)))
+        .select(
+          col("doc_id"), col("chunk_index"), col("total_chunks").cast("long").as("total_chunks"),
+          col("point_id"), col("context_prefix"), col("embedded_text"),
+          col("detected_languages"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+    // Full lineage including the mapPartitions embed stage (P12/P13):
+    // shape-level oracle (dim + unit norm); values covered by PipelineSpec.
+    "pipeline_embed" -> ((s, d) => {
+      IngestPipeline.run(Tables.documents(s, d), fixedChunker = true)
+        .select(
+          col("source_drive_file").as("doc_id"), col("chunk_index"), col("point_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 3).as("norm"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+    // T2/T5 job ledger as data: terminal status, error capture, counters.
+    "pipeline_ledger" -> ((s, d) => {
+      IngestPipeline.ledger(Tables.documents(s, d))
+        .orderBy("source_drive_file")
+    }),
+    // K3 cascade delete as partition rewrite (drive_file_handler.py:98-149):
+    // surviving points after deleting all 'zh' source files.
+    "k3_cascade_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val points = IngestPipeline.enrich(
+        IngestPipeline.fixedChunkRel(
+          IngestPipeline.ingestFilter(docs, graft.PipelineSettings.default)))
+        .select(col("doc_id").as("source_drive_file"), col("chunk_index"), col("point_id"))
+      import s.implicits._
+      val deleted = docs.filter(col("lang") === "zh")
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      IngestPipeline.cascadeDelete(points, deleted)
+        .orderBy("source_drive_file", "chunk_index")
+    })
+  )
+
+  // DuckDB mirrors. Shared fragments:
+  private val filteredDocs =
+    "SELECT * FROM documents WHERE length(trim(text)) > 0 AND n_chars <= 52428800"
+  private val chunkRel =
+    s"SELECT doc_id, source, text, s.start // 160 AS chunk_index, " +
+      "substr(text, s.start + 1, 200) AS chunk_text " +
+      s"FROM ($filteredDocs) d, " +
+      "unnest(generate_series(0, greatest(length(d.text) - 1, 0), 160)) AS s(start)"
+  private val ctxExpr =
+    "CASE WHEN head = '' THEN '' ELSE '[ctx] ' || head END"
+  private val headExpr =
+    "array_to_string(list_slice(regexp_split_to_array(trim(substr(text, 1, 32000)), '\\s+'), 1, 8), ' ')"
+  private val langExpr =
+    "concat_ws(',', " +
+      "CASE WHEN regexp_matches(chunk_text, '[\\x{0600}-\\x{06FF}]') THEN 'ar' END, " +
+      "CASE WHEN regexp_matches(chunk_text, '[A-Za-z]') THEN 'en' END, " +
+      "CASE WHEN regexp_matches(chunk_text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END)"
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_e2e" ->
+      (s"WITH c AS ($chunkRel), " +
+        s"e AS (SELECT doc_id, chunk_index, chunk_text, $ctxExpr AS ctx, " +
+        "count(*) OVER (PARTITION BY doc_id) AS total_chunks " +
+        s"FROM (SELECT *, $headExpr AS head FROM c)) " +
+        "SELECT doc_id, chunk_index, total_chunks, " +
+        "md5(doc_id::VARCHAR || ':' || chunk_index::VARCHAR) AS point_id, " +
+        "ctx AS context_prefix, " +
+        "CASE WHEN ctx = '' THEN chunk_text ELSE ctx || chr(10) || chr(10) || chunk_text END AS embedded_text, " +
+        s"$langExpr AS detected_languages " +
+        "FROM e ORDER BY doc_id, chunk_index"),
+    "pipeline_embed" ->
+      (s"WITH c AS ($chunkRel) " +
+        "SELECT doc_id, chunk_index, " +
+        "md5(doc_id::VARCHAR || ':' || chunk_index::VARCHAR) AS point_id, " +
+        "64 AS dim, 1.0 AS norm FROM c ORDER BY doc_id, chunk_index"),
+    "pipeline_ledger" ->
+      ("SELECT doc_id AS source_drive_file, source AS file_title, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 'Failed' " +
+        "WHEN n_chars > 52428800 THEN 'Failed' ELSE 'Completed' END AS status, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 'empty document' " +
+        "WHEN n_chars > 52428800 THEN 'file too large' END AS error_message, " +
+        "CASE WHEN length(trim(text)) > 0 THEN (length(text) - 1) // 160 + 1 ELSE 0 END AS total_chunks, " +
+        "CASE WHEN length(trim(text)) > 0 AND n_chars <= 52428800 THEN 100.0 ELSE 0.0 END AS progress_percent " +
+        "FROM documents ORDER BY source_drive_file"),
+    "k3_cascade_delete" ->
+      (s"WITH c AS ($chunkRel) " +
+        "SELECT doc_id AS source_drive_file, chunk_index, " +
+        "md5(doc_id::VARCHAR || ':' || chunk_index::VARCHAR) AS point_id " +
+        "FROM c WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh') " +
+        "ORDER BY source_drive_file, chunk_index")
+  )
+}

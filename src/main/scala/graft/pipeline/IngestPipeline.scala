@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import graft.PipelineSettings
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The flagship ingestion lineage (SURVEY.md §3.1) as ONE declarative
+  * DataFrame pipeline instead of the reference's 8-commit status machine
+  * (reference: frappe_data_pipelines/tasks/process_embedding.py:16-295):
+  *
+  * {{{
+  * files → ingest filters (F1/F2/F10) → chunk (G1) → enrich (P10/P11)
+  *       → embed (P12/P13, mapPartitions batch=50) → point ids (T6)
+  *       → vector-store rows (K1 payload schema)
+  * }}}
+  *
+  * Scale design: every stage is partition-parallel; the only shuffle is
+  * the optional sink partitioning. Providers are instantiated once per
+  * partition (connection reuse) and batched at
+  * [[PipelineSettings.embedBatchSize]] (reference batch=50,
+  * process_embedding.py:356). Point ids are content-addressed
+  * (`md5(doc:index)`) so retries are idempotent — a deliberate
+  * improvement over the reference's fresh uuid4 per attempt, which
+  * duplicates points on retry (SURVEY §2.9 T6).
+  */
+object IngestPipeline {
+
+  /** Vector-store row schema (the K1 payload contract mirrors
+    * tasks/process_embedding.py:387-399).
+    */
+  val pointSchema: StructType = StructType(Seq(
+    StructField("point_id", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("source_drive_file", LongType),
+    StructField("source_title", StringType),
+    StructField("chunk_index", LongType),
+    StructField("total_chunks", LongType),
+    StructField("text", StringType),          // truncated payload copy
+    StructField("original_text", StringType),
+    StructField("context_prefix", StringType),
+    StructField("detected_languages", StringType)
+  ))
+
+  /** Ingest filters F2/F10 (F1/F3 have no analog columns on the test
+    * corpus; they compose the same way).
+    */
+  def ingestFilter(files: DataFrame, settings: PipelineSettings): DataFrame =
+    files
+      .filter(length(trim(col("text"))) > 0)                                   // F10
+      .filter(col("n_chars") <= settings.maxFileSizeMb.toLong * 1024 * 1024)   // F2
+
+  /** Fixed-stride chunk relation — fully native (posexplode over a
+    * sequence), SQL-mirrorable for the oracle gate.
+    */
+  def fixedChunkRel(files: DataFrame, size: Int = 200, overlap: Int = 40): DataFrame = {
+    val stride = size - overlap
+    files.select(
+      col("doc_id"), col("source"), col("text"),
+      posexplode(sequence(lit(0L), greatest(length(col("text")) - 1, lit(0)).cast("long"),
+        lit(stride.toLong))).as(Seq("chunk_index", "start")))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("text").substr(col("start") + 1, lit(size)).as("chunk_text"))
+  }
+
+  /** Recursive (G1) chunk relation — compiled generator UDF. */
+  def recursiveChunkRel(files: DataFrame, size: Int = 200, overlap: Int = 40): DataFrame = {
+    val chunkUdf = udf((text: String) => graft.text.RecursiveChunker.chunk(text, size, overlap))
+    files.select(col("doc_id"), col("source"), col("text"),
+      posexplode(chunkUdf(col("text"))).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_index", col("chunk_index").cast("long"))
+  }
+
+  /** Enrichment stage over a chunk relation: context prefix (P10 stub),
+    * embedded-text concat (P11), content-addressed point ids (T6),
+    * language flags (P4/P17), per-doc chunk totals (A4).
+    */
+  def enrich(
+      chunkRel: DataFrame,
+      settings: PipelineSettings = PipelineSettings.default,
+      context: ContextProvider = new HeadlineContextProvider): DataFrame = {
+    val ctxUdf = udf((head: String, chunk: String) => context.contextFor(head, chunk))
+    chunkRel
+      .withColumn("total_chunks", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("context_prefix",
+        ctxUdf(substring(col("text"), 1, settings.contextDocTruncation), col("chunk_text")))
+      .withColumn("embedded_text",                                             // P11
+        when(col("context_prefix") === "", col("chunk_text"))
+          .otherwise(concat_ws("\n\n", col("context_prefix"), col("chunk_text"))))
+      .withColumn("point_id",                                                  // T6
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("chunk_index").cast("string"))
+          .cast("binary")))
+      .withColumn("detected_languages", TextOps.detectedLanguagesCsv(col("chunk_text")))
+      .drop("text")
+  }
+
+  def chunkAndEnrich(
+      files: DataFrame,
+      settings: PipelineSettings = PipelineSettings.default,
+      context: ContextProvider = new HeadlineContextProvider,
+      chunkSize: Int = 200,
+      chunkOverlap: Int = 40): DataFrame =
+    enrich(recursiveChunkRel(ingestFilter(files, settings), chunkSize, chunkOverlap),
+      settings, context)
+
+  /** Embed stage: mapPartitions with per-partition provider instance and
+    * order-preserving batches (P12/P13/A5). Output adds `embedding`.
+    */
+  def embedStage(
+      chunks: DataFrame,
+      provider: EmbeddingProvider = new HashProjectionEmbedder(64),
+      batchSize: Int = PipelineSettings.default.embedBatchSize): DataFrame = {
+    val spark = chunks.sparkSession
+    val inSchema = chunks.schema
+    val outSchema = inSchema.add("embedding", ArrayType(FloatType, containsNull = false))
+    val textIdx = inSchema.fieldIndex("embedded_text")
+    val rdd = chunks.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = provider.embed(batch.map(_.getString(textIdx)))
+        batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Full lineage to vector-store rows (K1 schema). `fixedChunker` swaps
+    * the G1 recursive chunker for the SQL-mirrorable fixed-stride form
+    * (used by the oracle-gated query variant).
+    */
+  def run(
+      files: DataFrame,
+      settings: PipelineSettings = PipelineSettings.default,
+      provider: EmbeddingProvider = new HashProjectionEmbedder(64),
+      fixedChunker: Boolean = false): DataFrame = {
+    val filtered = ingestFilter(files, settings)
+    val rel = if (fixedChunker) fixedChunkRel(filtered) else recursiveChunkRel(filtered)
+    val enriched = enrich(rel, settings)
+    embedStage(enriched, provider, settings.embedBatchSize)
+      .select(
+        col("point_id"),
+        col("embedding"),
+        col("doc_id").as("source_drive_file"),
+        col("source").as("source_title"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        substring(col("chunk_text"), 1, settings.payloadTextTruncation).as("text"), // P15
+        col("chunk_text").as("original_text"),
+        col("context_prefix"),
+        col("detected_languages"))
+  }
+
+  /** Job ledger (T2/T5 as data, not control flow): one row per input
+    * file with terminal status and counters (A4). `Failed` captures the
+    * filter reason the reference would have error-logged. Chunk totals
+    * use the fixed-stride formula (floor((len-1)/stride)+1) so the whole
+    * ledger stays native-expression and SQL-mirrorable.
+    */
+  def ledger(
+      files: DataFrame,
+      settings: PipelineSettings = PipelineSettings.default,
+      chunkSize: Int = 200,
+      chunkOverlap: Int = 40): DataFrame = {
+    val stride = chunkSize - chunkOverlap
+    files.select(
+      col("doc_id").as("source_drive_file"),
+      col("source").as("file_title"),
+      when(length(trim(col("text"))) === 0, lit("Failed"))
+        .when(col("n_chars") > settings.maxFileSizeMb.toLong * 1024 * 1024, lit("Failed"))
+        .otherwise(lit("Completed")).as("status"),
+      when(length(trim(col("text"))) === 0, lit("empty document"))
+        .when(col("n_chars") > settings.maxFileSizeMb.toLong * 1024 * 1024, lit("file too large"))
+        .otherwise(lit(null).cast("string")).as("error_message"),
+      when(length(trim(col("text"))) > 0,
+        (floor((length(col("text")) - 1) / stride) + 1).cast("long"))
+        .otherwise(lit(0L)).as("total_chunks"))
+      .withColumn("progress_percent",
+        when(col("status") === "Completed", lit(100.0)).otherwise(lit(0.0)))
+  }
+
+  /** K3 cascade delete: Delta-style DELETE WHERE as a partition rewrite —
+    * returns the surviving rows (caller overwrites the table with them).
+    */
+  def cascadeDelete(points: DataFrame, deletedFileIds: Dataset[java.lang.Long]): DataFrame =
+    points.join(
+      broadcast(deletedFileIds.toDF("deleted_id")),
+      points("source_drive_file") === col("deleted_id"),
+      "left_anti")
+}
