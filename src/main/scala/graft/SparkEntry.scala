@@ -35,7 +35,9 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       VectorQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      AnnQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -45,5 +47,7 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       VectorQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      AnnQueries.oracles ++
+      MultimodalQueries.oracles
 }

@@ -140,6 +140,35 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
         .orderBy("o_custkey", "rnk")
     }),
+    // A2: mean over a group (OCR confidence analog — ocr_service.py:150).
+    "a2_avg_value" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 6).as("avg_value"))
+        .orderBy("event_type")
+    }),
+    // A3: bounded-sample average (≤5-page PDF sampling analog,
+    // decision_agent.py:190-211): per source, avg n_chars of the 5
+    // lowest-doc_id docs.
+    "a3_sample_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("source"))
+        .agg(round(avg(col("n_chars")), 6).as("avg_chars"), count(lit(1)).as("n_sampled"))
+        .orderBy("source")
+    }),
+    // Streaming-form batch equivalent: tumbling 1-hour event-time windows
+    // (the windowed agg the Structured Streaming job runs — see
+    // graft.streaming; epoch-aligned in both engines).
+    "t1_window_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
     // T1/T2 batch form: sessionize events per user (30-minute gap rule).
     "sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -207,6 +236,16 @@ object RelationalQueries {
         "SELECT o_custkey, o_orderkey, CAST(row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk FROM orders) " +
         "WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
+    "a2_avg_value" ->
+      ("SELECT event_type, round(avg(value), 6) AS avg_value FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "a3_sample_avg" ->
+      ("SELECT source, round(avg(n_chars), 6) AS avg_chars, count(*) AS n_sampled FROM (" +
+        "SELECT source, n_chars, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 5 GROUP BY source ORDER BY source"),
+    "t1_window_agg" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "sessionize" ->
       ("SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (" +
         "SELECT user_id, event_id, sum(is_new) OVER " +

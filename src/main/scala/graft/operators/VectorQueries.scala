@@ -81,6 +81,24 @@ object VectorQueries {
         .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
         .orderBy("q_id", "rnk")
     }),
+    // §3.2 read path end-to-end: RLS semi-join → dense over-fetch (k*5)
+    // → lexical rerank → top-k, via SearchService (V1+V3+V4+F8/F9/J2
+    // composed in one plan).
+    "search_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vectors = emb(s, d)
+        .join(docs.select(col("doc_id"), col("text")), col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("label"), col("text"))
+      val accessible = docs.filter(col("lang").isin("en", "de"))
+        .select(col("doc_id"))
+        .union(docs.filter(col("source") === "src_3").select(col("doc_id")))
+        .distinct()
+      val query = vectors.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("text").as("q_text"))
+      graft.search.SearchService
+        .search(vectors, accessible, query, k = 10, overFetch = 5, excludeId = Some(0L))
+        .select(col("vec_id"), col("label"), col("score"), col("rerank_score"))
+    }),
     // Dedup extension: embedding-cosine near-dup pairs, blocked by label
     // so the pair space is per-bucket (at 100 TB: block by coarse LSH
     // bucket instead of label; see AnnQueries).
@@ -127,6 +145,24 @@ object VectorQueries {
         "ranked AS (SELECT q_id, vec_id, score, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rnk FROM scored) " +
         "SELECT q_id, vec_id, rnk, score FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "search_e2e" ->
+      ("WITH v AS (SELECT e.vec_id, e.embedding, e.label, d.text " +
+        "FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id), " +
+        "acc AS (SELECT doc_id FROM documents WHERE lang IN ('en','de') " +
+        "UNION SELECT doc_id FROM documents WHERE source = 'src_3'), " +
+        "q AS (SELECT embedding AS qv, text AS q_text FROM v WHERE vec_id = 0), " +
+        "cand AS (SELECT v.vec_id, v.label, v.text, q.q_text, " +
+        s"${cos("v.embedding", "q.qv")} AS score " +
+        "FROM v, q WHERE v.vec_id <> 0 AND v.vec_id IN (SELECT doc_id FROM acc) " +
+        "ORDER BY score DESC, vec_id LIMIT 50), " +
+        "rr AS (SELECT vec_id, label, score, " +
+        "round(CAST(len(list_intersect(tc, tq)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(tc, tq))), 6) AS rerank_score FROM " +
+        "(SELECT vec_id, label, score, " +
+        "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tc, " +
+        "list_distinct(regexp_split_to_array(lower(trim(q_text)), '\\s+')) AS tq FROM cand)) " +
+        "SELECT vec_id, label, score, rerank_score FROM rr " +
+        "ORDER BY rerank_score DESC, score DESC, vec_id LIMIT 10"),
     "embed_neardup" ->
       ("SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"${cos("a.embedding", "b.embedding")} AS cos " +

@@ -1,0 +1,82 @@
+package graft.search
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dense-retrieval read path (SURVEY.md §3.2, reference:
+  * frappe_data_pipelines/services/search_service.py:63-135):
+  *
+  * {{{
+  * embed(query) → [RLS semi-join] → cosine scan → top-(k·overFetch)
+  *             → rerank → top-k
+  * }}}
+  *
+  * Composition notes vs the reference:
+  *  - RLS composes BEFORE the top-k (the reference only enforces RLS on
+  *    the chunk doctype, not the vector search path — SURVEY §3.2 records
+  *    this as a deliberate improvement, do not "fix" back to parity).
+  *  - `orderBy(desc).limit(k)` lowers to TakeOrderedAndProject:
+  *    per-partition top-k + driver merge, no global sort shuffle — the
+  *    scan side stays embarrassingly parallel at 100 TB.
+  *  - The rerank score is a native Column expression (word-set Jaccard,
+  *    mirroring [[graft.pipeline.LexicalOverlapReranker]]) so the whole
+  *    read path stays inside codegen; an external reranker would slot in
+  *    as a mapPartitions stage over the k·overFetch candidates only.
+  */
+object SearchService {
+
+  /** Word-set Jaccard rerank score as a native expression (equals
+    * LexicalOverlapReranker.score on the same inputs).
+    */
+  def lexicalOverlap(a: Column, b: Column): Column = {
+    val ta = array_distinct(split(lower(trim(a)), "\\s+"))
+    val tb = array_distinct(split(lower(trim(b)), "\\s+"))
+    val inter = size(array_intersect(ta, tb))
+    val union = size(array_union(ta, tb))
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** First-stage dense top-k: cosine against a broadcast one-row query
+    * relation `query(qv)`; `excludeId` implements F9 self-exclusion.
+    */
+  def denseTopK(
+      vectors: DataFrame,
+      query: DataFrame,
+      k: Int,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = excludeId.fold(vectors)(id => vectors.filter(col(idCol) =!= id))
+    base
+      .crossJoin(broadcast(query))
+      .withColumn("score", VectorOps.cosineScore(col(vecCol), col("qv")))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** RLS gate: semi-join the scan against the accessible-id set
+    * (owned ∪ shared, reference permissions.py:66-77 / SURVEY F8+J2).
+    */
+  def rlsFilter(vectors: DataFrame, accessibleIds: DataFrame, idCol: String = "vec_id"): DataFrame =
+    vectors.join(accessibleIds, vectors(idCol) === accessibleIds.col(accessibleIds.columns.head), "left_semi")
+
+  /** Full read path: RLS → dense over-fetch (k·overFetch, reference
+    * search_service.py:83) → lexical rerank over candidate text → top-k.
+    * `candidateText(df)` attaches the text column used by the reranker.
+    */
+  def search(
+      vectors: DataFrame,
+      accessibleIds: DataFrame,
+      query: DataFrame,       // one row: (qv array<float>, q_text string)
+      k: Int = 10,
+      overFetch: Int = 5,
+      excludeId: Option[Long] = None): DataFrame = {
+    val gated = rlsFilter(vectors, accessibleIds)
+    val candidates = denseTopK(gated, query, k * overFetch, excludeId)
+    candidates
+      .withColumn("rerank_score", round(lexicalOverlap(col("q_text"), col("text")), 6))
+      .orderBy(col("rerank_score").desc, col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+}
