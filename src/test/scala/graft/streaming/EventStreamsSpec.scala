@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val HourUs = 3600L * 1000000L
+
+  test("windowedCounts: batch and streaming agree on the same input") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (timestampFromHours(0, 10), "view"),
+      (timestampFromHours(0, 50), "view"),
+      (timestampFromHours(1, 5), "click"),
+      (timestampFromHours(1, 30), "view"))
+    val batchDf = rows.toDF("ts", "event_type")
+    val batchOut = EventStreams.windowedCounts(batchDf)
+      .orderBy("w_start", "event_type").collect().map(_.toSeq)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val streamDf = mem.toDF.toDF("ts", "event_type")
+    val q = EventStreams.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamOut = s.sql("SELECT * FROM wc ORDER BY w_start, event_type")
+        .collect().map(_.toSeq)
+      assert(streamOut.toSeq == batchOut.toSeq)
+      assert(batchOut.length == 3) // (h0 view=2), (h1 click=1), (h1 view=1)
+    } finally q.stop()
+  }
+
+  private def timestampFromHours(h: Int, m: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(((h * 60L + m) * 60L) * 1000L)
+
+  test("sessionize (batch Dataset): gap closes a session, state carries rest") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      EventStreams.EventIn(1L, 1L, 0L),
+      EventStreams.EventIn(1L, 2L, 10L * 1000000L),          // same session
+      EventStreams.EventIn(1L, 3L, 4000L * 1000000L),        // gap > 1800s → closes first
+      EventStreams.EventIn(2L, 4L, 0L)
+    ).toDS()
+    val out = EventStreams.sessionize(events).collect()
+    // only CLOSED sessions are emitted (open ones stay in state)
+    assert(out.toSet == Set(EventStreams.SessionOut(1L, 0L, 2L)))
+  }
+
+  test("ingestRelay: file-source replay produces idempotent point ids") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
+    Seq((1L, "srcA", "en", 50L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "source", "lang", "n_chars", "text")
+      .write.parquet(in)
+    val q = EventStreams.ingestRelay(s, in, out, cp)
+    try q.processAllAvailable() finally q.stop()
+    val result = s.read.parquet(out)
+    assert(result.count() > 0)
+    assert(result.select("point_id").distinct().count() == result.count())
+    assert(result.columns.contains("embedding") && result.columns.contains("batch_id"))
+  }
+}
