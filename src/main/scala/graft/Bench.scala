@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen compiler, parquet footers, broadcast
+    // machinery) so the first timed query isn't charged for it.
+    Seq("documents", "embeddings", "events", "orders", "lineitem", "customer")
+      .foreach(t => try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.LongType
   * collects to the driver.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark) // idempotent
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

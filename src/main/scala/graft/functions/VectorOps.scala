@@ -29,8 +29,18 @@ object VectorOps {
   def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
-  /** Cosine similarity in [-1, 1]. */
+  /** Cosine similarity in [-1, 1] via the codegen'd Catalyst expression
+    * ([[graft.expressions.CosineSimilarity]]; registered by
+    * `Tables.embeddings` / `GraftExtensions`). Numerically identical to
+    * `dot/(sqrt(norm2)*sqrt(norm2))` built from the folds above.
+    */
   def cosine(a: Column, b: Column): Column =
+    call_function(graft.expressions.GraftFunctions.CosineName, a, b)
+
+  /** Fold-built cosine (interpreted HOFs) — kept as the reference
+    * implementation the codegen expression is tested against.
+    */
+  def cosineViaFolds(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Cosine rounded for stable cross-engine comparison/ordering. */
