@@ -64,6 +64,40 @@ object TextOps {
       }
     }
 
+  /** Fused MinHash LSH band signatures: text → distinct 3-gram shingles
+    * → 16 permutation minima (min over shingles of md5("p:shingle") hex —
+    * lexicographic min of hex matches DuckDB's `min(md5(...))` exactly)
+    * → 4 bands of 4 minima joined "_". ONE UDF call per row with a
+    * single downstream reference (posexplode) — splitting this into
+    * chained UDFs invites the optimizer to inline the chain into every
+    * consuming expression and re-run it per reference.
+    */
+  val minhashBandsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = Option(text).getOrElse("").trim.split("\\s+")
+      val shs = new scala.collection.mutable.LinkedHashSet[String]
+      if (toks.length >= 3) {
+        var i = 0
+        while (i <= toks.length - 3) { shs.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1 }
+      } else shs.add(toks.mkString(" "))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexDigits = "0123456789abcdef"
+      val mins = Array.fill[String](16)(null)
+      for (sh <- shs; p <- 0 until 16) {
+        val bytes = md.digest(s"$p:$sh".getBytes("UTF-8"))
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < bytes.length) {
+          sb.append(hexDigits.charAt((bytes(i) >> 4) & 0xf))
+          sb.append(hexDigits.charAt(bytes(i) & 0xf))
+          i += 1
+        }
+        val hex = sb.toString
+        if (mins(p) == null || hex.compareTo(mins(p)) < 0) mins(p) = hex
+      }
+      (0 until 4).map(b => (4 * b until 4 * b + 4).map(mins(_)).mkString("_"))
+    }
+
   /** Visual-element tagger: keyword → tag over a description, defaulting
     * to 'image' (vision_service.py:179-208). Keywords adapted to the test
     * corpus vocabulary.

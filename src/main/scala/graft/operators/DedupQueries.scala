@@ -28,7 +28,11 @@ object DedupQueries {
     * higher-order function).
     */
   private def shingleRel(docs: DataFrame): DataFrame = {
+    // A small parquet scan is one partition; fan out before the
+    // CPU-heavy hashing map stage so it uses every core. At real scale
+    // the scan has many splits and this is a cheap no-op-ish rebalance.
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextOps.shingles3Udf(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
   }
@@ -65,21 +69,15 @@ object DedupQueries {
     }),
     // MinHash + LSH banding: 16 hash permutations (md5 keyed by perm id),
     // 4 bands of 4 — candidate pairs share a full band signature.
-    // Single-pass signature build: 16 min-aggregates in ONE groupBy over
-    // the shingle relation (partial aggregation map-side), instead of a
-    // 16× row explosion + two shuffles. Band signatures then explode to
-    // 4 rows per doc for the LSH bucket self-join.
+    // The whole 16-way signature is computed per document by ONE compiled
+    // UDF over the shingle array — no shingle explode, no min-aggregate
+    // shuffle; the only shuffle left is the LSH bucket self-join. At
+    // 100 TB the signature stage is embarrassingly parallel map work.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = shingleRel(Tables.documents(s, d)).select(col("doc_id"), col("sh"))
-      val minCols = (0 until 16).map(p =>
-        min(md5(concat(lit(s"$p:"), col("sh")).cast("binary"))).as(s"m$p"))
-      val minh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      val bandStructs = (0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (4 * b until 4 * b + 4).map(p => col(s"m$p")): _*).as("sig")))
-      val bands = minh
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val bands = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // spread md5 work
+        .select(col("doc_id"),
+          posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
       l.join(r, Seq("band", "sig"))

@@ -86,15 +86,18 @@ object VectorQueries {
     // composed in one plan).
     "search_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // documents is the dimension side here — broadcast it (and the RLS
+      // id set) so the only non-mapside work is the final top-k.
       val vectors = emb(s, d)
-        .join(docs.select(col("doc_id"), col("text")), col("vec_id") === col("doc_id"))
+        .join(broadcast(docs.select(col("doc_id"), col("text"))),
+          col("vec_id") === col("doc_id"))
         .select(col("vec_id"), col("embedding"), col("label"), col("text"))
-      val accessible = docs.filter(col("lang").isin("en", "de"))
-        .select(col("doc_id"))
-        .union(docs.filter(col("source") === "src_3").select(col("doc_id")))
-        .distinct()
-      val query = vectors.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("text").as("q_text"))
+      val accessible = broadcast(
+        docs.filter(col("lang").isin("en", "de")).select(col("doc_id"))
+          .union(docs.filter(col("source") === "src_3").select(col("doc_id")))
+          .distinct())
+      val query = emb(s, d).filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        .crossJoin(docs.filter(col("doc_id") === 0).select(col("text").as("q_text")))
       graft.search.SearchService
         .search(vectors, accessible, query, k = 10, overFetch = 5, excludeId = Some(0L))
         .select(col("vec_id"), col("label"), col("score"), col("rerank_score"))
