@@ -98,6 +98,34 @@ object TextOps {
       (0 until 4).map(b => (4 * b until 4 * b + 4).map(mins(_)).mkString("_"))
     }
 
+  /** S4 charset ladder (reference: services/text_extraction.py:78-106):
+    * decode bytes trying UTF-8 strictly, then UTF-8 with BOM strip, then
+    * latin-1, then cp1252; returns (text, encoding_used). latin-1 never
+    * fails (every byte maps), so the ladder always terminates there if
+    * UTF-8 rejects; cp1252 is reached only in the reference's ordering
+    * for consistency of the reported name.
+    */
+  val charsetLadderUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      import java.nio.charset._
+      def strict(name: String): Charset => CharsetDecoder =
+        _.newDecoder().onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+      def tryDecode(cs: Charset): Option[String] =
+        try Some(strict(cs.name())(cs).decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+        catch { case _: CharacterCodingException => None }
+      val utf8 = tryDecode(StandardCharsets.UTF_8)
+      utf8 match {
+        case Some(t) if t.startsWith("﻿") => (t.substring(1), "utf-8-sig")
+        case Some(t) => (t, "utf-8")
+        case None =>
+          tryDecode(StandardCharsets.ISO_8859_1) match {
+            case Some(t) => (t, "latin-1")
+            case None => (new String(bytes, Charset.forName("windows-1252")), "cp1252")
+          }
+      }
+    }
+
   /** Visual-element tagger: keyword → tag over a description, defaulting
     * to 'image' (vision_service.py:179-208). Keywords adapted to the test
     * corpus vocabulary.

@@ -130,6 +130,17 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    // Extension: hierarchical rollup totals (region → nation → grand) —
+    // partial-agg friendly; subtotal rows carry NULL group keys.
+    "rollup_revenue" -> ((s, d) => {
+      Tables.region(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
     // Window top-N per group (two-phase top-k analog of V3/V4).
     "window_topn" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -231,6 +242,13 @@ object RelationalQueries {
         "JOIN customer ON c_nationkey = n_nationkey " +
         "JOIN orders ON o_custkey = c_custkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "rollup_revenue" ->
+      ("SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue " +
+        "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"),
     "window_topn" ->
       ("SELECT o_custkey, o_orderkey, rnk FROM (" +
         "SELECT o_custkey, o_orderkey, CAST(row_number() OVER " +

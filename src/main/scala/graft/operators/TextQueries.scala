@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text pipeline operators from SURVEY.md §2.3/§2.4 over `documents`,
   * plus the text-analysis extensions (token counting, quality scoring,
@@ -95,6 +96,25 @@ object TextQueries {
           md5(concat(col("doc_id").cast("string"), lit(":"), col("chunk_index").cast("string"))
             .cast("binary")).as("point_id"))
         .orderBy("doc_id", "chunk_index")
+    }),
+    // S4: charset-ladder reader over binary payloads
+    // (text_extraction.py:78-106). The corpus is valid UTF-8, so the
+    // oracle is decode-identity; non-UTF-8 ladders covered in TextOpsSpec.
+    "s4_charset_decode" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.charsetLadderUdf(col("text").cast("binary")).as("dec"))
+        .select(col("doc_id"), col("dec._1").as("decoded"), col("dec._2").as("encoding"))
+        .orderBy("doc_id")
+    }),
+    // V5: response re-sort — rank in one order, restore input order
+    // (embedding_service.py:172 sorts responses by .index).
+    "v5_resort" -> ((s, d) => {
+      val byValue = Window.orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .withColumn("value_rank", row_number().over(byValue))
+        .select(col("event_id"), col("value_rank"))
+        .orderBy("event_id")
     }),
     // P16: character count (document_chunk.py:9-11).
     "p16_char_count" -> ((s, d) => {
@@ -226,6 +246,11 @@ object TextQueries {
       ("SELECT d.doc_id, s.start // 160 AS chunk_index, " +
         "md5(d.doc_id::VARCHAR || ':' || (s.start // 160)::VARCHAR) AS point_id " +
         chunkSqlBody + " ORDER BY doc_id, chunk_index"),
+    "s4_charset_decode" ->
+      "SELECT doc_id, text AS decoded, 'utf-8' AS encoding FROM documents ORDER BY doc_id",
+    "v5_resort" ->
+      ("SELECT event_id, CAST(row_number() OVER (ORDER BY value DESC, event_id) AS INT) AS value_rank " +
+        "FROM events ORDER BY event_id"),
     "p16_char_count" ->
       "SELECT doc_id, length(text) AS character_count FROM documents ORDER BY doc_id",
     "p15_truncate" ->

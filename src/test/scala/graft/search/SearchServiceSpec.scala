@@ -1,0 +1,58 @@
+package graft.search
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SearchServiceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fixture() = {
+    val s = spark
+    import s.implicits._
+    graft.expressions.GraftFunctions.register(s)
+    // vec 0 = query; vec 1 ≈ query; vec 2 orthogonal; vec 3 ≈ query but RLS-hidden
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "q text words", "A"),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), "q text overlap", "A"),
+      (2L, Array(0f, 1f, 0f, 0f), "unrelated body", "B"),
+      (3L, Array(0.95f, 0.05f, 0f, 0f), "hidden doc", "A")
+    ).toDF("vec_id", "embedding", "text", "label")
+  }
+
+  test("RLS composes BEFORE top-k: hidden high-scorer never surfaces") {
+    val s = spark
+    import s.implicits._
+    val v = fixture()
+    val accessible = Seq(0L, 1L, 2L).toDF("id")
+    val query = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("text").as("q_text"))
+    val out = SearchService.search(v, accessible, query, k = 2, overFetch = 2,
+      excludeId = Some(0L)).collect()
+    val ids = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(!ids.contains(3L), "RLS-hidden doc leaked into results")
+    assert(!ids.contains(0L), "self was not excluded")
+    assert(ids.contains(1L))
+  }
+
+  test("denseTopK orders by cosine desc with id tiebreak") {
+    val s = spark
+    import s.implicits._
+    val v = fixture()
+    val query = v.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val out = SearchService.denseTopK(v, query, k = 3, excludeId = Some(0L)).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 1L, 2L))
+  }
+
+  test("lexicalOverlap matches the provider trait implementation") {
+    val s = spark
+    import s.implicits._
+    val rr = new graft.pipeline.LexicalOverlapReranker
+    val cases = Seq(("a b c", "a b c"), ("a b", "b c"), ("x", "y"), ("", "a"))
+    val df = cases.toDF("qa", "tb")
+      .select(SearchService.lexicalOverlap(col("qa"), col("tb")).as("j"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    val want = cases.map { case (a, b) => rr.score(a, b) }
+    got.lazyZip(want).foreach((g, w) => assert(math.abs(g - w) < 1e-12, s"$g != $w"))
+  }
+}
