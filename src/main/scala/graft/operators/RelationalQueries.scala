@@ -130,6 +130,35 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    // Scale pattern: two-stage salted aggregation — the skew-mitigation
+    // shape for hot keys at 100 TB (salt → partial agg per (key,salt) →
+    // final agg per key). Result is provably identical to the direct
+    // groupBy, which is exactly what the oracle checks.
+    "skew_salted_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("partial_n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("partial_n")).as("n"))
+        .orderBy("event_type")
+    }),
+    // Exact distinct cardinality per group (the dedup-accounting agg).
+    "count_distinct_users" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+    // Interpolated quantiles per group (p50/p95 over event values).
+    "quantiles_value" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy("event_type")
+    }),
     // Extension: hierarchical rollup totals (region → nation → grand) —
     // partial-agg friendly; subtotal rows carry NULL group keys.
     "rollup_revenue" -> ((s, d) => {
@@ -242,6 +271,15 @@ object RelationalQueries {
         "JOIN customer ON c_nationkey = n_nationkey " +
         "JOIN orders ON o_custkey = c_custkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "skew_salted_agg" ->
+      ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
+    "count_distinct_users" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "quantiles_value" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.95), 6) AS p95 FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
     "rollup_revenue" ->
       ("SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue " +
         "FROM region JOIN nation ON r_regionkey = n_regionkey " +

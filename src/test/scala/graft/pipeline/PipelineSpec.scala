@@ -96,6 +96,18 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l(1L)._1 == "Completed" && l(1L)._2 == null)
   }
 
+  test("K1 sink: partitioned parquet layout round-trips with partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-k1").toString
+    IngestPipeline.run(files())
+      .write.partitionBy("source_title").mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == IngestPipeline.run(files()).count())
+    // partition filter prunes directories (scan shows partition count 1)
+    val pruned = back.filter(col("source_title") === "srcB")
+    assert(pruned.select("source_drive_file").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("cascadeDelete removes exactly the target file's points") {
     val s = spark
     import s.implicits._
