@@ -21,12 +21,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    TextQueries.fixedChunks(Tables.documents(spark, dir))
-      .withColumn("point_id",
-        md5(concat(col("doc_id").cast("string"), lit(":"), col("chunk_index").cast("string"))
-          .cast("binary")))
-      .withColumn("detected_languages",
-        graft.functions.TextOps.detectedLanguagesCsv(col("chunk_text")))
+    graft.pipeline.IngestPipeline.run(Tables.documents(spark, dir))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

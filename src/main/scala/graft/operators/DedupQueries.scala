@@ -86,6 +86,42 @@ object DedupQueries {
         .distinct()
         .orderBy("doc_a", "doc_b")
     }),
+    // Cluster assignment: connected components over the near-dup pair
+    // graph (label propagation to the component-minimum id, iterated to
+    // fixpoint — the distributed union-find replacement; each iteration
+    // is one hash join + partial-agg min, so it scales as O(E) per round
+    // with no driver-side data movement beyond the convergence counter).
+    "dedup_clusters" -> ((s, d) => {
+      val sh = shingleRel(Tables.documents(s, d))
+      val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+      val pairs = a.join(b, Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).cache()
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 20) {
+        val viaNeighbor = edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+        val next = labels.join(viaNeighbor, col("id") === col("dst"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .cache()
+        converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") < col("old")).isEmpty
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
     // SimHash: 60-bit fingerprint; near-dups have small hamming distance.
     // Emits the per-document fingerprint (join on it for exact-band pairs).
     // Single-pass: 60 conditional sums in ONE partial-aggregatable groupBy
@@ -133,6 +169,19 @@ object DedupQueries {
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a " +
         "JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
         "ORDER BY doc_a, doc_b"),
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE sh AS ($shingleSqlRel), " +
+        "pairs AS (SELECT doc_a, doc_b FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, any_value(a.n_sh) AS n_a, " +
+        "any_value(b.n_sh) AS n_b, count(*) AS shared " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS lab FROM edges " +
+        "UNION SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id) " +
+        "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
     "dedup_simhash" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +
