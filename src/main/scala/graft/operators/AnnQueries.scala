@@ -85,6 +85,21 @@ object AnnQueries {
         .agg(count(lit(1)).as("bucket_size"))
         .orderBy("sig")
     }),
+    // Embedding near-dup at scale: LSH-bucket blocking replaces the
+    // label blocking of `embed_neardup` — candidate pairs only form
+    // within a signature bucket, so the pair space is per-bucket and the
+    // shuffle key is the signature (the 100 TB path promised there).
+    "embed_neardup_lsh" -> ((s, d) => {
+      val e = signed(s, d)
+      val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
+      val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("sig"))
+      l.join(r, Seq("sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorOps.cosineScore(col("emb_a"), col("emb_b")).as("cos"))
+        .filter(col("cos") >= 0.2)
+        .orderBy("id_a", "id_b")
+    }),
     // Hybrid retrieval: BM25(k1=1.2, b=0.75) over fixed query terms +
     // dense cosine, fused by RRF (1/(60+rank)).
     "hybrid_bm25_rrf" -> ((s, d) => {
@@ -152,6 +167,13 @@ object AnnQueries {
     "ann_bucket_stats" ->
       (s"SELECT CAST(${sigSql("embedding")} AS BIGINT) AS sig, count(*) AS bucket_size " +
         "FROM embeddings GROUP BY 1 ORDER BY sig"),
+    "embed_neardup_lsh" ->
+      (s"WITH e AS (SELECT vec_id, embedding, ${sigSql("embedding")} AS sig FROM embeddings) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${cos("a.embedding", "b.embedding")} AS cos " +
+        "FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id " +
+        s"WHERE ${cos("a.embedding", "b.embedding")} >= 0.2 " +
+        "ORDER BY id_a, id_b"),
     "hybrid_bm25_rrf" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), " +
         "tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, " +
