@@ -128,14 +128,27 @@ object AnnQueries {
         .crossJoin(broadcast(qv))
         .select(col("vec_id").as("doc_id"),
           VectorOps.cosineScore(col("embedding"), col("qv")).as("cos"))
-      val rs = Window.orderBy(col("bm25").desc, col("doc_id"))
-      val rd = Window.orderBy(col("cos").desc, col("doc_id"))
-      scored.join(dense, Seq("doc_id"))
-        .withColumn("r_sparse", row_number().over(rs))
-        .withColumn("r_dense", row_number().over(rd))
-        .withColumn("rrf",
-          round(lit(1.0) / (lit(60) + col("r_sparse")) + lit(1.0) / (lit(60) + col("r_dense")), 9))
-        .select(col("doc_id"), col("r_sparse"), col("r_dense"), col("rrf"))
+      // Scale-correct RRF: each ranking first reduces to its top-100 via
+      // orderBy+limit (TakeOrderedAndProject — parallel partial top-k),
+      // and ONLY the ≤100 candidates get a window rank. A doc outside a
+      // list contributes 0 for that list (standard rank-list RRF); no
+      // full-corpus single-partition window anywhere.
+      val topSparse = scored.orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .withColumn("r_sparse",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_sparse"))
+      val topDense = dense.orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .withColumn("r_dense",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id").as("d_doc_id"), col("r_dense"))
+      topSparse.join(topDense, col("doc_id") === col("d_doc_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("d_doc_id")).as("doc_id"),
+          coalesce(col("r_sparse"), lit(0)).as("r_sparse"),
+          coalesce(col("r_dense"), lit(0)).as("r_dense"))
+        .withColumn("rrf", round(
+          when(col("r_sparse") > 0, lit(1.0) / (lit(60) + col("r_sparse"))).otherwise(0.0) +
+            when(col("r_dense") > 0, lit(1.0) / (lit(60) + col("r_dense"))).otherwise(0.0), 9))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
     })
@@ -192,12 +205,16 @@ object AnnQueries {
         "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
         "dn AS (SELECT e.vec_id AS doc_id, " +
         s"${cos("e.embedding", "q.qv")} AS cos FROM embeddings e, q), " +
-        "fused AS (SELECT sc.doc_id, " +
-        "CAST(row_number() OVER (ORDER BY bm25 DESC, sc.doc_id) AS INT) AS r_sparse, " +
-        "CAST(row_number() OVER (ORDER BY cos DESC, sc.doc_id) AS INT) AS r_dense " +
-        "FROM sc JOIN dn ON sc.doc_id = dn.doc_id) " +
+        "ts AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_sparse " +
+        "FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id LIMIT 100)), " +
+        "td AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_dense " +
+        "FROM (SELECT * FROM dn ORDER BY cos DESC, doc_id LIMIT 100)), " +
+        "fused AS (SELECT coalesce(ts.doc_id, td.doc_id) AS doc_id, " +
+        "coalesce(r_sparse, 0) AS r_sparse, coalesce(r_dense, 0) AS r_dense " +
+        "FROM ts FULL OUTER JOIN td ON ts.doc_id = td.doc_id) " +
         "SELECT doc_id, r_sparse, r_dense, " +
-        "round(1.0 / (60 + r_sparse) + 1.0 / (60 + r_dense), 9) AS rrf " +
+        "round(CASE WHEN r_sparse > 0 THEN 1.0 / (60 + r_sparse) ELSE 0.0 END + " +
+        "CASE WHEN r_dense > 0 THEN 1.0 / (60 + r_dense) ELSE 0.0 END, 9) AS rrf " +
         "FROM fused ORDER BY rrf DESC, doc_id LIMIT 20")
   )
 }
