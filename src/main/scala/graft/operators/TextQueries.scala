@@ -107,13 +107,15 @@ object TextQueries {
         .select(col("doc_id"), col("dec._1").as("decoded"), col("dec._2").as("encoding"))
         .orderBy("doc_id")
     }),
-    // V5: response re-sort — rank in one order, restore input order
-    // (embedding_service.py:172 sorts responses by .index).
+    // V5: response re-sort — rank within each user's batch, then restore
+    // input order (embedding_service.py:172 sorts responses by .index;
+    // the rank window is per-key, so it parallelizes by user).
     "v5_resort" -> ((s, d) => {
-      val byValue = Window.orderBy(col("value").desc, col("event_id"))
+      val byValue = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
       Tables.events(s, d)
         .withColumn("value_rank", row_number().over(byValue))
-        .select(col("event_id"), col("value_rank"))
+        .select(col("event_id"), col("user_id"), col("value_rank"))
         .orderBy("event_id")
     }),
     // P16: character count (document_chunk.py:9-11).
@@ -249,7 +251,8 @@ object TextQueries {
     "s4_charset_decode" ->
       "SELECT doc_id, text AS decoded, 'utf-8' AS encoding FROM documents ORDER BY doc_id",
     "v5_resort" ->
-      ("SELECT event_id, CAST(row_number() OVER (ORDER BY value DESC, event_id) AS INT) AS value_rank " +
+      ("SELECT event_id, user_id, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank " +
         "FROM events ORDER BY event_id"),
     "p16_char_count" ->
       "SELECT doc_id, length(text) AS character_count FROM documents ORDER BY doc_id",
