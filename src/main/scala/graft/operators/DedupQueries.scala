@@ -86,6 +86,35 @@ object DedupQueries {
         .distinct()
         .orderBy("doc_a", "doc_b")
     }),
+    // Skew-hardened Jaccard: ubiquitous shingles (document frequency >
+    // cap) are excluded from CANDIDATE GENERATION only — a hot shingle
+    // at 100 TB otherwise materializes O(df²) pairs on one key. The
+    // exact Jaccard is then recomputed over the FULL shingle sets of the
+    // surviving candidate pairs, so scores are uncapped; only pairs
+    // whose every shared shingle is ubiquitous can be missed, which is
+    // the standard prefix-style trade recorded here explicitly.
+    "dedup_jaccard_capped" -> ((s, d) => {
+      val sh = shingleRel(Tables.documents(s, d))
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+        .select(col("sh"))
+      val shRare = sh.join(rare, Seq("sh"))
+      val candidates = shRare.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(shRare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+      a.join(b, Seq("sh"))
+        .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          round(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
     // Cluster assignment: connected components over the near-dup pair
     // graph (label propagation to the component-minimum id, iterated to
     // fixpoint — the distributed union-find replacement; each iteration
@@ -169,6 +198,20 @@ object DedupQueries {
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a " +
         "JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
         "ORDER BY doc_a, doc_b"),
+    "dedup_jaccard_capped" ->
+      (s"WITH sh AS ($shingleSqlRel), " +
+        "rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 50), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh) a " +
+        "JOIN (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh) b " +
+        "ON a.sh = b.sh AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, shared, jaccard FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, any_value(a.n_sh) AS n_a, " +
+        "any_value(b.n_sh) AS n_b, count(*) AS shared, " +
+        "round(CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
     "dedup_clusters" ->
       (s"WITH RECURSIVE sh AS ($shingleSqlRel), " +
         "pairs AS (SELECT doc_a, doc_b FROM (" +
