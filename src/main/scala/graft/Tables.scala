@@ -27,6 +27,18 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
 
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the engine's full surface is
+    * reachable from `spark.sql(...)` as well as the DataFrame API.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    All.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
     * timestamp directly; read nanos as long (legacy conf) and truncate to
     * microseconds — the same truncation DuckDB applies, so oracle parity
