@@ -130,6 +130,44 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    // §2.8 completions: intersect / except (reference only has UNION;
+    // these round out the set-op surface).
+    "setop_intersect" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .intersect(cust.filter(col("c_acctbal") > 8000).select(col("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+    "setop_except" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .except(cust.filter(col("c_acctbal") > 8000).select(col("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+    // As-of join (the canonical "operator Spark lacks" composed from
+    // built-ins): each purchase picks the most recent prior view of the
+    // same user via tagged-union + last(ignoreNulls) running window —
+    // one shuffle on user_id, sort within partition; no range blow-up.
+    "asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view").select(
+        col("user_id"), col("ts"), lit(0).as("kr"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("v_id"), col("value").as("v_val"))
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"), lit(1).as("kr"),
+        col("event_id"),
+        lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_val"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("asof_view_id", last(col("v_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_view_value",
+          round(last(col("v_val"), ignoreNulls = true).over(w), 6))
+        .filter(col("kr") === 1)
+        .select(col("event_id"), col("user_id"), col("asof_view_id"), col("asof_view_value"))
+        .orderBy("event_id")
+    }),
     // Scale pattern: two-stage salted aggregation — the skew-mitigation
     // shape for hot keys at 100 TB (salt → partial agg per (key,salt) →
     // final agg per key). Result is provably identical to the direct
@@ -271,6 +309,18 @@ object RelationalQueries {
         "JOIN customer ON c_nationkey = n_nationkey " +
         "JOIN orders ON o_custkey = c_custkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "setop_intersect" ->
+      ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 8000 ORDER BY c_custkey"),
+    "setop_except" ->
+      ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 8000 ORDER BY c_custkey"),
+    "asof_join" ->
+      ("SELECT p.event_id, p.user_id, v.event_id AS asof_view_id, " +
+        "round(v.value, 6) AS asof_view_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id"),
     "skew_salted_agg" ->
       ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "count_distinct_users" ->
