@@ -168,6 +168,32 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("asof_view_id"), col("asof_view_value"))
         .orderBy("event_id")
     }),
+    // Range join, bucketized: events within 1 hour after each purchase.
+    // Naive theta-join is O(n²); bucketing ts to the hour means each
+    // probe only joins its own and the next bucket (equi-join on
+    // (user, bucket)), then the exact range predicate filters inside the
+    // bucket — the standard interval-join decomposition at scale.
+    "range_join_1h" -> ((s, d) => {
+      val HourUs = 3600000000L
+      val e = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("e_us"))
+        .withColumn("eb", floor(col("e_us") / HourUs))
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("pb", floor(col("p_us") / HourUs))
+      val candidates = p
+        .select(col("event_id"), col("user_id"), col("p_us"),
+          explode(array(col("pb"), col("pb") + 1)).as("eb"))
+      val matched = candidates
+        .join(e, Seq("user_id", "eb"))
+        .filter(col("e_us") > col("p_us") && col("e_us") <= col("p_us") + HourUs)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_follow"))
+      p.select(col("event_id"))
+        .join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+        .orderBy("event_id")
+    }),
     // Scale pattern: two-stage salted aggregation — the skew-mitigation
     // shape for hot keys at 100 TB (salt → partial agg per (key,salt) →
     // final agg per key). Result is provably identical to the direct
@@ -321,6 +347,12 @@ object RelationalQueries {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
         "ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id"),
+    "range_join_1h" ->
+      ("SELECT p.event_id, count(e.user_id) AS n_follow " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN events e ON e.user_id = p.user_id " +
+        "AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR " +
+        "GROUP BY p.event_id ORDER BY p.event_id"),
     "skew_salted_agg" ->
       ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"),
     "count_distinct_users" ->
