@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The oracle gate hash-compares results, so any nondeterminism —
+  * shuffle-order-dependent ties in top-k/rank queries are the classic
+  * source — is a correctness failure. Every ranked query must carry an
+  * explicit total tiebreak; this spec re-executes the tie-prone queries
+  * and requires bit-identical results.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private val tieProne = Seq(
+    "v1_cosine_topk", "v2_filtered_topk", "v3_rerank", "search_e2e",
+    "sim_knn_join", "ann_lsh_topk", "window_topn", "v6_sort_limit",
+    "hybrid_bm25_rrf", "sessionize", "asof_join", "dedup_clusters")
+
+  test("tie-prone ranked queries are run-to-run deterministic") {
+    val qs = graft.SparkEntry.queries
+    tieProne.foreach { name =>
+      val r1 = qs(name)(spark, d).collect().map(_.toSeq).toSeq
+      val r2 = qs(name)(spark, d).collect().map(_.toSeq).toSeq
+      assert(r1 == r2, s"$name differs between two executions")
+      assert(r1.nonEmpty, s"$name returned no rows at sf0.001")
+    }
+  }
+}
