@@ -37,6 +37,25 @@ object DedupQueries {
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
   }
 
+  /** (doc_id, simhash60): 60-bit sign-aggregated token-hash fingerprint.
+    * Single-pass: 60 conditional sums in ONE partial-aggregatable groupBy
+    * (no 60× row explosion), then the fingerprint folds the sign sums.
+    */
+  private def simhashRel(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
+    toks
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash60"))
+  }
+
   private def shingleSqlRel: String =
     "SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh, unnest(shs) AS sh FROM " +
       s"(SELECT doc_id, ${TextSql.shingles("toks")} AS shs FROM " +
@@ -94,7 +113,9 @@ object DedupQueries {
     // whose every shared shingle is ubiquitous can be missed, which is
     // the standard prefix-style trade recorded here explicitly.
     "dedup_jaccard_capped" -> ((s, d) => {
-      val sh = shingleRel(Tables.documents(s, d))
+      // the shingle relation feeds df-stats, candidate gen AND verify —
+      // persist it once instead of recomputing per consumer
+      val sh = shingleRel(Tables.documents(s, d)).persist()
       val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 50)
         .select(col("sh"))
       val shRare = sh.join(rare, Seq("sh"))
@@ -115,13 +136,36 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
+    // SimHash near-dup pairs: pigeonhole banding — a pair within hamming
+    // distance 3 of a 60-bit fingerprint must agree exactly on at least
+    // one of four 15-bit bands, so candidates come from 4 equi-joins on
+    // (band, band_value) and the exact hamming check runs only inside
+    // buckets. Fingerprint + bands + hamming are all native expressions.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val fp = simhashRel(s, d)
+      val bands = fp.select(col("doc_id"), col("simhash60"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash60"), 15 * b).bitwiseAND(lit(0x7FFFL))): _*))
+          .as(Seq("band", "bv")))
+      val l = bands.select(col("doc_id").as("doc_a"), col("simhash60").as("h_a"),
+        col("band"), col("bv"))
+      val r = bands.select(col("doc_id").as("doc_b"), col("simhash60").as("h_b"),
+        col("band"), col("bv"))
+      l.join(r, Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(h_a ^ h_b)").cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
     // Cluster assignment: connected components over the near-dup pair
     // graph (label propagation to the component-minimum id, iterated to
     // fixpoint — the distributed union-find replacement; each iteration
     // is one hash join + partial-agg min, so it scales as O(E) per round
     // with no driver-side data movement beyond the convergence counter).
     "dedup_clusters" -> ((s, d) => {
-      val sh = shingleRel(Tables.documents(s, d))
+      val sh = shingleRel(Tables.documents(s, d)).persist()
       val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
       val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
       val pairs = a.join(b, Seq("sh"))
@@ -152,23 +196,10 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
     // SimHash: 60-bit fingerprint; near-dups have small hamming distance.
-    // Emits the per-document fingerprint (join on it for exact-band pairs).
-    // Single-pass: 60 conditional sums in ONE partial-aggregatable groupBy
-    // (no 60× row explosion), then the fingerprint folds the 60 sign sums.
+    // Emits the per-document fingerprint (see dedup_simhash_pairs for the
+    // banded pair extraction).
     "dedup_simhash" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
-      val bitSums = (0 until 60).map(j =>
-        sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
-      toks
-        .groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-            .reduce(_ + _).as("simhash60"))
-        .orderBy("doc_id")
+      simhashRel(s, d).orderBy("doc_id")
     })
   )
 
@@ -225,6 +256,19 @@ object DedupQueries {
         "reach AS (SELECT src AS id, src AS lab FROM edges " +
         "UNION SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id) " +
         "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "dedup_simhash_pairs" ->
+      (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
+        s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +
+        "b AS (SELECT doc_id, r.j AS j, sum(CASE WHEN (hv >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM h, unnest(range(60)) AS r(j) GROUP BY doc_id, r.j), " +
+        "fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh60 " +
+        "FROM b GROUP BY doc_id), " +
+        "bands AS (SELECT doc_id, sh60, g.i AS band, (sh60 >> (15 * g.i)) & 32767 AS bv " +
+        "FROM fp, unnest(range(4)) AS g(i)) " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sh60, b2.sh60)) AS INT) AS hamming " +
+        "FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id " +
+        "WHERE bit_count(xor(a.sh60, b2.sh60)) <= 3 ORDER BY doc_a, doc_b"),
     "dedup_simhash" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +
