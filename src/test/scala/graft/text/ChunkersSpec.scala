@@ -144,6 +144,17 @@ class RecursiveChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("oversize unbroken token falls through to character windows") {
+    val word = "x" * 300
+    val text = s"start $word end"
+    val cs = RecursiveChunker.chunk(text, size = 100, overlap = 20)
+    assert(cs.forall(_.length <= 100))
+    // the giant token is covered by character windows
+    assert(cs.exists(_.startsWith("xxx")))
+    assert(cs.head.startsWith("start"))
+    assert(cs.last.endsWith("end"))
+  }
+
   test("character base case covers the whole string (seeded sweep)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
