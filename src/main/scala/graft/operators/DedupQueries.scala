@@ -119,11 +119,12 @@ object DedupQueries {
       val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 50)
         .select(col("sh"))
       val shRare = sh.join(rare, Seq("sh"))
+      // no distinct: the left_semi consumer is duplicate-insensitive, so
+      // deduplicating 1M+ candidate rows would be a pure extra shuffle
       val candidates = shRare.select(col("doc_id").as("doc_a"), col("sh"))
         .join(shRare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-        .distinct()
       val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
       val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
       a.join(b, Seq("sh"))
@@ -174,10 +175,13 @@ object DedupQueries {
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
+      // localCheckpoint (not cache) at each step: iterative algorithms
+      // grow the logical plan per round — without lineage truncation the
+      // optimizer re-plans the whole history every iteration.
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").cache()
+        .toDF("src", "dst").localCheckpoint()
       var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).cache()
+        .withColumn("label", col("id")).localCheckpoint()
       var converged = false
       var iters = 0
       while (!converged && iters < 20) {
@@ -185,10 +189,9 @@ object DedupQueries {
           .groupBy(col("dst")).agg(min(col("label")).as("nl"))
         val next = labels.join(viaNeighbor, col("id") === col("dst"), "left")
           .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .cache()
+          .localCheckpoint()
         converged = next.join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") < col("old")).isEmpty
-        labels.unpersist()
         labels = next
         iters += 1
       }
