@@ -125,8 +125,16 @@ object DedupQueries {
         .join(shRare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+      // verify only over documents that appear in some candidate pair —
+      // at scale the near-dup doc set is a sliver of the corpus, so the
+      // exact-verify join (which must include hot shingles for correct
+      // counts) runs on that sliver, not on everything
+      val candDocs = candidates.select(col("doc_a").as("doc_id"))
+        .union(candidates.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      val a = shC.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+      val b = shC.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
       a.join(b, Seq("sh"))
         .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
         .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
