@@ -273,6 +273,19 @@ object RelationalQueries {
         .select(col("window.start").as("w_start"), col("event_type"), col("n"))
         .orderBy("w_start", "event_type")
     }),
+    // Native session windows (gap-merged event-time sessions) — the
+    // batch form of Structured Streaming's session_window; same gap rule
+    // as `sessionize`, but fused into one aggregation. Note Spark's
+    // session merge is STRICT (next < prev + gap), mirrored in the
+    // oracle's >= split condition.
+    "session_window_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
     // T1/T2 batch form: sessionize events per user (30-minute gap rule).
     "sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -384,6 +397,14 @@ object RelationalQueries {
     "t1_window_agg" ->
       ("SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type, count(*) AS n " +
         "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+    "session_window_agg" ->
+      ("SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM (" +
+        "SELECT user_id, ts, sum(is_new) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM (" +
+        "SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
+        "GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "sessionize" ->
       ("SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (" +
         "SELECT user_id, event_id, sum(is_new) OVER " +
