@@ -120,11 +120,13 @@ object DedupQueries {
         .select(col("sh"))
       val shRare = sh.join(rare, Seq("sh"))
       // no distinct: the left_semi consumer is duplicate-insensitive, so
-      // deduplicating 1M+ candidate rows would be a pure extra shuffle
+      // deduplicating 1M+ candidate rows would be a pure extra shuffle;
+      // persisted because BOTH candDocs and the final semi-join read it
       val candidates = shRare.select(col("doc_id").as("doc_a"), col("sh"))
         .join(shRare.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
+        .persist()
       // verify only over documents that appear in some candidate pair —
       // at scale the near-dup doc set is a sliver of the corpus, so the
       // exact-verify join (which must include hot shingles for correct
