@@ -32,7 +32,8 @@ object SparkEntry {
       VectorQueries.queries ++
       PipelineQueries.queries ++
       AnnQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -44,5 +45,6 @@ object SparkEntry {
       VectorQueries.oracles ++
       PipelineQueries.oracles ++
       AnnQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data curation operators (BASELINE.json north star): the
+  * reproducibility-critical pieces of corpus assembly. Everything is
+  * hash-deterministic — `rand()`-based sampling can never pass a
+  * cross-engine hash gate and can't be re-derived after the fact, so
+  * splits and samples key on content ids (md5), exactly how a production
+  * corpus pins its train/val membership across reruns.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stable per-doc bucket in [0, 100): first 4 md5 hex digits mod 100. */
+  private def hashBucket(id: org.apache.spark.sql.Column) =
+    (conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10) % 100).cast("int")
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic train/val/test assignment (80/10/10 by id hash):
+    // membership is a pure function of doc_id — stable across reruns,
+    // engines, and partitionings.
+    "dataset_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket", hashBucket(col("doc_id")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("lang", "split")
+    }),
+    // Stratified deterministic sampling: keep ~30% per language via the
+    // same hash bucket (per-stratum rates would just vary the cut).
+    "stratified_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(hashBucket(col("doc_id")) < 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    // Token-budget shard packing: per language, docs in doc_id order are
+    // packed into shards of ≤2000 whitespace tokens (a doc starts a new
+    // shard when the running total before it crosses the budget). The
+    // running sum is a per-key window — parallel by lang at any scale.
+    "shard_packing" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextOps.wordCount(col("text")).as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("shard_id", floor((col("cum") - col("toks")) / 2000L).cast("long"))
+        .select(col("doc_id"), col("lang"), col("toks"), col("shard_id"))
+        .orderBy("lang", "doc_id")
+    }),
+    // Corpus vocabulary stats: top-20 tokens by document frequency —
+    // the df table every quality/stopword heuristic starts from.
+    "vocab_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(lower(col("text"))))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(20)
+    })
+  )
+
+  private val bucketSql =
+    "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
+      "regexp_extract_all(substr(md5(doc_id::VARCHAR), 1, 4), '.')], (a,b) -> a*16 + b) % 100 AS INT)"
+
+  val oracles: Map[String, String] = Map(
+    "dataset_split" ->
+      (s"SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, sum(n_chars) AS n_chars FROM " +
+        s"(SELECT lang, n_chars, $bucketSql AS b FROM documents) " +
+        "GROUP BY 1, 2 ORDER BY lang, split"),
+    "stratified_sample" ->
+      (s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $bucketSql AS b FROM documents) " +
+        "WHERE b < 30 ORDER BY doc_id"),
+    "shard_packing" ->
+      ("SELECT doc_id, lang, toks, CAST(floor((cum - toks) / 2000) AS BIGINT) AS shard_id FROM (" +
+        "SELECT doc_id, lang, toks, sum(toks) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM (" +
+        s"SELECT doc_id, lang, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS toks " +
+        "FROM documents)) ORDER BY lang, doc_id"),
+    "vocab_topk" ->
+      (s"SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, " +
+        s"unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY df DESC, tok LIMIT 20")
+  )
+}
