@@ -57,6 +57,26 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("toks"), col("shard_id"))
         .orderBy("lang", "doc_id")
     }),
+    // Eval-contamination check: test-split documents sharing ≥5 3-gram
+    // shingles with any train-split document — the overlap audit run
+    // before a benchmark score is trusted. Shingle is the join key, so
+    // the comparison never materializes the doc×doc space.
+    "contamination_check" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("bucket", hashBucket(col("doc_id")))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"), explode(TextOps.shingles3Udf(col("text"))).as("sh"))
+      val train = sh.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("sh"))
+      val test = sh.filter(col("split") === "test")
+        .select(col("doc_id").as("test_doc"), col("sh"))
+      test.join(train, Seq("sh"))
+        .groupBy(col("test_doc"), col("train_doc"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .filter(col("shared_shingles") >= 5)
+        .orderBy("test_doc", "train_doc")
+    }),
     // Corpus vocabulary stats: top-20 tokens by document frequency —
     // the df table every quality/stopword heuristic starts from.
     "vocab_topk" -> ((s, d) => {
@@ -88,6 +108,15 @@ object CurationQueries {
         "(PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM (" +
         s"SELECT doc_id, lang, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS toks " +
         "FROM documents)) ORDER BY lang, doc_id"),
+    "contamination_check" ->
+      (s"WITH sh AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "unnest(shs) AS sh FROM (SELECT doc_id, " +
+        s"${graft.functions.TextSql.shingles("toks")} AS shs, $bucketSql AS b FROM " +
+        s"(SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks FROM documents))) " +
+        "SELECT t.doc_id AS test_doc, r.doc_id AS train_doc, count(*) AS shared_shingles " +
+        "FROM (SELECT * FROM sh WHERE split = 'test') t " +
+        "JOIN (SELECT * FROM sh WHERE split = 'train') r ON t.sh = r.sh " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY test_doc, train_doc"),
     "vocab_topk" ->
       (s"SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, " +
         s"unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents) " +
