@@ -116,7 +116,7 @@ object DedupQueries {
       // the shingle relation feeds df-stats, candidate gen AND verify —
       // persist it once instead of recomputing per consumer
       val sh = shingleRel(Tables.documents(s, d)).persist()
-      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 10)
         .select(col("sh"))
       val shRare = sh.join(rare, Seq("sh"))
       // no distinct: the left_semi consumer is duplicate-insensitive, so
@@ -244,7 +244,7 @@ object DedupQueries {
         "ORDER BY doc_a, doc_b"),
     "dedup_jaccard_capped" ->
       (s"WITH sh AS ($shingleSqlRel), " +
-        "rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 50), " +
+        "rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 10), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
         "FROM (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh) a " +
         "JOIN (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh) b " +
