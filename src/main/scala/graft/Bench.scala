@@ -7,8 +7,11 @@ object Bench {
     val spark = GraftSession.local(cpus.toInt)
     // Warm the session (codegen compiler, parquet footers, broadcast
     // machinery) so the first timed query isn't charged for it.
-    Seq("documents", "embeddings", "events", "orders", "lineitem", "customer")
+    Seq("documents", "embeddings", "orders", "lineitem", "customer")
       .foreach(t => try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () })
+    // events is TIMESTAMP(NANOS) — only Tables.events sets the nanosAsLong
+    // conf, so warming via Tables.table always threw and left it cold.
+    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

@@ -104,6 +104,14 @@ object TextOps {
     * fails (every byte maps), so the ladder always terminates there if
     * UTF-8 rejects; cp1252 is reached only in the reference's ordering
     * for consistency of the reported name.
+    *
+    * DELIBERATE DIVERGENCE from the reference ladder: Python's plain
+    * `'utf-8'` decode accepts a BOM-prefixed input and KEEPS U+FEFF in
+    * the text (reporting utf-8), so its 'utf-8-sig' rung is unreachable
+    * dead code. Here a BOM input strips the BOM and reports utf-8-sig —
+    * i.e. we implement what the reference's ladder *intends* rather than
+    * its dead-branch behavior: downstream chunkers/embedders never see a
+    * zero-width U+FEFF token. Recorded in COVERAGE.md (S4).
     */
   val charsetLadderUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte]) =>

@@ -32,7 +32,7 @@ object CurationQueries {
             .when(col("bucket") < 90, "val")
             .otherwise("test"))
         .groupBy(col("lang"), col("split"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars"))
         .orderBy("lang", "split")
     }),
     // Stratified deterministic sampling: keep ~30% per language via the
@@ -96,7 +96,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "dataset_split" ->
       (s"SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
-        "count(*) AS n_docs, sum(n_chars) AS n_chars FROM " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM " +
         s"(SELECT lang, n_chars, $bucketSql AS b FROM documents) " +
         "GROUP BY 1, 2 ORDER BY lang, split"),
     "stratified_sample" ->

@@ -50,9 +50,13 @@ object TextQueries {
       .map(c => (c.chunkIndex, c.text, c.sectionPath, c.startChar, c.endChar))
   }
 
-  /** G1 recursive character chunker as a generator UDF. */
+  /** G1 recursive character chunker as a generator UDF. The oracled
+    * query runs at size=200/overlap=40: every corpus doc is < 1000
+    * chars, so the reference's default 1000/200 would never split and
+    * the oracle would prove nothing about the packing/overlap logic.
+    */
   val recursiveChunkUdf: UserDefinedFunction = udf { (text: String) =>
-    graft.text.RecursiveChunker.chunk(text)
+    graft.text.RecursiveChunker.chunk(text, 200, 40)
   }
 
   val queries: Map[String, Q] = Map(
@@ -73,7 +77,11 @@ object TextQueries {
         .orderBy("doc_id", "chunk_index")
     }),
     // G1: recursive character chunker (chunking_service.py:127-163 legacy
-    // mode; our documented contract — rows-only check + ChunkersSpec).
+    // mode; our documented contract). Fully oracled: the DuckDB side
+    // re-derives the greedy pack + overlap carry as a recursive CTE over
+    // word-piece prefix sums (the corpus has no '\n'/'. ' separators, so
+    // the separator ladder lands on ' ' and the chunker is exactly one
+    // merge pass — validated piece-for-piece in tools/proto_g1.py).
     "g1_recursive_chunks" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -229,7 +237,60 @@ object TextQueries {
     })
   )
 
+  /** G1 oracle: the recursive chunker replayed in SQL. On this corpus
+    * the separator ladder always lands on ' ' (no '\n\n'/'\n'/'. '
+    * anywhere — asserted by tools/proto_g1.py), so pieces are words with
+    * the separator attached to the following piece and the whole
+    * algorithm is one greedy merge with tail-overlap carry. That merge
+    * is a sequential recurrence, expressed here as a recursive CTE over
+    * per-doc piece-length prefix sums S:
+    *   - a chunk starting at piece `strt` covers pieces strt..j,
+    *     j = count of prefix sums ≤ S[strt-1] + size (greedy max);
+    *   - the next start is the smallest x with tail total ≤ overlap AND
+    *     (total + next piece ≤ size OR total = 0) — the dequeue loop.
+    * Chunk text is the contiguous substring between the piece offsets,
+    * trimmed (the carried separator space is what trim removes).
+    */
+  private val g1Sql =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+      |),
+      |pieces AS (
+      |  SELECT doc_id, text,
+      |    [CASE WHEN i = 1 THEN length(parts[i]) ELSE length(parts[i]) + 1 END
+      |     for i in range(1, len(parts) + 1)] AS L
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts FROM base WHERE length(text) > 200)
+      |),
+      |ps AS (
+      |  SELECT doc_id, text, L, [CAST(list_sum(L[1:i]) AS BIGINT) for i in range(1, len(L) + 1)] AS S, len(L) AS n
+      |  FROM pieces
+      |),
+      |rec AS (
+      |  SELECT doc_id, text, L, S, n, 0 AS idx, 1 AS strt FROM ps
+      |  UNION ALL
+      |  SELECT doc_id, text, L, S, n, idx + 1,
+      |    CAST(list_min([x for x in range(strt + 1, j + 2)
+      |      if S[j] - S[x-1] <= 40 AND (S[j] - S[x-1] + L[j+1] <= 200 OR S[j] - S[x-1] = 0)]) AS INT)
+      |  FROM (SELECT *, len(list_filter(S, v -> v <= (CASE WHEN strt = 1 THEN 0 ELSE S[strt-1] END) + 200)) AS j
+      |        FROM rec) WHERE j < n
+      |),
+      |long_chunks AS (
+      |  SELECT doc_id, idx AS chunk_index,
+      |    trim(substr(text, CAST(sprev + 1 AS BIGINT), CAST(S[j] - sprev AS BIGINT))) AS chunk_text
+      |  FROM (SELECT *, CASE WHEN strt = 1 THEN 0 ELSE S[strt-1] END AS sprev,
+      |          len(list_filter(S, v -> v <= (CASE WHEN strt = 1 THEN 0 ELSE S[strt-1] END) + 200)) AS j
+      |        FROM rec)
+      |),
+      |allc AS (
+      |  SELECT doc_id, 0 AS chunk_index, trim(text) AS chunk_text FROM base WHERE length(text) <= 200
+      |  UNION ALL SELECT * FROM long_chunks
+      |)
+      |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, chunk_text,
+      |  CAST(length(chunk_text) AS BIGINT) AS character_count
+      |FROM allc WHERE chunk_text <> '' ORDER BY doc_id, chunk_index""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "g1_recursive_chunks" -> g1Sql,
     // Valid because the corpus is structure-free (no headers/paragraph
     // breaks): the semantic chunker provably emits one chunk per doc,
     // end = len(text)+1 (the reference counts a phantom trailing newline

@@ -113,17 +113,19 @@ object IngestPipeline {
       chunks: DataFrame,
       provider: EmbeddingProvider = new HashProjectionEmbedder(64),
       batchSize: Int = PipelineSettings.default.embedBatchSize): DataFrame = {
-    val spark = chunks.sparkSession
     val inSchema = chunks.schema
     val outSchema = inSchema.add("embedding", ArrayType(FloatType, containsNull = false))
     val textIdx = inSchema.fieldIndex("embedded_text")
-    val rdd = chunks.rdd.mapPartitions { rows =>
+    // Dataset.mapPartitions (not .rdd.mapPartitions): stays a single
+    // MapPartitions node inside the Dataset plan, so Catalyst keeps
+    // optimizing the rest of the lineage and no RDD<->DF round trip is
+    // paid. The external-call stage itself can't be codegen'd regardless.
+    chunks.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val vecs = provider.embed(batch.map(_.getString(textIdx)))
         batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Full lineage to vector-store rows (K1 schema). `fixedChunker` swaps

@@ -31,23 +31,51 @@ final class HashProjectionEmbedder(val dimension: Int = 64) extends EmbeddingPro
     * load-bearing: with a plain `base ^ j*phi` the parity bit's j-term
     * cancels in any token-pair XOR, making every token vector ±(one
     * global sign pattern) — balanced texts then embed to exactly zero.
+    * The string hash is hoisted so the text is scanned once per token,
+    * not once per (token, dimension).
     */
-  private def mix(s: String, j: Int): Long = {
+  private def stringHash(s: String): Long = {
     var h = 1125899906842597L // large prime
     var i = 0
     while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
-    h ^= j * 0x9E3779B97F4A7C15L
+    h
+  }
+  private def avalanche(base: Long, j: Int): Long = {
+    var h = base ^ (j * 0x9E3779B97F4A7C15L)
     h *= 0xC2B2AE3D27D4EB4FL
     h ^= (h >>> 29)
     h *= 0x165667B19E3779F9L
     h ^= (h >>> 32)
     h
   }
+  /** Per-instance sign-vector cache: instances live per partition, and a
+    * real corpus has a Zipfian vocabulary, so most tokens are repeats.
+    * Bounded to keep executor memory flat at scale.
+    */
+  @transient private lazy val signCache =
+    new java.util.HashMap[String, Array[Float]]()
+  private val maxCache = 1 << 16
+  private def signVector(tok: String): Array[Float] = {
+    val hit = signCache.get(tok)
+    if (hit != null) return hit
+    val base = stringHash(tok)
+    val sv = new Array[Float](dimension)
+    var j = 0
+    while (j < dimension) {
+      sv(j) = if ((avalanche(base, j) & 1L) == 0L) 1.0f else -1.0f
+      j += 1
+    }
+    if (signCache.size < maxCache) signCache.put(tok, sv)
+    sv
+  }
   def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
     val toks = Option(t).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
     val v = new Array[Float](dimension)
-    for (tok <- toks; j <- 0 until dimension)
-      v(j) += (if ((mix(tok, j) & 1L) == 0L) 1.0f else -1.0f)
+    for (tok <- toks) {
+      val sv = signVector(tok)
+      var j = 0
+      while (j < dimension) { v(j) += sv(j); j += 1 }
+    }
     val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
     if (norm > 0) v.map(x => (x / norm).toFloat) else v
   }

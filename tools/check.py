@@ -15,10 +15,20 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def norm(v):
+    # Type-strict like the driver's hash: an int and a float with the same
+    # value must NOT collapse ('1540' vs '1540.0' is a FAIL — DuckDB
+    # HUGEINT/float widening is exactly the bug class this catches).
     if isinstance(v, float):
-        if math.isnan(v): return "nan"
-        return f"{v:.9g}"
-    return str(v)
+        if math.isnan(v): return "f:nan"
+        return f"f:{v:.9g}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return f"s:{v}"
+
+def kind(dtype):
+    return dtype.kind  # i/u vs f vs O distinguishes int/float/object columns
 
 fails = []
 for name, sql in sorted(oracle.items()):
@@ -28,6 +38,14 @@ for name, sql in sorted(oracle.items()):
         ocols, scols = sorted(o.columns), sorted(s.columns)
         if ocols != scols:
             fails.append(name); print(f"FAIL {name}: cols oracle={ocols} spark={scols}"); continue
+        okinds = [kind(o[c].dtype) for c in ocols]
+        skinds = [kind(s[c].dtype) for c in scols]
+        # Unify int flavors (i/u) but keep int-vs-float-vs-object distinct.
+        unify = lambda ks: ["i" if k in "iu" else k for k in ks]
+        if unify(okinds) != unify(skinds):
+            fails.append(name)
+            print(f"FAIL {name}: dtype mismatch oracle={list(zip(ocols,okinds))} spark={list(zip(scols,skinds))}")
+            continue
         if len(o) != len(s):
             fails.append(name); print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}"); continue
         orows = sorted([tuple(norm(x) for x in r) for r in o[ocols].itertuples(index=False)])
