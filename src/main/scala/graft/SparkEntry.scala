@@ -33,7 +33,8 @@ object SparkEntry {
       PipelineQueries.queries ++
       AnnQueries.queries ++
       MultimodalQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      SourceQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -46,5 +47,6 @@ object SparkEntry {
       PipelineQueries.oracles ++
       AnnQueries.oracles ++
       MultimodalQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      SourceQueries.oracles
 }

@@ -33,6 +33,22 @@ object RelationalQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // F3: folder filter (drive_file_handler.py:33-35 — skip is_group
+    // rows). The corpus has no folder rows, so the Drive listing is
+    // modeled faithfully: one synthetic folder row per distinct source
+    // (the containing "folder") unioned with the file rows, then the
+    // filter drops is_group — Catalyst prunes the folder branch
+    // entirely, which is exactly what the handler's early-return does.
+    "f3_folder_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val files = docs.select(col("doc_id"), col("source"), lit(false).as("is_group"))
+      val folders = docs.select(col("source")).distinct()
+        .select(lit(null).cast("long").as("doc_id"), col("source"), lit(true).as("is_group"))
+      files.unionByName(folders)
+        .filter(!col("is_group"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     // F5: retryable-job filter (process_embedding.py:523-530).
     "f5_retry_filter" -> ((s, d) => {
       Tables.events(s, d)
@@ -275,9 +291,11 @@ object RelationalQueries {
     }),
     // Native session windows (gap-merged event-time sessions) — the
     // batch form of Structured Streaming's session_window; same gap rule
-    // as `sessionize`, but fused into one aggregation. Note Spark's
-    // session merge is STRICT (next < prev + gap), mirrored in the
-    // oracle's >= split condition.
+    // as `sessionize`, but fused into one aggregation. Boundary note:
+    // session_window merges an event landing EXACTLY at the previous
+    // session's end (inclusive; measured in EventStreamsSpec), while the
+    // oracle's >= condition splits there — equivalent on this corpus
+    // because microsecond timestamps never tie the boundary exactly.
     "session_window_agg" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -306,6 +324,11 @@ object RelationalQueries {
       "SELECT doc_id, source, n_chars FROM documents WHERE n_chars <= 300 ORDER BY doc_id",
     "f1_type_filter" ->
       "SELECT doc_id, lang FROM documents WHERE lower(lang) IN ('en','de','fr') ORDER BY doc_id",
+    "f3_folder_filter" ->
+      ("SELECT doc_id, source FROM (" +
+        "SELECT doc_id, source, false AS is_group FROM documents " +
+        "UNION ALL SELECT CAST(NULL AS BIGINT), source, true FROM (SELECT DISTINCT source FROM documents)) " +
+        "WHERE NOT is_group ORDER BY doc_id"),
     "f5_retry_filter" ->
       ("SELECT event_id, user_id, round(value, 6) AS retry_value FROM events " +
         "WHERE event_type = 'error' AND value < 3 ORDER BY event_id"),

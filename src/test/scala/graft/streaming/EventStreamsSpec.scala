@@ -40,6 +40,45 @@ class EventStreamsSpec extends AnyFunSuite {
   private def timestampFromHours(h: Int, m: Int): java.sql.Timestamp =
     new java.sql.Timestamp(((h * 60L + m) * 60L) * 1000L)
 
+  test("session_window: batch and streaming agree on the same input") {
+    // locks batch/stream parity for the session_window_agg query shape
+    // (SURVEY §7.2 step 6): the SAME gap-merge aggregation runs as a
+    // batch groupBy and as a watermarked streaming query.
+    val s = spark
+    import s.implicits._
+    def agg(df: org.apache.spark.sql.DataFrame) = {
+      val in = if (df.isStreaming) df.withWatermark("ts", "2 hours") else df
+      in.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+    }
+    val rows = Seq(
+      (timestampFromHours(0, 0), 1L),
+      (timestampFromHours(0, 20), 1L),   // merges (gap < 30m)
+      (timestampFromHours(0, 50), 1L),   // boundary: 0:20+30m = 0:50 MERGES (inclusive)
+      (timestampFromHours(2, 0), 1L),    // new session
+      (timestampFromHours(0, 5), 2L))
+    val batchOut = agg(rows.toDF("ts", "user_id"))
+      .orderBy("user_id", "session_start").collect().map(_.toSeq)
+    // session_window merges events landing EXACTLY at the previous
+    // session's end (inclusive boundary) — user1: [0:00 ×3], [2:00 ×1]
+    assert(batchOut.length == 3)
+    assert(batchOut.head.last == 3L)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = agg(mem.toDF.toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sw").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamOut = s.sql("SELECT * FROM sw ORDER BY user_id, session_start")
+        .collect().map(_.toSeq)
+      assert(streamOut.toSeq == batchOut.toSeq)
+    } finally q.stop()
+  }
+
   test("sessionize (batch Dataset): gap closes a session, state carries rest") {
     val s = spark
     import s.implicits._
