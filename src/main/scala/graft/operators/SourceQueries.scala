@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.sources.DocxCodec
+import graft.sources.{DocxCodec, ImageCodec, PdfCodec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,24 @@ object SourceQueries {
 
   val docxExtractUdf = udf { (bytes: Array[Byte]) => DocxCodec.extractText(bytes) }
 
+  /** doc → real .pdf bytes (two FlateDecode pages), and back. */
+  val pdfEncodeUdf = udf { (text: String, source: String) =>
+    PdfCodec.write(Seq(Option(text).getOrElse(""), "tail:" + source))
+  }
+
+  val pdfExtractUdf = udf { (bytes: Array[Byte]) => PdfCodec.extractText(bytes) }
+
+  /** doc → real PNG bytes with doc-derived size/shade, decoded back by
+    * the real codec: (format, width, height, top-left gray).
+    */
+  val imageRoundtripUdf = udf { (docId: Long, nChars: Long) =>
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + (nChars % 16).toInt
+    val gray = (docId % 256).toInt
+    val m = ImageCodec.decode(ImageCodec.writePng(w, h, gray))
+    (m.format, m.width, m.height, m.topLeftGray)
+  }
+
   val queries: Map[String, Q] = Map(
     "s5_docx_roundtrip" -> ((s, d) => {
       Tables.documents(s, d)
@@ -41,6 +59,32 @@ object SourceQueries {
         .select(col("doc_id"), col("extracted"),
           length(col("extracted")).cast("long").as("n_chars_extracted"),
           md5(col("extracted").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // S3: same round-trip discipline through a REAL PDF — valid xref,
+    // zlib-compressed content streams (java.util.zip round-trip), text
+    // recovered from Tj operators; pages joined "\n\n" (the pdfplumber
+    // contract, text_extraction.py:64-75).
+    "s3_pdf_roundtrip" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          pdfEncodeUdf(col("text"), col("source")).as("pdf"))
+        .select(col("doc_id"),
+          pdfExtractUdf(col("pdf")).as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          length(col("extracted")).cast("long").as("n_chars_extracted"),
+          md5(col("extracted").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // S6: real PNG encode+decode per row (javax.imageio) — the oracle
+    // re-derives the doc-determined size/shade arithmetically, so any
+    // codec deviation (wrong raster, wrong format name) hash-fails.
+    "s6_image_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), imageRoundtripUdf(col("doc_id"), col("n_chars")).as("m"))
+        .select(col("doc_id"), col("m._1").as("format"),
+          col("m._2").as("width"), col("m._3").as("height"),
+          col("m._4").as("top_left_gray"))
         .orderBy("doc_id")
     })
   )
@@ -53,6 +97,22 @@ object SourceQueries {
         "md5(extracted) AS fp FROM (" +
         "SELECT doc_id, CASE WHEN trim(text) = '' THEN 'tail:' || source " +
         "ELSE text || chr(10) || chr(10) || 'tail:' || source END AS extracted " +
-        "FROM documents) ORDER BY doc_id")
+        "FROM documents) ORDER BY doc_id"),
+    // PDF pages with only-whitespace text still count as non-empty under
+    // `if page_text` (pdfplumber returns the raw string), but our writer
+    // emits the text verbatim and the extractor trims per page — mirror
+    // the blank-body case exactly as DOCX does
+    "s3_pdf_roundtrip" ->
+      ("SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars_extracted, " +
+        "md5(extracted) AS fp FROM (" +
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 'tail:' || source " +
+        "ELSE text || chr(10) || chr(10) || 'tail:' || source END AS extracted " +
+        "FROM documents) ORDER BY doc_id"),
+    "s6_image_meta" ->
+      ("SELECT doc_id, 'png' AS format, " +
+        "CAST(8 + doc_id % 16 AS INT) AS width, " +
+        "CAST(8 + n_chars % 16 AS INT) AS height, " +
+        "CAST(doc_id % 256 AS INT) AS top_left_gray " +
+        "FROM documents ORDER BY doc_id")
   )
 }

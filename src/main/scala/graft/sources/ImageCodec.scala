@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** S6 — real image payload decoding, pure JDK (`javax.imageio`). The
+  * reference's image path feeds bytes to a vision model
+  * (text_extraction.py:108-122); the model call stays behind the
+  * deterministic provider seam (P8), but the PAYLOAD handling is real
+  * here: actual PNG encode/decode, so width/height/format/pixels come
+  * out of a genuine codec, not metadata arithmetic (contrast
+  * [[graft.multimodal.StubMediaDecoder]], which remains the
+  * DuckDB-mirrorable fast path).
+  */
+final case class ImageMeta(format: String, width: Int, height: Int, topLeftGray: Int)
+
+object ImageCodec extends Serializable {
+
+  /** Encode a real single-color grayscale PNG of the given size. */
+  def writePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = gray & 0xff
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode real image bytes: format from the registered reader, size
+    * and the (0,0) gray level from the decoded raster.
+    */
+  def decode(bytes: Array[Byte]): ImageMeta = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return ImageMeta("unknown", -1, -1, -1)
+      val reader = readers.next()
+      reader.setInput(iis)
+      val fmt = reader.getFormatName.toLowerCase
+      val img = reader.read(0)
+      val px = img.getRGB(0, 0)
+      ImageMeta(fmt, img.getWidth, img.getHeight, px & 0xff)
+    } finally iis.close()
+  }
+}
