@@ -100,6 +100,48 @@ object AnnQueries {
         .filter(col("cos") >= 0.2)
         .orderBy("id_a", "id_b")
     }),
+    // IVF approximate top-k — the other classic ANN scale path next to
+    // hyperplane LSH. Coarse quantizer: 16 corpus vectors (fixed ids
+    // 100-115) stand in as centroids (k-means at iteration 0 — a
+    // deterministic, oracle-checkable init; a trained quantizer swaps in
+    // without changing the plan). Every vector is assigned to its
+    // nearest centroid map-side: the 16-row centroid table is broadcast,
+    // the ×16 cross join never leaves the partition, and the argmax is a
+    // partial `max(struct(cos, -c_id))` that collapses to ONE row per
+    // vector before any shuffle. Queries probe nprobe=2 cells; scoring
+    // touches only those cells' vectors (the inverted-file pruning).
+    // Ties on the rounded assignment cosine break toward the smaller
+    // centroid id in BOTH engines.
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          struct(VectorOps.cosineScore(col("embedding"), col("cv")).as("c_cos"),
+            (-col("c_id")).as("neg_c")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"), max(col("cand")).as("best"))
+        .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("cell"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("qv"), col("c_id"),
+          VectorOps.cosineScore(col("qv"), col("cv")).as("c_cos"))
+        .withColumn("rnk", row_number().over(wProbe))
+        .filter(col("rnk") <= 2)
+        .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
+        .orderBy("q_id", "rnk")
+    }),
     // Hybrid retrieval: BM25(k1=1.2, b=0.75) over fixed query terms +
     // dense cosine, fused by RRF (1/(60+rank)).
     "hybrid_bm25_rrf" -> ((s, d) => {
@@ -187,6 +229,24 @@ object AnnQueries {
         "FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id " +
         s"WHERE ${cos("a.embedding", "b.embedding")} >= 0.2 " +
         "ORDER BY id_a, id_b"),
+    "ann_ivf_topk" ->
+      (s"WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
+        "asg AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+        s"SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+        "qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "probes AS (SELECT q_id, qv, c_id AS cell FROM (" +
+        s"SELECT q.q_id, q.qv, c.c_id, CAST(row_number() OVER (PARTITION BY q.q_id " +
+        s"ORDER BY ${cos("q.qv", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM qs q CROSS JOIN cents c) WHERE rn <= 2), " +
+        "scored AS (SELECT p.q_id, a.vec_id, " +
+        s"${cos("a.embedding", "p.qv")} AS score " +
+        "FROM asg a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.q_id) " +
+        "SELECT q_id, vec_id, rnk, score FROM (" +
+        "SELECT q_id, vec_id, score, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rnk FROM scored) " +
+        "WHERE rnk <= 3 ORDER BY q_id, rnk"),
     "hybrid_bm25_rrf" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), " +
         "tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, " +

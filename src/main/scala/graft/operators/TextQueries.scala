@@ -90,6 +90,28 @@ object TextQueries {
           col("chunk_text"), length(col("chunk_text")).cast("long").as("character_count"))
         .orderBy("doc_id", "chunk_index")
     }),
+    // G3: Docling-style hybrid chunker (chunking_service.py:23-124 —
+    // paragraph items → oversize split by token budget → merge_peers).
+    // Oracled at maxTokens=32 so the split path is live (corpus docs
+    // run to ~110 words); on this single-paragraph corpus the chunks
+    // are exact 32-word windows, which DuckDB re-derives from the token
+    // array. merge_peers needs multi-paragraph docs → ChunkersSpec.
+    "g3_hybrid_chunks" -> ((s, d) => {
+      val g3Udf = udf { (text: String) =>
+        graft.text.HybridChunker.chunk(text, 32)
+          .map(c => (c.chunkIndex, c.text, c.sectionPath, c.startChar, c.endChar))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(g3Udf(col("text"))).as("c"))
+        .select(
+          col("doc_id"),
+          col("c._1").cast("long").as("chunk_index"),
+          col("c._2").as("chunk_text"),
+          col("c._3").as("section_path"),
+          col("c._4").as("start_char"),
+          col("c._5").as("end_char"))
+        .orderBy("doc_id", "chunk_index")
+    }),
     // G1 (fixed-size contract) + P16: the flagship scan→filter→generate→project.
     "chunk_fixed" -> ((s, d) => {
       fixedChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_index")
@@ -289,8 +311,25 @@ object TextQueries {
       |  CAST(length(chunk_text) AS BIGINT) AS character_count
       |FROM allc WHERE chunk_text <> '' ORDER BY doc_id, chunk_index""".stripMargin
 
+  /** G3 oracle: on a corpus with no "\n\n" every doc is ONE paragraph,
+    * so the hybrid chunker reduces to exact 32-word windows (merge can
+    * never combine two 32-token windows; the trailing short window has
+    * no following peer). Rebuilt from the token array; single-space
+    * word salad means joined windows equal the original substrings.
+    */
+  private val g3Sql =
+    "SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_index, " +
+      "array_to_string(toks[(g.i * 32 + 1):((g.i + 1) * 32)], ' ') AS chunk_text, " +
+      "'Document' AS section_path, CAST(0 AS BIGINT) AS start_char, " +
+      "CAST(length(array_to_string(toks[(g.i * 32 + 1):((g.i + 1) * 32)], ' ')) AS BIGINT) AS end_char " +
+      s"FROM (SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks " +
+      "FROM documents WHERE trim(text) <> '') p, " +
+      "unnest(range(CAST(ceil(len(p.toks) / 32.0) AS BIGINT))) AS g(i) " +
+      "ORDER BY doc_id, chunk_index"
+
   val oracles: Map[String, String] = Map(
     "g1_recursive_chunks" -> g1Sql,
+    "g3_hybrid_chunks" -> g3Sql,
     // Valid because the corpus is structure-free (no headers/paragraph
     // breaks): the semantic chunker provably emits one chunk per doc,
     // end = len(text)+1 (the reference counts a phantom trailing newline

@@ -180,6 +180,58 @@ object SemanticChunker {
   }
 }
 
+/** G3 — Docling-style hybrid chunker, re-expressed from the reference's
+  * usage of docling-core's HybridChunker
+  * (frappe_data_pipelines/services/chunking_service.py:23-124):
+  *
+  *  1. paragraphs = `text.split("\n\n")`, trimmed, blanks dropped
+  *     (the reference builds a DoclingDocument with one PARAGRAPH item
+  *     per split piece; falls back to `[text]` when none) — :58-61
+  *  2. paragraphs over the token budget are split into windows of
+  *     `maxTokens` tokens (HybridChunker's oversize split)
+  *  3. consecutive small pieces are merged while the combined token
+  *     count stays ≤ `maxTokens` (merge_peers=True), joined "\n\n"
+  *  4. plain-text docs have no headings, so section_path is always
+  *     "Document", and start_char/end_char are 0/len(chunk.text) —
+  *     the REFERENCE's own values (:75-80 sets exactly those)
+  *
+  * Documented divergence: docling counts BPE tokens via a HuggingFace
+  * tokenizer; with no model shipped here, tokens are whitespace words.
+  * The merge/split structure — what the operator contributes — is
+  * identical; only the budget unit differs.
+  */
+object HybridChunker {
+  val DefaultMaxTokens = 512
+
+  private def words(s: String): Array[String] = s.trim.split("\\s+").filter(_.nonEmpty)
+
+  def chunk(text: String, maxTokens: Int = DefaultMaxTokens): Vector[SemanticChunk] = {
+    if (text == null || text.trim.isEmpty) return Vector.empty
+    val paras0 = text.split("\n\n", -1).toVector.map(_.trim).filter(_.nonEmpty)
+    val paras = if (paras0.nonEmpty) paras0 else Vector(text.trim)
+    // oversize split: windows of maxTokens words
+    val pieces = paras.flatMap { p =>
+      val w = words(p)
+      if (w.length <= maxTokens) Vector(p)
+      else w.grouped(maxTokens).map(_.mkString(" ")).toVector
+    }
+    // merge peers: greedy pack while the combined budget holds
+    val merged = Vector.newBuilder[String]
+    var cur = Vector.empty[String]
+    var curToks = 0
+    for (p <- pieces) {
+      val t = words(p).length
+      if (cur.nonEmpty && curToks + t > maxTokens) {
+        merged += cur.mkString("\n\n"); cur = Vector(p); curToks = t
+      } else { cur :+= p; curToks += t }
+    }
+    if (cur.nonEmpty) merged += cur.mkString("\n\n")
+    merged.result().zipWithIndex.map { case (t, i) =>
+      SemanticChunk(t, "Document", i, 0L, t.length.toLong)
+    }
+  }
+}
+
 /** G1 — recursive character chunker. Semantics (our documented contract,
   * in the spirit of the reference's legacy splitter configured at
   * frappe_data_pipelines/services/chunking_service.py:137-149: separators

@@ -164,4 +164,34 @@ class RecursiveChunkerSpec extends AnyFunSuite {
       assert(cs.forall(_.length <= 100))
     }
   }
+
+  test("G3 hybrid: small peer paragraphs merge up to the token budget") {
+    val text = "one two three\n\nfour five\n\nsix seven eight nine ten"
+    // budgets: 3 + 2 + 5 tokens; maxTokens=6 -> [p1+p2 (5)], [p3 (5)]
+    val cs = HybridChunker.chunk(text, maxTokens = 6)
+    assert(cs.map(_.text) == Vector("one two three\n\nfour five", "six seven eight nine ten"))
+    assert(cs.map(_.chunkIndex) == Vector(0, 1))
+    assert(cs.forall(_.sectionPath == "Document"))
+    // the reference sets start=0, end=len(chunk.text) (chunking_service.py:75-80)
+    assert(cs.forall(c => c.startChar == 0L && c.endChar == c.text.length.toLong))
+  }
+
+  test("G3 hybrid: oversized paragraph splits into token windows") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val cs = HybridChunker.chunk(text, maxTokens = 4)
+    assert(cs.map(_.text) == Vector("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+  }
+
+  test("G3 hybrid: split windows do not merge back over budget") {
+    // 5 words at budget 4 -> [4-window, 1-window]; the 1-window must NOT
+    // merge into the preceding full window
+    val cs = HybridChunker.chunk("a b c d e", maxTokens = 4)
+    assert(cs.map(_.text) == Vector("a b c d", "e"))
+  }
+
+  test("G3 hybrid: blank input yields no chunks; no-paragraph fallback") {
+    assert(HybridChunker.chunk("   ").isEmpty)
+    assert(HybridChunker.chunk("\n\n \n\n").isEmpty)
+    assert(HybridChunker.chunk("solo").map(_.text) == Vector("solo"))
+  }
 }
