@@ -93,6 +93,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.toSet == Set(EventStreams.SessionOut(1L, 0L, 2L)))
   }
 
+  test("streaming exact dedup: dropDuplicates state spans micro-batches") {
+    // the streaming form of dedup_exact/T6: content-addressed ids +
+    // state-backed dropDuplicates make at-least-once delivery
+    // exactly-once in effect — a redelivered point in a LATER batch is
+    // dropped by state, not by luck of batch boundaries
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF.toDF("point_id", "payload")
+      .dropDuplicates("point_id")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      mem.addData(("a", 1L), ("b", 2L), ("a", 3L)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData(("b", 4L), ("c", 5L))            // cross-batch dup
+      q.processAllAvailable()
+      val got = s.sql("SELECT point_id, payload FROM sdedup ORDER BY point_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.map(_._1).toSeq == Seq("a", "b", "c"))
+      assert(got.toMap == Map("a" -> 1L, "b" -> 2L, "c" -> 5L)) // first wins
+    } finally q.stop()
+  }
+
   test("ingestRelay: file-source replay produces idempotent point ids") {
     val s = spark
     import s.implicits._
