@@ -77,6 +77,67 @@ object CurationQueries {
         .filter(col("shared_shingles") >= 5)
         .orderBy("test_doc", "train_doc")
     }),
+    // PII scrubbing: regex redaction of emails / phone numbers — the
+    // pre-training privacy pass. The word-salad corpus has no organic
+    // PII, so the query plants deterministic doc-derived PII in a
+    // contact trailer and must scrub exactly it; the oracle rebuilds
+    // the same trailer and applies the same regexes, so a pattern
+    // divergence (greediness, anchor, char class) hash-fails.
+    "pii_scrub" -> ((s, d) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"))
+      val scrubbed = regexp_replace(
+        regexp_replace(withPii, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?\\d[\\d-]{7,}\\d", "<PHONE>")
+      Tables.documents(s, d)
+        .select(col("doc_id"), scrubbed.as("scrubbed"),
+          (length(withPii) - length(scrubbed)).cast("long").as("chars_redacted"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-style quality rules (repetition + shape heuristics): mean
+    // word length in [3,10], most-common-word ratio ≤ 0.2, symbol ratio
+    // ≤ 0.1 — the rule battery a pre-training filter applies before
+    // anything model-based. All native: explode→count→per-doc aggregate.
+    "gopher_quality" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      val perTok = toks.groupBy(col("doc_id"), col("n_chars"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      perTok.groupBy(col("doc_id"), col("n_chars"))
+        .agg(
+          sum(col("cnt")).as("n_toks"),
+          max(col("cnt")).as("top_cnt"),
+          sum(length(col("tok")) * col("cnt")).as("alpha_chars"))
+        .select(
+          col("doc_id"),
+          round(col("alpha_chars").cast("double") / col("n_toks"), 6).as("mean_word_len"),
+          round(col("top_cnt").cast("double") / col("n_toks"), 6).as("top_word_ratio"),
+          round((col("n_chars") - col("alpha_chars") - (col("n_toks") - 1)).cast("double")
+            / col("n_chars"), 6).as("symbol_ratio"))
+        .withColumn("passes",
+          col("mean_word_len").between(3.0, 10.0) &&
+            col("top_word_ratio") <= 0.2 && col("symbol_ratio") <= 0.1)
+        .orderBy("doc_id")
+    }),
+    // Corpus card: the per-language summary table a dataset release
+    // ships — doc counts, token/char volume, corpus share. One partial
+    // agg by lang; the global total is a broadcast scalar join.
+    "corpus_stats" -> ((s, d) => {
+      val perLang = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.wordCount(col("text"))).cast("long").as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          round(avg(col("n_chars")), 6).as("avg_doc_chars"))
+      val total = perLang.agg(sum(col("n_docs")).as("total_docs"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("corpus_pct", round(col("n_docs") * 100.0 / col("total_docs"), 6))
+        .drop("total_docs")
+        .orderBy("lang")
+    }),
     // Corpus vocabulary stats: top-20 tokens by document frequency —
     // the df table every quality/stopword heuristic starts from.
     "vocab_topk" -> ((s, d) => {
@@ -120,6 +181,33 @@ object CurationQueries {
     "vocab_topk" ->
       (s"SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, " +
         s"unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents) " +
-        "GROUP BY tok ORDER BY df DESC, tok LIMIT 20")
+        "GROUP BY tok ORDER BY df DESC, tok LIMIT 20"),
+    // NOTE: DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics
+    "pii_scrub" ->
+      ("SELECT doc_id, scrubbed, CAST(length(pii) - length(scrubbed) AS BIGINT) AS chars_redacted FROM (" +
+        "SELECT doc_id, pii, regexp_replace(regexp_replace(pii, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?\\d[\\d-]{7,}\\d', '<PHONE>', 'g') AS scrubbed FROM (" +
+        "SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-' || " +
+        "lpad(doc_id::VARCHAR, 4, '0') || ' now' AS pii FROM documents)) ORDER BY doc_id"),
+    "gopher_quality" ->
+      (s"WITH t AS (SELECT doc_id, n_chars, unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents), " +
+        "pt AS (SELECT doc_id, n_chars, tok, count(*) AS cnt FROM t GROUP BY 1, 2, 3), " +
+        "ag AS (SELECT doc_id, n_chars, sum(cnt) AS n_toks, max(cnt) AS top_cnt, " +
+        "sum(length(tok) * cnt) AS alpha FROM pt GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, round(CAST(alpha AS DOUBLE) / n_toks, 6) AS mean_word_len, " +
+        "round(CAST(top_cnt AS DOUBLE) / n_toks, 6) AS top_word_ratio, " +
+        "round(CAST(n_chars - alpha - (n_toks - 1) AS DOUBLE) / n_chars, 6) AS symbol_ratio FROM ag) " +
+        "SELECT doc_id, mean_word_len, top_word_ratio, symbol_ratio, " +
+        "(mean_word_len BETWEEN 3.0 AND 10.0 AND top_word_ratio <= 0.2 AND symbol_ratio <= 0.1) AS passes " +
+        "FROM m ORDER BY doc_id"),
+    "corpus_stats" ->
+      (s"SELECT lang, n_docs, n_tokens, n_chars, avg_doc_chars, " +
+        "round(n_docs * 100.0 / sum(n_docs) OVER (), 6) AS corpus_pct FROM (" +
+        s"SELECT lang, count(*) AS n_docs, " +
+        s"CAST(sum(len(${graft.functions.TextSql.tokens("text")})) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, round(avg(n_chars), 6) AS avg_doc_chars " +
+        "FROM documents GROUP BY lang) ORDER BY lang")
   )
 }

@@ -42,6 +42,19 @@ class DocxCodecSpec extends AnyFunSuite {
     assert(DocxCodec.extractText(bos.toByteArray) == "col1\tcol2\nline2")
   }
 
+  test("seeded fuzz: 300 random strings (xml specials/tabs/unicode) round-trip") {
+    // no '\n' in the pool: the "\n\n" paragraph join makes embedded
+    // newlines content-ambiguous by the format's own contract
+    val rnd = new scala.util.Random(7)
+    // whole code points — see PdfCodecSpec fuzz note on surrogate pairs
+    val pool = Vector("a", "b", " ", "X", "Y", "0", "9", "<", ">", "&", "\"", "'", "\t", "é", "ü", "中", "𝄞")
+    for (i <- 1 to 300) {
+      val t = (0 until 1 + rnd.nextInt(120)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+      if (t.trim.nonEmpty)
+        assert(DocxCodec.extractText(DocxCodec.write(Seq(t))) == t, s"fuzz case $i: ${t.take(40)}")
+    }
+  }
+
   test("non-docx zip extracts to empty string") {
     val bos = new java.io.ByteArrayOutputStream()
     val zip = new java.util.zip.ZipOutputStream(bos)

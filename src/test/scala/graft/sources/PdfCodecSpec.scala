@@ -33,6 +33,18 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(PdfCodec.textShowOps(content) == "Hello (x)")
   }
 
+  test("seeded fuzz: 300 random strings (parens/backslashes/newlines/unicode) round-trip") {
+    val rnd = new scala.util.Random(42)
+    // whole code points (picking chars would split the 𝄞 surrogate pair
+    // into lone surrogates, which cannot survive UTF-8 by definition)
+    val pool = Vector("a", "b", " ", "X", "Y", "0", "9", "(", ")", "\\", "\n", "\t", "é", "ü", "中", "𝄞")
+    for (i <- 1 to 300) {
+      val t = (0 until 1 + rnd.nextInt(120)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+      if (t.trim.nonEmpty)
+        assert(PdfCodec.extractText(PdfCodec.write(Seq(t))) == t, s"fuzz case $i: ${t.take(40)}")
+    }
+  }
+
   test("xref offsets point at real object starts") {
     val pdf = PdfCodec.write(Seq("abc"))
     val s = new String(pdf, "ISO-8859-1")
