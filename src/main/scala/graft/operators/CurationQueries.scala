@@ -138,6 +138,46 @@ object CurationQueries {
         .drop("total_docs")
         .orderBy("lang")
     }),
+    // The full curation lineage as ONE declarative plan — the corpus
+    // counterpart of pipeline_e2e: Gopher quality gate → exact dedup
+    // (keep min doc_id per content fingerprint) → hash-deterministic
+    // train/val/test split → per-(lang, split) token-budget shard
+    // packing. No collect, no iteration; the only shuffles are the two
+    // keyed aggregations and the per-key pack window. Ratio filters
+    // compare raw double divisions of exact integers (bit-identical
+    // cross-engine, no rounding needed on the gate).
+    "curation_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("n_chars"),
+        explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      val perTok = toks.groupBy(col("doc_id"), col("n_chars"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val qual = perTok.groupBy(col("doc_id"), col("n_chars"))
+        .agg(sum(col("cnt")).as("n_toks"), max(col("cnt")).as("top_cnt"),
+          sum(length(col("tok")) * col("cnt")).as("alpha"))
+        .filter(
+          (col("alpha").cast("double") / col("n_toks")).between(3.0, 10.0) &&
+            col("top_cnt").cast("double") / col("n_toks") <= 0.2)
+        .select(col("doc_id"))
+      val keepers = docs.join(qual, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text"),
+          md5(col("text").cast("binary")).as("fp"))
+      val firstPerFp = keepers.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = keepers.join(firstPerFp, Seq("fp", "doc_id"), "left_semi")
+      val split = deduped
+        .withColumn("bucket", hashBucket(col("doc_id")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test"))
+      val w = Window.partitionBy(col("lang"), col("split")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      split.select(col("doc_id"), col("lang"), col("split"),
+        TextOps.wordCount(col("text")).as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("shard_id", floor((col("cum") - col("toks")) / 2000L).cast("long"))
+        .select(col("doc_id"), col("lang"), col("split"), col("toks"), col("shard_id"))
+        .orderBy("lang", "split", "doc_id")
+    }),
     // Corpus vocabulary stats: top-20 tokens by document frequency —
     // the df table every quality/stopword heuristic starts from.
     "vocab_topk" -> ((s, d) => {
@@ -202,6 +242,23 @@ object CurationQueries {
         "SELECT doc_id, mean_word_len, top_word_ratio, symbol_ratio, " +
         "(mean_word_len BETWEEN 3.0 AND 10.0 AND top_word_ratio <= 0.2 AND symbol_ratio <= 0.1) AS passes " +
         "FROM m ORDER BY doc_id"),
+    "curation_e2e" ->
+      (s"WITH t AS (SELECT doc_id, n_chars, unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents), " +
+        "pt AS (SELECT doc_id, n_chars, tok, count(*) AS cnt FROM t GROUP BY 1, 2, 3), " +
+        "q AS (SELECT doc_id FROM (SELECT doc_id, sum(cnt) AS n_toks, max(cnt) AS top_cnt, " +
+        "sum(length(tok) * cnt) AS alpha FROM pt GROUP BY doc_id, n_chars) " +
+        "WHERE CAST(alpha AS DOUBLE) / n_toks BETWEEN 3.0 AND 10.0 " +
+        "AND CAST(top_cnt AS DOUBLE) / n_toks <= 0.2), " +
+        "k AS (SELECT d.doc_id, d.lang, d.text, md5(d.text) AS fp FROM documents d " +
+        "WHERE d.doc_id IN (SELECT doc_id FROM q)), " +
+        "dd AS (SELECT k.* FROM k JOIN (SELECT fp, min(doc_id) AS doc_id FROM k GROUP BY fp) m " +
+        "ON k.fp = m.fp AND k.doc_id = m.doc_id), " +
+        "sp AS (SELECT doc_id, lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
+        s"CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS toks FROM " +
+        s"(SELECT doc_id, lang, text, $bucketSql AS b FROM dd)) " +
+        "SELECT doc_id, lang, split, toks, CAST(floor((cum - toks) / 2000) AS BIGINT) AS shard_id FROM (" +
+        "SELECT *, sum(toks) OVER (PARTITION BY lang, split ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sp) " +
+        "ORDER BY lang, split, doc_id"),
     "corpus_stats" ->
       (s"SELECT lang, n_docs, n_tokens, n_chars, avg_doc_chars, " +
         "round(n_docs * 100.0 / sum(n_docs) OVER (), 6) AS corpus_pct FROM (" +

@@ -45,6 +45,14 @@ class PdfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("garbage and truncated inputs extract to empty, not crash") {
+    assert(PdfCodec.extractText("not a pdf at all".getBytes("UTF-8")) == "")
+    assert(PdfCodec.extractText(Array[Byte]()) == "")
+    val pdf = PdfCodec.write(Seq("some body text"))
+    // cut mid content stream: the unterminated stream yields no pages
+    assert(PdfCodec.extractText(pdf.take(pdf.length / 2)) == "")
+  }
+
   test("xref offsets point at real object starts") {
     val pdf = PdfCodec.write(Seq("abc"))
     val s = new String(pdf, "ISO-8859-1")

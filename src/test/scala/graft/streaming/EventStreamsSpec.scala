@@ -117,6 +117,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestRelay restart resumes from checkpoint without reprocessing") {
+    // the reference's 8-commit status machine exists to make restarts
+    // safe; here the checkpoint IS the status machine — a restarted
+    // relay must process only files that arrived while it was down
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val cp = s"$tmp/cp"
+    def doc(id: Long, text: String) =
+      Seq((id, s"src$id", "en", text.length.toLong, text))
+        .toDF("doc_id", "source", "lang", "n_chars", "text")
+    doc(1L, "alpha beta gamma delta epsilon").write.mode("append").parquet(in)
+    val q1 = EventStreams.ingestRelay(s, in, out, cp)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = s.read.parquet(out).count()
+    assert(afterFirst > 0)
+
+    doc(2L, "zeta eta theta iota kappa lambda").write.mode("append").parquet(in)
+    val q2 = EventStreams.ingestRelay(s, in, out, cp)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val result = s.read.parquet(out)
+    // doc 1 not reprocessed: its rows did not grow after the restart
+    assert(result.filter(col("source_drive_file") === 1L).count() ==
+      afterFirst)
+    assert(result.filter(col("source_drive_file") === 2L).count() > 0)
+    // and globally: content-addressed ids are still unique
+    assert(result.select("point_id").distinct().count() == result.count())
+  }
+
   test("ingestRelay: file-source replay produces idempotent point ids") {
     val s = spark
     import s.implicits._
