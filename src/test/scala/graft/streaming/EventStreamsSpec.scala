@@ -93,6 +93,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.toSet == Set(EventStreams.SessionOut(1L, 0L, 2L)))
   }
 
+  test("stream-stream interval join: purchases attribute to prior views") {
+    // watermarked stream-stream join — the attribution shape (purchase
+    // joins views by the same user within the preceding hour); state on
+    // both sides is bounded by the watermark + interval condition
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val v = views.toDF.toDF("v_user", "v_ts").withWatermark("v_ts", "2 hours")
+    val b = buys.toDF.toDF("b_user", "b_ts").withWatermark("b_ts", "2 hours")
+    val joined = b.join(v,
+      expr("v_user = b_user AND v_ts BETWEEN b_ts - INTERVAL 1 HOUR AND b_ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, timestampFromHours(0, 10)), (2L, timestampFromHours(0, 15)))
+      buys.addData((1L, timestampFromHours(0, 40))) // 30 min after the view → joins
+      buys.addData((1L, timestampFromHours(2, 0)))  // >1h after any view → dropped
+      buys.addData((2L, timestampFromHours(0, 5)))  // BEFORE the view → dropped
+      q.processAllAvailable()
+      val got = s.sql("SELECT v_user, b_ts FROM attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)))
+      assert(got.toSeq == Seq((1L, timestampFromHours(0, 40))))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates state spans micro-batches") {
     // the streaming form of dedup_exact/T6: content-addressed ids +
     // state-backed dropDuplicates make at-least-once delivery
