@@ -46,7 +46,13 @@ object CurationQueries {
     // Token-budget shard packing: per language, docs in doc_id order are
     // packed into shards of ≤2000 whitespace tokens (a doc starts a new
     // shard when the running total before it crosses the budget). The
-    // running sum is a per-key window — parallel by lang at any scale.
+    // running sum is a per-key window — parallel by lang. Scale note:
+    // with few languages the per-key stream is long; the 1000-executor
+    // variant adds a coarse doc_id-range prefix to the partition key
+    // (pack within ranges, offset shard ids by per-range totals — one
+    // extra tiny aggregation), trading exact greedy boundaries at range
+    // edges for full parallelism. Kept single-level here because the
+    // oracle pins exact greedy semantics.
     "shard_packing" -> ((s, d) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
