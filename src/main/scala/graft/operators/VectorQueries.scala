@@ -26,6 +26,22 @@ object VectorQueries {
       .select(col("embedding").as("qv"), col("label").as("q_label"))
 
   val queries: Map[String, Q] = Map(
+    // K4: collection introspection (qdrant_service.py:187-222
+    // get_collection_info / get_all_collections): point count, vector
+    // dimension (asserted uniform — the dim check K4 enforces on
+    // write), id range, per-label segment counts as one partial-agg
+    // scan of the collection.
+    "k4_collection_info" -> ((s, d) => {
+      emb(s, d)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          countDistinct(size(col("embedding"))).as("n_dims_seen"),
+          min(size(col("embedding"))).as("dim"),
+          min(col("vec_id")).as("min_id"),
+          max(col("vec_id")).as("max_id"))
+        .orderBy("label")
+    }),
     // V1: dense cosine top-k against one query vector
     // (qdrant_service.py:117-154; COSINE per :80-84).
     "v1_cosine_topk" -> ((s, d) => {
@@ -121,6 +137,12 @@ object VectorQueries {
   private def cos(a: String, b: String) = VectorSql.cosineScore(a, b)
 
   val oracles: Map[String, String] = Map(
+    "k4_collection_info" ->
+      ("SELECT label, count(*) AS n_points, " +
+        "CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dims_seen, " +
+        "CAST(min(len(embedding)) AS INT) AS dim, " +
+        "min(vec_id) AS min_id, max(vec_id) AS max_id " +
+        "FROM embeddings GROUP BY label ORDER BY label"),
     "v1_cosine_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         s"SELECT e.vec_id, e.label, ${cos("e.embedding", "q.qv")} AS score " +
