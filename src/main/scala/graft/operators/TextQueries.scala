@@ -59,6 +59,12 @@ object TextQueries {
     graft.text.RecursiveChunker.chunk(text, 200, 40)
   }
 
+  /** G3 hybrid chunker UDF at budget 32 (see g3_hybrid_chunks). */
+  val hybridChunkUdf: UserDefinedFunction = udf { (text: String) =>
+    graft.text.HybridChunker.chunk(text, 32)
+      .map(c => (c.chunkIndex, c.text, c.sectionPath, c.startChar, c.endChar))
+  }
+
   val queries: Map[String, Q] = Map(
     // G2: structure-preserving semantic chunker (chunking_service.py:166-481).
     // On the structure-free test corpus every doc yields one 'Document'
@@ -97,12 +103,8 @@ object TextQueries {
     // are exact 32-word windows, which DuckDB re-derives from the token
     // array. merge_peers needs multi-paragraph docs → ChunkersSpec.
     "g3_hybrid_chunks" -> ((s, d) => {
-      val g3Udf = udf { (text: String) =>
-        graft.text.HybridChunker.chunk(text, 32)
-          .map(c => (c.chunkIndex, c.text, c.sectionPath, c.startChar, c.endChar))
-      }
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(g3Udf(col("text"))).as("c"))
+        .select(col("doc_id"), explode(hybridChunkUdf(col("text"))).as("c"))
         .select(
           col("doc_id"),
           col("c._1").cast("long").as("chunk_index"),
@@ -110,6 +112,38 @@ object TextQueries {
           col("c._3").as("section_path"),
           col("c._4").as("start_char"),
           col("c._5").as("end_char"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+    // The reference's CORE dispatch (process_embedding.py:84-241
+    // process_smart_pipeline + chunking_service.py:484 get_chunker):
+    // classify each doc (P1 rules), then route it to the matching
+    // chunker — structured→G3 hybrid, article→G2 semantic, text→G1
+    // recursive, visual→single vision chunk (G5). One plan, four
+    // generator branches unioned; each branch's oracle form is already
+    // proven by its standalone query, composed here per-strategy.
+    "smart_pipeline_chunks" -> ((s, d) => {
+      val strategy = when(col("lang") === "zh", "structured")
+        .when(col("lang") === "ar", "visual")
+        .when(col("lang").isin("de", "fr", "es"), "article")
+        .otherwise("text")
+      val docs = Tables.documents(s, d).withColumn("strategy", strategy)
+      val g1 = docs.filter(col("strategy") === "text")
+        .select(col("doc_id"), col("strategy"),
+          posexplode(recursiveChunkUdf(col("text"))).as(Seq("chunk_index", "chunk_text")))
+        .select(col("doc_id"), col("strategy"),
+          col("chunk_index").cast("long").as("chunk_index"), col("chunk_text"))
+      val g2 = docs.filter(col("strategy") === "article")
+        .select(col("doc_id"), col("strategy"), explode(semanticChunkUdf(col("text"))).as("c"))
+        .select(col("doc_id"), col("strategy"),
+          col("c._1").cast("long").as("chunk_index"), col("c._2").as("chunk_text"))
+      val g3 = docs.filter(col("strategy") === "structured")
+        .select(col("doc_id"), col("strategy"), explode(hybridChunkUdf(col("text"))).as("c"))
+        .select(col("doc_id"), col("strategy"),
+          col("c._1").cast("long").as("chunk_index"), col("c._2").as("chunk_text"))
+      val vis = docs.filter(col("strategy") === "visual")
+        .select(col("doc_id"), col("strategy"), lit(0L).as("chunk_index"),
+          concat(lit("Visual Content: "), col("source")).as("chunk_text"))
+      g1.unionByName(g2).unionByName(g3).unionByName(vis)
         .orderBy("doc_id", "chunk_index")
     }),
     // G1 (fixed-size contract) + P16: the flagship scan→filter→generate→project.
@@ -273,9 +307,13 @@ object TextQueries {
     * Chunk text is the contiguous substring between the piece offsets,
     * trimmed (the carried separator space is what trim removes).
     */
-  private val g1Sql =
-    """WITH RECURSIVE base AS (
-      |  SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+  /** The recursive CTE block, parameterized by an extra predicate on
+    * `documents` so the same replay serves both the standalone G1 query
+    * and the per-strategy branch of smart_pipeline_chunks.
+    */
+  private def g1Ctes(where: String): String =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents WHERE trim(text) <> '' AND ($where)
       |),
       |pieces AS (
       |  SELECT doc_id, text,
@@ -307,9 +345,33 @@ object TextQueries {
       |  SELECT doc_id, 0 AS chunk_index, trim(text) AS chunk_text FROM base WHERE length(text) <= 200
       |  UNION ALL SELECT * FROM long_chunks
       |)
-      |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, chunk_text,
-      |  CAST(length(chunk_text) AS BIGINT) AS character_count
-      |FROM allc WHERE chunk_text <> '' ORDER BY doc_id, chunk_index""".stripMargin
+      |""".stripMargin
+
+  private val g1Sql =
+    g1Ctes("TRUE") +
+      "SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, chunk_text, " +
+      "CAST(length(chunk_text) AS BIGINT) AS character_count " +
+      "FROM allc WHERE chunk_text <> '' ORDER BY doc_id, chunk_index"
+
+  /** smart_pipeline_chunks oracle: the G1 recursive replay restricted to
+    * 'text'-strategy docs, unioned with the per-strategy closed forms
+    * (G2 = one trimmed chunk, G3 = 32-word windows, visual = one
+    * vision row — no blank filter, matching the Spark branch).
+    */
+  private val smartSql =
+    g1Ctes("lang NOT IN ('zh','ar','de','fr','es')") +
+      "SELECT doc_id, 'text' AS strategy, CAST(chunk_index AS BIGINT) AS chunk_index, chunk_text " +
+      "FROM allc WHERE chunk_text <> '' " +
+      "UNION ALL SELECT doc_id, 'article', CAST(0 AS BIGINT), trim(text) " +
+      "FROM documents WHERE lang IN ('de','fr','es') AND trim(text) <> '' " +
+      "UNION ALL SELECT doc_id, 'structured', CAST(g.i AS BIGINT), " +
+      "array_to_string(toks[(g.i * 32 + 1):((g.i + 1) * 32)], ' ') " +
+      s"FROM (SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks " +
+      "FROM documents WHERE lang = 'zh' AND trim(text) <> '') p, " +
+      "unnest(range(CAST(ceil(len(p.toks) / 32.0) AS BIGINT))) AS g(i) " +
+      "UNION ALL SELECT doc_id, 'visual', CAST(0 AS BIGINT), 'Visual Content: ' || source " +
+      "FROM documents WHERE lang = 'ar' " +
+      "ORDER BY doc_id, chunk_index"
 
   /** G3 oracle: on a corpus with no "\n\n" every doc is ONE paragraph,
     * so the hybrid chunker reduces to exact 32-word windows (merge can
@@ -330,6 +392,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "g1_recursive_chunks" -> g1Sql,
     "g3_hybrid_chunks" -> g3Sql,
+    "smart_pipeline_chunks" -> smartSql,
     // Valid because the corpus is structure-free (no headers/paragraph
     // breaks): the semantic chunker provably emits one chunk per doc,
     // end = len(text)+1 (the reference counts a phantom trailing newline
