@@ -31,6 +31,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stamp the SF this dump came from so check.py can refuse a stale
+    // dump checked against a different SF (round-1 judge finding)
+    Files.writeString(Paths.get(s"$outDir/meta.json"), s"""{"sf_dir": ${q(sfDir)}}""")
     spark.stop()
   }
 }

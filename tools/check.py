@@ -14,6 +14,18 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# refuse to compare a dump produced from a DIFFERENT sf than the one
+# being checked (a stale /tmp dump at the wrong SF silently passes
+# otherwise — round-1 judge finding)
+import os
+meta_path = f"{out_dir}/meta.json"
+if os.path.exists(meta_path):
+    meta = json.load(open(meta_path))
+    if meta.get("sf_dir") != sf_dir:
+        print(f"FATAL: dump in {out_dir} was generated from {meta.get('sf_dir')}, "
+              f"not {sf_dir} — regenerate with graft.Verify first")
+        sys.exit(2)
+
 def norm(v):
     # Type-strict like the driver's hash: an int and a float with the same
     # value must NOT collapse ('1540' vs '1540.0' is a FAIL — DuckDB
