@@ -257,6 +257,45 @@ object DedupQueries {
     // banded pair extraction).
     "dedup_simhash" -> ((s, d) => {
       simhashRel(s, d).orderBy("doc_id")
+    }),
+    // Winnowing (MOSS) fingerprints — the rolling-hash document
+    // fingerprint: polynomial hash of every k=8 char-gram (modular, so
+    // both engines stay in exact BIGINT arithmetic), then the minimum
+    // of every w=5 window is selected; the distinct selected hashes are
+    // the doc's fingerprint set. Guarantees any shared substring of
+    // length ≥ k+w-1 contributes a shared fingerprint — the substring-
+    // level dedup primitive md5 whole-doc hashing cannot give. Pure
+    // per-row map work; the fingerprint IS the downstream blocking key.
+    "fingerprint_winnow" -> ((s, d) => {
+      val winnowUdf = udf { (text: String) =>
+        val K = 8; val W = 5; val Mod = 1000000007L
+        val t = Option(text).getOrElse("")
+        if (t.length < K + W - 1) Seq.empty[Long]
+        else {
+          val n = t.length - K + 1
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            var h = 0L
+            var j = 0
+            while (j < K) { h = (h * 31 + t.charAt(i + j)) % Mod; j += 1 }
+            hs(i) = h
+            i += 1
+          }
+          val sel = scala.collection.mutable.SortedSet.empty[Long]
+          var p = 0
+          while (p + W <= n) {
+            var m = hs(p); var q = p + 1
+            while (q < p + W) { if (hs(q) < m) m = hs(q); q += 1 }
+            sel += m
+            p += 1
+          }
+          sel.toSeq
+        }
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")
     })
   )
 
@@ -336,6 +375,18 @@ object DedupQueries {
         "CAST(bit_count(xor(a.sh60, b2.sh60)) AS INT) AS hamming " +
         "FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id " +
         "WHERE bit_count(xor(a.sh60, b2.sh60)) <= 3 ORDER BY doc_a, doc_b"),
+    // k-gram hashes as a 1-based fold: list_reduce seeds with the first
+    // element, matching the Scala loop's h=0 start exactly; all
+    // arithmetic stays below 2^63 via mod 1e9+7 (DuckDB BIGINT errors
+    // on overflow rather than wrapping, so modular form is mandatory)
+    "fingerprint_winnow" ->
+      ("WITH kh AS (SELECT doc_id, " +
+        "[list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT) for j in range(0, 8)], " +
+        "(a, b) -> (a * 31 + b) % 1000000007) for i in range(1, length(text) - 8 + 2)] AS hs " +
+        "FROM documents WHERE length(text) >= 12), " +
+        "sel AS (SELECT doc_id, list_distinct([list_min(hs[p:p+4]) " +
+        "for p in range(1, len(hs) - 5 + 2)]) AS fps FROM kh) " +
+        "SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp"),
     "dedup_simhash" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +
