@@ -296,6 +296,25 @@ object DedupQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
         .orderBy("doc_id", "fp")
+    }),
+    // Winnow-based near-dup pairs: docs sharing ≥ 3 winnowing
+    // fingerprints (i.e. ≥ 3 selected common substrings). Same blocking
+    // discipline as every other pair generator here: the fingerprint is
+    // the join key and ubiquitous fingerprints (df > DfCap) are dropped
+    // from candidate generation — boilerplate substrings at 100 TB are
+    // exactly the hot-key hazard the cap exists for.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      val fps = queries("fingerprint_winnow")(s, d).select(col("doc_id"), col("fp"))
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select(col("fp"))
+      val fpR = fps.join(rare, Seq("fp"))
+      fpR.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(fpR.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -387,6 +406,19 @@ object DedupQueries {
         "sel AS (SELECT doc_id, list_distinct([list_min(hs[p:p+4]) " +
         "for p in range(1, len(hs) - 5 + 2)]) AS fps FROM kh) " +
         "SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp"),
+    "dedup_winnow_pairs" ->
+      ("WITH kh AS (SELECT doc_id, " +
+        "[list_reduce([CAST(unicode(substr(text, i + j, 1)) AS BIGINT) for j in range(0, 8)], " +
+        "(a, b) -> (a * 31 + b) % 1000000007) for i in range(1, length(text) - 8 + 2)] AS hs " +
+        "FROM documents WHERE length(text) >= 12), " +
+        "sel AS (SELECT doc_id, list_distinct([list_min(hs[p:p+4]) " +
+        "for p in range(1, len(hs) - 5 + 2)]) AS fps FROM kh), " +
+        "f AS (SELECT doc_id, unnest(fps) AS fp FROM sel), " +
+        "rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY fp) WHERE df <= 10), " +
+        "fr AS (SELECT f.doc_id, f.fp FROM f JOIN rare r ON f.fp = r.fp) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps " +
+        "FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b"),
     "dedup_simhash" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +

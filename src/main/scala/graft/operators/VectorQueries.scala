@@ -42,6 +42,29 @@ object VectorQueries {
           max(col("vec_id")).as("max_id"))
         .orderBy("label")
     }),
+    // int8 symmetric quantization — the storage transform a 100 TB
+    // embedding table ships with (4× smaller than float32): per-vector
+    // scale = max |x|, q_i = floor(127·x_i/scale + 0.5). floor(x+0.5)
+    // instead of round() because Spark and DuckDB disagree on half-way
+    // rounding; the floor form is identical in both. Summary scalars
+    // (sum/min/max of q) are the oracle surface — element-for-element
+    // equality is implied by the exact-integer sums.
+    "embedding_quantize" -> ((s, d) => {
+      val x = emb(s, d)
+        .withColumn("maxabs",
+          aggregate(col("embedding"), lit(0.0),
+            (a, v) => greatest(a, abs(v.cast("double")))))
+      val q = transform(col("embedding"), v =>
+        when(col("maxabs") === 0.0, 0L)
+          .otherwise(floor(v.cast("double") * 127.0 / col("maxabs") + 0.5).cast("long")))
+      x.select(col("vec_id"), round(col("maxabs"), 6).as("scale6"),
+          q.as("q"))
+        .select(col("vec_id"), col("scale6"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy("vec_id")
+    }),
     // V1: dense cosine top-k against one query vector
     // (qdrant_service.py:117-154; COSINE per :80-84).
     "v1_cosine_topk" -> ((s, d) => {
@@ -137,6 +160,15 @@ object VectorQueries {
   private def cos(a: String, b: String) = VectorSql.cosineScore(a, b)
 
   val oracles: Map[String, String] = Map(
+    "embedding_quantize" ->
+      ("SELECT vec_id, round(maxabs, 6) AS scale6, " +
+        "CAST(list_sum(q) AS BIGINT) AS q_sum, " +
+        "CAST(list_min(q) AS BIGINT) AS q_min, CAST(list_max(q) AS BIGINT) AS q_max FROM (" +
+        "SELECT vec_id, maxabs, " +
+        "[CASE WHEN maxabs = 0 THEN 0 ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT) END " +
+        "for x in embedding] AS q FROM (" +
+        "SELECT vec_id, embedding, list_reduce([greatest(0.0, abs(CAST(x AS DOUBLE))) for x in embedding], " +
+        "(a, b) -> greatest(a, b)) AS maxabs FROM embeddings)) ORDER BY vec_id"),
     "k4_collection_info" ->
       ("SELECT label, count(*) AS n_points, " +
         "CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dims_seen, " +
