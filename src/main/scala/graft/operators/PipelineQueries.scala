@@ -41,6 +41,34 @@ object PipelineQueries {
       IngestPipeline.ledger(Tables.documents(s, d))
         .orderBy("source_drive_file")
     }),
+    // T2 granular state machine: per-stage status-history rows matching
+    // the reference's eight-option Select (embedding_job.json:60-67) —
+    // mid-job progress monitoring as a queryable relation.
+    "pipeline_ledger_stages" -> ((s, d) => {
+      IngestPipeline.ledgerStages(Tables.documents(s, d))
+        .orderBy("source_drive_file", "stage_seq")
+    }),
+    // T3 retry orchestration: a synthetic failed-job ledger (every 4th
+    // doc failed, retry_count seeded 0/1) swept through retryLoop with a
+    // deterministic attempt-outcome seam — the final ledger replays the
+    // reference's sweep → re-queue → attempt → retry_count++ history
+    // (process_embedding.py:518-544, 68-75) end to end.
+    "t3_retry_sweep" -> ((s, d) => {
+      val jobs = Tables.documents(s, d).select(
+        col("doc_id").as("source_drive_file"),
+        when(col("doc_id") % 4 === 0, "Failed").otherwise("Completed").as("status"),
+        when(col("doc_id") % 4 === 0, floor((col("doc_id") % 8) / 4))
+          .otherwise(0L).cast("long").as("retry_count"))
+      IngestPipeline.retryLoop(jobs, maxRetries = 3,
+          succeeds = (id, attempt) => (id + attempt) % 3 === 0)
+        .select(col("source_drive_file").as("doc_id"), col("status"), col("retry_count"))
+        .orderBy("doc_id")
+    }),
+    // Admin health probes (test_connection battery,
+    // data_pipeline_settings.py:29-114) as one status relation.
+    "health_check" -> ((s, d) => {
+      graft.pipeline.HealthProbes.testConnections(s, d).orderBy("component")
+    }),
     // K3 cascade delete as partition rewrite (drive_file_handler.py:98-149):
     // surviving points after deleting all 'zh' source files.
     "k3_cascade_delete" -> ((s, d) => {
@@ -101,6 +129,42 @@ object PipelineQueries {
         "CASE WHEN length(trim(text)) > 0 THEN (length(text) - 1) // 160 + 1 ELSE 0 END AS total_chunks, " +
         "CASE WHEN length(trim(text)) > 0 AND n_chars <= 52428800 THEN 100.0 ELSE 0.0 END AS progress_percent " +
         "FROM documents ORDER BY source_drive_file"),
+    "pipeline_ledger_stages" ->
+      ("WITH base AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN 'empty' " +
+        "WHEN n_chars > 52428800 THEN 'large' ELSE 'ok' END AS k FROM documents), " +
+        "st AS (SELECT doc_id, source, k, r.i AS stage_seq FROM base, " +
+        "unnest(range(CASE k WHEN 'ok' THEN 7 WHEN 'empty' THEN 3 ELSE 2 END)) AS r(i)) " +
+        "SELECT doc_id AS source_drive_file, source AS file_title, " +
+        "CAST(stage_seq AS BIGINT) AS stage_seq, " +
+        "CASE WHEN (k = 'empty' AND stage_seq = 2) OR (k = 'large' AND stage_seq = 1) THEN 'Failed' " +
+        "ELSE ['Queued','Extracting Text','Chunking','Enriching Context','Embedding'," +
+        "'Storing Vectors','Completed'][CAST(stage_seq AS INT) + 1] END AS status, " +
+        "CASE WHEN k = 'empty' AND stage_seq = 2 THEN 15.0 " +
+        "WHEN k = 'large' AND stage_seq = 1 THEN 0.0 " +
+        "ELSE [0.0,15.0,30.0,45.0,80.0,95.0,100.0][CAST(stage_seq AS INT) + 1] END AS progress_percent, " +
+        "CASE WHEN k = 'empty' AND stage_seq = 2 THEN 'empty document' " +
+        "WHEN k = 'large' AND stage_seq = 1 THEN 'file too large' END AS error_message " +
+        "FROM st ORDER BY source_drive_file, stage_seq"),
+    // closed form of the bounded sweep history: with m = (id + r0) % 3 the
+    // first successful attempt is sweep j = (m = 0 ? 3 : 3 - m); a job
+    // seeded retry_count 1 that needs sweep 3 exhausts eligibility first
+    "t3_retry_sweep" ->
+      ("WITH base AS (SELECT doc_id, doc_id % 4 = 0 AS failed, " +
+        "CASE WHEN doc_id % 4 = 0 THEN (doc_id % 8) // 4 ELSE 0 END AS r0 FROM documents), " +
+        "fin AS (SELECT doc_id, r0, CASE WHEN (doc_id + r0) % 3 = 0 THEN 3 " +
+        "ELSE 3 - (doc_id + r0) % 3 END AS j FROM base WHERE failed) " +
+        "SELECT doc_id, CASE WHEN r0 = 1 AND j = 3 THEN 'Failed' ELSE 'Completed' END AS status, " +
+        "CAST(CASE WHEN r0 = 1 AND j = 3 THEN 3 ELSE r0 + j - 1 END AS BIGINT) AS retry_count FROM fin " +
+        "UNION ALL SELECT doc_id, 'Completed' AS status, CAST(0 AS BIGINT) AS retry_count " +
+        "FROM base WHERE NOT failed ORDER BY doc_id"),
+    "health_check" ->
+      ("SELECT * FROM (" +
+        "SELECT 'collection:embeddings_dim' AS component, " +
+        "min(len(embedding)) = max(len(embedding)) AS ok, 'uniform_dim' AS detail FROM embeddings " +
+        "UNION ALL SELECT 'embedding_provider', true, 'dim=64' " +
+        "UNION ALL SELECT 'table:documents', count(*) > 0, 'readable' FROM documents " +
+        "UNION ALL SELECT 'table:embeddings', count(*) > 0, 'readable' FROM embeddings" +
+        ") ORDER BY component"),
     "k3_cascade_delete" ->
       (s"WITH c AS ($chunkRel) " +
         "SELECT doc_id AS source_drive_file, chunk_index, " +

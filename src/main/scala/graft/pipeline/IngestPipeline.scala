@@ -182,6 +182,89 @@ object IngestPipeline {
         when(col("status") === "Completed", lit(100.0)).otherwise(lit(0.0)))
   }
 
+  /** The reference's granular job state machine (T2) as data: status
+    * history rows per file, mirroring the eight-option Select
+    * (embedding_job.json:60-67 — Queued → Extracting Text → Chunking →
+    * Enriching Context → Embedding → Storing Vectors → Completed, plus
+    * Failed) and the save-per-transition flow (process_embedding.py:
+    * 36-67). Progress percents echo the reference's milestones (embed
+    * loop tops out at 80, process_embedding.py:366). A file that fails
+    * keeps the stages it reached, then a Failed row at the point of
+    * failure with the captured error (T5): empty documents die during
+    * text extraction, oversized files at the pre-extraction gate.
+    * Native expressions only — one explode, no shuffle.
+    */
+  val StageMilestones: Seq[(String, Double)] = Seq(
+    "Queued" -> 0.0, "Extracting Text" -> 15.0, "Chunking" -> 30.0,
+    "Enriching Context" -> 45.0, "Embedding" -> 80.0,
+    "Storing Vectors" -> 95.0, "Completed" -> 100.0)
+
+  def ledgerStages(
+      files: DataFrame,
+      settings: PipelineSettings = PipelineSettings.default): DataFrame = {
+    def stage(seq: Int, status: String, progress: Double) =
+      struct(lit(seq.toLong).as("stage_seq"), lit(status).as("status"),
+        lit(progress).as("progress_percent"),
+        lit(null).cast("string").as("error_message"))
+    def failed(seq: Int, progress: Double, error: String) =
+      struct(lit(seq.toLong).as("stage_seq"), lit("Failed").as("status"),
+        lit(progress).as("progress_percent"), lit(error).as("error_message"))
+    val okArr = array(StageMilestones.zipWithIndex.map {
+      case ((name, pct), i) => stage(i, name, pct)
+    }: _*)
+    val emptyArr = array(stage(0, "Queued", 0.0), stage(1, "Extracting Text", 15.0),
+      failed(2, 15.0, "empty document"))
+    val largeArr = array(stage(0, "Queued", 0.0), failed(1, 0.0, "file too large"))
+    files.select(
+      col("doc_id").as("source_drive_file"), col("source").as("file_title"),
+      explode(
+        when(length(trim(col("text"))) === 0, emptyArr)
+          .when(col("n_chars") > settings.maxFileSizeMb.toLong * 1024 * 1024, largeArr)
+          .otherwise(okArr)).as("st"))
+      .select(col("source_drive_file"), col("file_title"),
+        col("st.stage_seq"), col("st.status"),
+        col("st.progress_percent"), col("st.error_message"))
+  }
+
+  /** T3 retry orchestration (reference: process_embedding.py:518-544 —
+    * hourly sweep re-queues Failed jobs with retry_count < 3; a failed
+    * attempt increments retry_count, process_embedding.py:68-75). One
+    * sweep = filter (F5) → re-queue → replay the attempt. The attempt
+    * outcome is a seam (`succeeds(id, attemptNo)`) so tests/oracles can
+    * replay deterministic histories; re-running a job is idempotent
+    * because point ids are content-addressed (T6).
+    */
+  def retrySweep(
+      ledger: DataFrame,
+      maxRetries: Int = 3,
+      succeeds: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    val eligible = col("status") === "Failed" && col("retry_count") < maxRetries
+    val attempt = col("retry_count") + 1
+    val ok = succeeds(col("source_drive_file"), attempt)
+    ledger
+      .withColumn("next_status",
+        when(eligible, when(ok, lit("Completed")).otherwise(lit("Failed")))
+          .otherwise(col("status")))
+      .withColumn("next_retry",
+        when(eligible && !ok, col("retry_count") + 1).otherwise(col("retry_count")))
+      .drop("status", "retry_count")
+      .withColumnRenamed("next_status", "status")
+      .withColumnRenamed("next_retry", "retry_count")
+  }
+
+  /** Bounded retry loop: maxRetries sweeps composed as ONE declarative
+    * plan — the sweep count is static (a job failing every attempt is
+    * swept at most maxRetries times), so unlike iterative convergence
+    * loops this needs no per-round driver action at any scale.
+    */
+  def retryLoop(
+      ledger: DataFrame,
+      maxRetries: Int = 3,
+      succeeds: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame =
+    (1 to maxRetries).foldLeft(ledger)((l, _) => retrySweep(l, maxRetries, succeeds))
+
   /** K3 cascade delete: Delta-style DELETE WHERE as a partition rewrite —
     * returns the surviving rows (caller overwrites the table with them).
     */

@@ -35,6 +35,12 @@ object ImageCodec extends Serializable {
 
   /** Decode real image bytes: format from the registered reader, size
     * and the (0,0) gray level from the decoded raster.
+    *
+    * Truncated/corrupt bytes of a RECOGNIZED format (reader matches but
+    * `read` throws IIOException) degrade to the same "unknown" sentinel
+    * as an unrecognized format: decode failures must stay row-local —
+    * one bad upload cannot fail a whole ingest job (the reference
+    * error-logs per file, text_extraction.py dispatch).
     */
   def decode(bytes: Array[Byte]): ImageMeta = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -47,6 +53,8 @@ object ImageCodec extends Serializable {
       val img = reader.read(0)
       val px = img.getRGB(0, 0)
       ImageMeta(fmt, img.getWidth, img.getHeight, px & 0xff)
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => ImageMeta("unknown", -1, -1, -1)
     } finally iis.close()
   }
 }

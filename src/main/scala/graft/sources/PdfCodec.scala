@@ -103,18 +103,33 @@ object PdfCodec extends Serializable {
     -1
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  /** None on truncated/corrupt zlib input: `Inflater` silently returns
+    * partial output when its input runs out mid-stream, and emitting
+    * partial page text would desynchronize extraction with no error —
+    * a failed stream is a SKIPPED stream.
+    */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new Inflater()
-    inf.setInput(data)
-    val out = new ByteArrayOutputStream(data.length * 3 + 64)
-    val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) out.write(buf, 0, inf.inflate(buf))
-    inf.end()
-    out.toByteArray
+    try {
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(data.length * 3 + 64)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) out.write(buf, 0, inf.inflate(buf))
+      if (inf.finished()) Some(out.toByteArray) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
+
+  private val LengthRe = "/Length\\s+(\\d+)".r
 
   /** Page texts in stream order, non-empty pages joined "\n\n"
     * (pdfplumber contract, text_extraction.py:68-75).
+    *
+    * Stream payloads are sliced by the dict's declared `/Length N` —
+    * binary payloads (images, fonts, object streams) in foreign PDFs can
+    * legally CONTAIN the byte sequence `endstream`, so scanning for the
+    * literal is only the fallback when no /Length is present.
     */
   def extractText(bytes: Array[Byte]): String = {
     val Stream = "stream".getBytes(StandardCharsets.US_ASCII)
@@ -126,29 +141,53 @@ object PdfCodec extends Serializable {
       val s = indexOf(bytes, Stream, pos)
       if (s < 0) continue = false
       else {
-        // dict between the enclosing obj header and 'stream' tells the filter
+        // dict between the enclosing obj header and 'stream' tells the
+        // filter and declared length; the lookback window is cut at the
+        // previous object's 'endobj' so an earlier dict's /Length or
+        // /FlateDecode can't leak into this stream's parse
         val dictStart = math.max(0, s - 512)
-        val dict = new String(bytes, dictStart, s - dictStart, StandardCharsets.ISO_8859_1)
+        val window = new String(bytes, dictStart, s - dictStart, StandardCharsets.ISO_8859_1)
+        val dict = {
+          val cut = window.lastIndexOf("endobj")
+          if (cut >= 0) window.substring(cut) else window
+        }
         var dataStart = s + Stream.length
         if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
         if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-        val e = indexOf(bytes, EndStream, dataStart)
-        if (e < 0) continue = false
-        else {
-          var dataEnd = e
-          // strip the EOL the writer put before 'endstream'
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-          val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          val content =
-            if (dict.contains("/FlateDecode")) inflate(data) else data
-          // operate on byte-chars (latin-1), then restore UTF-8: the
-          // writer serialized the text as UTF-8 bytes inside the stream
-          val raw = textShowOps(new String(content, StandardCharsets.ISO_8859_1))
-          val text = new String(raw.getBytes(StandardCharsets.ISO_8859_1),
-            StandardCharsets.UTF_8)
-          if (text.trim.nonEmpty) pages += text
-          pos = e + EndStream.length
+        val declared = LengthRe.findAllMatchIn(dict).toSeq.lastOption
+          .map(_.group(1).toLong)
+          .filter(l => l >= 0 && dataStart + l <= bytes.length)
+        val bounds: Option[(Int, Int)] = declared match {
+          case Some(len) =>
+            val dataEnd = dataStart + len.toInt
+            val e = indexOf(bytes, EndStream, dataEnd)
+            Some((dataEnd, if (e < 0) dataEnd else e + EndStream.length))
+          case None =>
+            val e = indexOf(bytes, EndStream, dataStart)
+            if (e < 0) None
+            else {
+              var dataEnd = e
+              // strip the EOL the writer put before 'endstream'
+              if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+              Some((dataEnd, e + EndStream.length))
+            }
+        }
+        bounds match {
+          case None => continue = false
+          case Some((dataEnd, nextPos)) =>
+            val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            val content =
+              if (dict.contains("/FlateDecode")) inflate(data) else Some(data)
+            content.foreach { c =>
+              // operate on byte-chars (latin-1), then restore UTF-8: the
+              // writer serialized the text as UTF-8 bytes in the stream
+              val raw = textShowOps(new String(c, StandardCharsets.ISO_8859_1))
+              val text = new String(raw.getBytes(StandardCharsets.ISO_8859_1),
+                StandardCharsets.UTF_8)
+              if (text.trim.nonEmpty) pages += text
+            }
+            pos = nextPos
         }
       }
     }
