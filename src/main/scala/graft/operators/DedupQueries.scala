@@ -313,6 +313,39 @@ object DedupQueries {
         .select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
         .orderBy("doc_id", "fp")
     }),
+    // Incremental corpus dedup — the actual 100 TB ingestion pattern:
+    // an INCOMING batch (doc_id % 5 == 0 here) is deduped against the
+    // EXISTING corpus (the rest), never against the whole corpus as a
+    // self-join. Exact dupes fall to an anti-join on the content
+    // fingerprint; near-dups to a left_semi against the existing
+    // corpus's minhash LSH band index. At scale the existing side is a
+    // PRECOMPUTED, stored index (fp table + band table, appended on
+    // every accepted batch), so each increment costs one batch-sized
+    // map stage plus two index equi-joins — no full-corpus recompute,
+    // no O(corpus²) anything. Derived inline here from one table so the
+    // oracle can replay it.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val existingFp = existing
+        .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      val exactNew = incoming
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .join(existingFp, Seq("fp"), "left_anti")
+      val existingBands = existing
+        .select(posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+        .distinct()
+      val incomingBands = exactNew
+        .select(col("doc_id"), posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+      val nearDupIds = incomingBands
+        .join(existingBands, Seq("band", "sig"), "left_semi")
+        .select(col("doc_id")).distinct()
+      exactNew
+        .join(nearDupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    }),
     // Winnow-based near-dup pairs: docs sharing ≥ 3 winnowing
     // fingerprints (i.e. ≥ 3 selected common substrings). Same blocking
     // discipline as every other pair generator here: the fingerprint is
@@ -397,6 +430,20 @@ object DedupQueries {
         "reach AS (SELECT src AS id, src AS lab FROM edges " +
         "UNION SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id) " +
         "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "dedup_incremental" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shingleSqlRel)), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM sh, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4), " +
+        "surv AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0 " +
+        "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)), " +
+        "nd AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
+        "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
+        "WHERE i.doc_id IN (SELECT doc_id FROM surv)) " +
+        "SELECT doc_id, fp FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd) " +
+        "ORDER BY doc_id"),
     "dedup_simhash_pairs" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +
