@@ -142,8 +142,11 @@ object VectorQueries {
         .select(col("vec_id"), col("label"), col("score"), col("rerank_score"))
     }),
     // Dedup extension: embedding-cosine near-dup pairs, blocked by label
-    // so the pair space is per-bucket (at 100 TB: block by coarse LSH
-    // bucket instead of label; see AnnQueries).
+    // so the pair space is per-bucket. DEMO shape: the within-block
+    // comparison is O(block²), acceptable only while blocks stay small
+    // and bounded — this is NOT the 100 TB path. The scale path is
+    // embed_neardup_lsh (AnnQueries): hyperplane-LSH buckets bound the
+    // block size by construction.
     "embed_neardup" -> ((s, d) => {
       val e = emb(s, d)
       val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
