@@ -23,7 +23,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val ts = java.time.Instant.now().toString
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Full per-query record to a file too: the driver's stdout capture
     // truncates long tails, which made round-2 timings unrecoverable.
