@@ -46,4 +46,22 @@ object Typed {
     import spark.implicits._
     IngestPipeline.ledger(files, settings).as[LedgerRecord]
   }
+
+  /** Mirror of one granular status-history row (T2 state machine,
+    * embedding_job.json:60-67).
+    */
+  final case class StageRecord(
+      source_drive_file: Long,
+      file_title: String,
+      stage_seq: Long,
+      status: String,
+      progress_percent: Double,
+      error_message: Option[String])
+
+  def ledgerStages(files: DataFrame,
+                   settings: graft.PipelineSettings = graft.PipelineSettings.default): Dataset[StageRecord] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    IngestPipeline.ledgerStages(files, settings).as[StageRecord]
+  }
 }

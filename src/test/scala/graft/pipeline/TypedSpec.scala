@@ -31,6 +31,14 @@ class TypedSpec extends AnyFunSuite {
     assert(l(1L).status == "Completed" && l(1L).error_message.isEmpty)
   }
 
+  test("typed stage history Dataset carries the 7-state machine") {
+    val st = Typed.ledgerStages(files()).collect()
+    val ok = st.filter(_.source_drive_file == 1L).sortBy(_.stage_seq)
+    assert(ok.map(_.status).last == "Completed" && ok.length == 7)
+    val bad = st.filter(_.source_drive_file == 3L).sortBy(_.stage_seq)
+    assert(bad.last.status == "Failed" && bad.last.error_message.contains("empty document"))
+  }
+
   test("SQL surface: registered views answer spark.sql over the same tables") {
     graft.Tables.registerViews(spark, "/root/testdata/sf0.001")
     val viaSql = spark.sql(
