@@ -64,6 +64,23 @@ object EventStreams {
       }
   }
 
+  /** Streaming incremental dedup — the streaming counterpart of the
+    * batch `dedup_incremental` operator: incoming documents anti-join
+    * the STATIC existing-corpus fingerprint index (a stream-static join
+    * re-scans/broadcasts only the static side per micro-batch — no
+    * stream state), then within-stream duplicates fall to
+    * `dropDuplicates` over the content fingerprint (cross-batch state;
+    * bound it with a watermark + event-time column in production). At
+    * scale the static side is the stored fp table the batch ingest
+    * appends to after each accepted increment, so the stream only ever
+    * pays batch-sized work.
+    */
+  def incrementalDedup(incoming: DataFrame, existingFpIndex: DataFrame): DataFrame =
+    incoming
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(existingFpIndex, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+
   /** Streaming ingest relay (T1): a parquet file source replayed through
     * the batch pipeline per micro-batch via foreachBatch — the Spark
     * replacement for the reference's enqueue-per-file worker loop.

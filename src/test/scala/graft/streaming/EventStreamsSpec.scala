@@ -144,6 +144,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: static index anti-join + cross-batch state") {
+    // the streaming form of dedup_incremental: docs whose content
+    // already exists in the (static) corpus index never reach the sink;
+    // a duplicate arriving in a LATER micro-batch is dropped by state
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val existing = Seq("known text one", "known text two")
+      .toDF("text").select(md5(col("text").cast("binary")).as("fp"))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedup(mem.toDF.toDF("doc_id", "text"), existing)
+      .writeStream.format("memory").queryName("sincr").outputMode("append").start()
+    try {
+      mem.addData((1L, "known text one"), (2L, "fresh text"), (3L, "fresh text"))
+      q.processAllAvailable()
+      mem.addData((4L, "fresh text"), (5L, "known text two"), (6L, "brand new"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id FROM sincr ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // 1 and 5 die on the index; 3 (in-batch) and 4 (cross-batch) on state
+      assert(got == Seq(2L, 6L))
+    } finally q.stop()
+  }
+
   test("ingestRelay restart resumes from checkpoint without reprocessing") {
     // the reference's 8-commit status machine exists to make restarts
     // safe; here the checkpoint IS the status machine — a restarted
