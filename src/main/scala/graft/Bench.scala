@@ -30,12 +30,15 @@ object Bench {
     // Full per-query record to a file too: the driver's stdout capture
     // truncates long tails, which made round-2 timings unrecoverable.
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/tools/bench_history.jsonl"))
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        sys.props.getOrElse("user.dir", ".") + "/tools/bench_history.jsonl"))
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] history write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -231,7 +231,12 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"))
       // localCheckpoint (not cache): iterative algorithms grow the
       // logical plan per round — without lineage truncation the
-      // optimizer re-plans the whole history every iteration.
+      // optimizer re-plans the whole history every iteration. Prior
+      // rounds' checkpoint blocks stay resident until GC: they CANNOT
+      // be unpersisted eagerly (truncated lineage makes dropped blocks
+      // unrecoverable), but every round's relation is the near-dup
+      // sliver (MEMORY_AND_DISK) and rounds are O(log diameter), so
+      // retained state is bounded by sliver × rounds, not corpus.
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").localCheckpoint()
       var labels = edges.groupBy(col("src"))
@@ -437,13 +442,16 @@ object DedupQueries {
         "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
         "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
         "FROM mh GROUP BY doc_id, perm // 4), " +
-        "surv AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0 " +
-        "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)), " +
+        // NOT EXISTS (not NOT IN): anti-join semantics — a NULL text's
+        // NULL fingerprint must not empty the whole survivor set
+        "surv AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 5 = 0 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 5 <> 0 " +
+        "AND md5(e.text) = md5(d.text))), " +
         "nd AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
         "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
         "WHERE i.doc_id IN (SELECT doc_id FROM surv)) " +
-        "SELECT doc_id, fp FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd) " +
-        "ORDER BY doc_id"),
+        "SELECT s.doc_id, s.fp FROM surv s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM nd WHERE nd.doc_id = s.doc_id) ORDER BY s.doc_id"),
     "dedup_simhash_pairs" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +

@@ -35,8 +35,10 @@ object HealthProbes {
       lit("embedding_provider").as("component"),
       lit(dimOk).as("ok"),
       lit(s"dim=${provider.dimension}").as("detail"))
+    // limit(1) before the aggregate: non-emptiness needs one row, not a
+    // full scan — at 100 TB an admin probe must not read the table
     val tableRows = Seq("documents", "embeddings").map { t =>
-      Tables.table(spark, dir, t)
+      Tables.table(spark, dir, t).limit(1)
         .agg((count(lit(1)) > 0).as("ok"))
         .select(lit("table:" + t).as("component"), col("ok"),
           lit("readable").as("detail"))

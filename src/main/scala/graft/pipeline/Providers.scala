@@ -133,8 +133,13 @@ trait OcrProvider extends Serializable {
   * as an integer sum divided once (exact cross-engine float parity).
   */
 final class GridOcrProvider extends OcrProvider {
-  def recognize(imageBytes: Array[Byte]): OcrResult = {
-    val m = graft.sources.ImageCodec.decode(imageBytes)
+  def recognize(imageBytes: Array[Byte]): OcrResult =
+    recognizeDecoded(graft.sources.ImageCodec.decode(imageBytes))
+
+  /** Fast path over already-decoded metadata — lets a caller that also
+    * needs the metadata (MetaVisionProvider) decode the bytes once.
+    */
+  def recognizeDecoded(m: graft.sources.ImageMeta): OcrResult = {
     if (m.format == "unknown" || m.height < 8) return OcrResult("", 0.0, Nil, Nil)
     val nLines = m.height / 8
     val g = m.topLeftGray
@@ -177,7 +182,12 @@ trait VisionProvider extends Serializable {
 final class MetaVisionProvider(ocr: OcrProvider = new GridOcrProvider) extends VisionProvider {
   def describe(imageBytes: Array[Byte]): VisualContent = {
     val m = graft.sources.ImageCodec.decode(imageBytes)
-    val o = ocr.recognize(imageBytes)
+    // decode once per row: the local OCR impl can reuse the decoded
+    // metadata; a remote provider still gets the raw bytes
+    val o = ocr match {
+      case g: GridOcrProvider => g.recognizeDecoded(m)
+      case other => other.recognize(imageBytes)
+    }
     val description = s"[image ${m.format} ${m.width}x${m.height}]"
     val combined = if (o.text.isEmpty) description else description + "\n" + o.text
     val elements =

@@ -121,7 +121,10 @@ object PdfCodec extends Serializable {
     } finally inf.end()
   }
 
-  private val LengthRe = "/Length\\s+(\\d+)".r
+  // direct lengths only: `/Length 12 0 R` is an INDIRECT reference whose
+  // first number is an object id, not a byte count (negative lookahead
+  // rejects it); digit run capped at 18 so toLong can't overflow
+  private val LengthRe = "/Length\\s+(\\d{1,18})(?!\\s*\\d+\\s+R)".r
 
   /** Page texts in stream order, non-empty pages joined "\n\n"
     * (pdfplumber contract, text_extraction.py:68-75).
@@ -157,6 +160,14 @@ object PdfCodec extends Serializable {
         val declared = LengthRe.findAllMatchIn(dict).toSeq.lastOption
           .map(_.group(1).toLong)
           .filter(l => l >= 0 && dataStart + l <= bytes.length)
+          // sanity: 'endstream' must follow within the EOL slack the PDF
+          // spec allows — a declared length that does NOT land on the
+          // stream end (corrupt dict, indirect length that slipped
+          // through) falls back to the scan instead of mis-slicing
+          .filter { l =>
+            val e = indexOf(bytes, EndStream, dataStart + l.toInt)
+            e >= 0 && e - (dataStart + l.toInt) <= 8
+          }
         val bounds: Option[(Int, Int)] = declared match {
           case Some(len) =>
             val dataEnd = dataStart + len.toInt

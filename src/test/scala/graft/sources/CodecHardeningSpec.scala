@@ -45,6 +45,24 @@ class CodecHardeningSpec extends AnyFunSuite {
     assert(PdfCodec.extractText(pdf.toByteArray) == "page two intact")
   }
 
+  test("indirect /Length (N 0 R) is not treated as a byte count") {
+    // `/Length 5 0 R` points at another object; slicing 5 bytes would
+    // truncate the text — the extractor must fall back to the scan
+    val payload = "BT (indirect length text) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Length 5 0 R >> stream\n" + payload + "\nendstream endobj\n%%EOF")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.extractText(pdf) == "indirect length text")
+  }
+
+  test("declared /Length that does not land on endstream falls back to the scan") {
+    val payload = "BT (mis-declared) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Length 3 >> stream\n" + payload + "\nendstream endobj\n%%EOF")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.extractText(pdf) == "mis-declared")
+  }
+
   test("round-trip still exact with /Length slicing") {
     val text = Seq("first page with (parens) and \\ escapes", "second\npage")
     assert(PdfCodec.extractText(PdfCodec.write(text)) ==
