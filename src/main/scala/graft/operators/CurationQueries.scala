@@ -156,6 +156,27 @@ object CurationQueries {
             col("top_word_ratio") <= 0.2 && col("symbol_ratio") <= 0.1)
         .orderBy("doc_id")
     }),
+    // Deterministic mixture resampling ("data mixing"): given a target
+    // language mixture (uniform here), each language gets an acceptance
+    // rate r_l = min(1, target_share · N / n_l) and a doc survives iff
+    // its stable hash bucket < r_l·100 — the corpus is steered toward
+    // the target mix without moving a byte, membership is reproducible
+    // across runs/engines, and over-represented languages are thinned
+    // while rare ones are kept whole. The per-language rate table is a
+    // tiny broadcast; the corpus pays one map-side filter.
+    "corpus_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val nLangs = counts.agg(count(lit(1)).as("n_langs"))
+      val rates = counts.crossJoin(broadcast(total)).crossJoin(broadcast(nLangs))
+        .select(col("lang"),
+          least(lit(1.0), col("n_total") / (col("n_langs") * col("n_l"))).as("rate"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(hashBucket(col("doc_id")) < col("rate") * 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // Corpus card: the per-language summary table a dataset release
     // ships — doc counts, token/char volume, corpus share. One partial
     // agg by lang; the global total is a broadcast scalar join.
@@ -305,6 +326,14 @@ object CurationQueries {
         "SELECT doc_id, lang, split, toks, CAST(floor((cum - toks) / 2000) AS BIGINT) AS shard_id FROM (" +
         "SELECT *, sum(toks) OVER (PARTITION BY lang, split ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sp) " +
         "ORDER BY lang, split, doc_id"),
+    "corpus_mix" ->
+      (s"WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang), " +
+        "t AS (SELECT count(*) AS n_total FROM documents), " +
+        "nl AS (SELECT count(*) AS n_langs FROM c), " +
+        "r AS (SELECT lang, least(1.0, CAST(n_total AS DOUBLE) / (n_langs * n_l)) AS rate " +
+        "FROM c, t, nl) " +
+        s"SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang " +
+        s"WHERE $bucketSql < r.rate * 100 ORDER BY d.doc_id"),
     "corpus_stats" ->
       (s"SELECT lang, n_docs, n_tokens, n_chars, avg_doc_chars, " +
         "round(n_docs * 100.0 / sum(n_docs) OVER (), 6) AS corpus_pct FROM (" +
