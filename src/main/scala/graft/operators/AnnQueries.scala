@@ -60,7 +60,49 @@ object AnnQueries {
     Tables.embeddings(s, d)
       .withColumn("sig", signatureUdf(col("embedding")))
 
+  /** L2-normalize, then symmetric int8 quantization against the
+    * normalized vector's max |component| (full use of the int8 range).
+    * Shared by the Spark side of ann_int8_topk; arithmetic order is
+    * fixed (v/n/m*127 + 0.5, floor) so the DuckDB mirror is
+    * bit-identical.
+    */
+  private def normOf(c: Column): Column = sqrt(VectorOps.norm2(c))
+  private def maxNormed(c: Column, n: Column): Column =
+    aggregate(c, lit(0.0), (a, v) => greatest(a, abs(v.cast("double") / n)))
+  private def quantize(c: Column, n: Column, m: Column): Column =
+    transform(c, v => floor(v.cast("double") / n / m * lit(127.0) + lit(0.5)))
+
   val queries: Map[String, Q] = Map(
+    // Int8-scored top-k — the memory-bound scoring path a 100 TB vector
+    // store actually runs: vectors are stored L2-normalized + symmetric
+    // int8 quantized (4× smaller, see embedding_quantize), candidates
+    // are ranked by the EXACT integer dot product rescaled by the two
+    // per-vector scales (cos ≈ idot·(m_p/127)·(m_q/127)). The integer
+    // dot is bit-exact in any engine, so the whole ranking is
+    // hash-oracle-able; score_exact (float cosine) rides along to show
+    // the approximation error the int8 path trades for bandwidth.
+    "ann_int8_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+        .withColumn("qn", normOf(col("qe")))
+        .withColumn("qm", maxNormed(col("qe"), col("qn")))
+        .select(col("qe"), quantize(col("qe"), col("qn"), col("qm")).as("qv"),
+          (col("qm") / lit(127.0)).as("sq"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("pn", normOf(col("embedding")))
+        .filter(col("pn") > 0)
+        .withColumn("pm", maxNormed(col("embedding"), col("pn")))
+        .withColumn("pv", quantize(col("embedding"), col("pn"), col("pm")))
+        .withColumn("idot",
+          aggregate(zip_with(col("pv"), col("qv"), (a, b) => a * b), lit(0L), (a, v) => a + v))
+        .select(col("vec_id"), col("label"), col("idot"),
+          round(col("idot").cast("double") * (col("pm") / lit(127.0)) * col("sq"), 6).as("score8"),
+          VectorOps.cosineScore(col("embedding"), col("qe")).as("score_exact"))
+        .orderBy(col("score8").desc, col("vec_id"))
+        .limit(10)
+    }),
     // LSH-bucketed approximate top-k: queries only score candidates in
     // their own signature bucket (vs sim_knn_join's exact full scan).
     "ann_lsh_topk" -> ((s, d) => {
@@ -208,7 +250,31 @@ object AnnQueries {
 
   private def cos(a: String, b: String) = VectorSql.cosineScore(a, b)
 
+  /** SQL mirrors of the int8 helpers (dim 64, fold order = Spark's). */
+  private def normSql(a: String): String =
+    s"sqrt(${VectorSql.dot(a, a, Dim)})"
+  private def maxNormedSql(a: String, n: String): String =
+    s"list_reduce([abs(CAST($a[i+1] AS DOUBLE) / $n) for i in range($Dim)], (x,y) -> greatest(x,y))"
+  private def quantSql(a: String, n: String, m: String): String =
+    s"[floor(CAST($a[i+1] AS DOUBLE) / $n / $m * 127.0 + 0.5) for i in range($Dim)]"
+
   val oracles: Map[String, String] = Map(
+    "ann_int8_topk" ->
+      (s"WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        s"q1 AS (SELECT qe, ${normSql("qe")} AS qn FROM q0), " +
+        s"q2 AS (SELECT qe, qn, ${maxNormedSql("qe", "qn")} AS qm FROM q1), " +
+        s"q AS (SELECT qe, ${quantSql("qe", "qn", "qm")} AS qv, qm / 127.0 AS sq FROM q2), " +
+        s"p1 AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS pn " +
+        "FROM embeddings WHERE vec_id <> 0), " +
+        s"p2 AS (SELECT * FROM p1 WHERE pn > 0), " +
+        s"p3 AS (SELECT *, ${maxNormedSql("embedding", "pn")} AS pm FROM p2), " +
+        s"p4 AS (SELECT *, ${quantSql("embedding", "pn", "pm")} AS pv FROM p3), " +
+        "sc AS (SELECT p4.vec_id, p4.label, p4.embedding, p4.pm, q.qe, q.sq, " +
+        s"CAST(list_reduce([p4.pv[i+1] * q.qv[i+1] for i in range($Dim)], (x,y) -> x+y) AS BIGINT) AS idot " +
+        "FROM p4, q) " +
+        "SELECT vec_id, label, idot, round(idot * (pm / 127.0) * sq, 6) AS score8, " +
+        s"${cos("embedding", "qe")} AS score_exact FROM sc " +
+        "ORDER BY score8 DESC, vec_id LIMIT 10"),
     "ann_lsh_topk" ->
       (s"WITH e AS (SELECT vec_id, embedding, ${sigSql("embedding")} AS sig FROM embeddings), " +
         "q AS (SELECT vec_id AS q_id, embedding AS qv, sig FROM e WHERE vec_id < 20), " +
