@@ -234,6 +234,31 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("split"), col("toks"), col("shard_id"))
         .orderBy("lang", "split", "doc_id")
     }),
+    // Z-order layout audit — multi-dimensional data clustering for file
+    // skipping, the lakehouse layout trick a 100 TB table lives by:
+    // interleaving the bits of two scan dimensions (doc length, token
+    // count) into one sort key makes files written in key order carry
+    // TIGHT min/max ranges on BOTH dimensions, so a predicate on either
+    // prunes most files at planning time. The query assigns each doc its
+    // 16-bucket z-range and reports per-bucket min/max spans of both
+    // dims — the footer stats a pruning-friendly layout would ship.
+    // Pure integer bit arithmetic (shifts + sums), exact in any engine.
+    "zorder_layout" -> ((s, d) => {
+      val a = least(col("n_chars"), lit(1023L))               // dim 1, 10 bits
+      val b = least(TextOps.wordCount(col("text")), lit(1023L)) // dim 2, 10 bits
+      val z = (0 until 10).map { j =>
+        (shiftright(a, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))) +
+          (shiftright(b, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
+      }.reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), a.as("a"), b.as("b"), z.as("z"))
+        .withColumn("bucket", shiftright(col("z"), 16).cast("int")) // 16 z-range buckets
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("a")).as("min_len"), max(col("a")).as("max_len"),
+          min(col("b")).as("min_toks"), max(col("b")).as("max_toks"))
+        .orderBy("bucket")
+    }),
     // Corpus vocabulary stats: top-20 tokens by document frequency —
     // the df table every quality/stopword heuristic starts from.
     "vocab_topk" -> ((s, d) => {
@@ -285,6 +310,17 @@ object CurationQueries {
         "FROM (SELECT * FROM sh WHERE split = 'test') t " +
         "JOIN (SELECT * FROM sh WHERE split = 'train') r ON t.sh = r.sh " +
         "GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY test_doc, train_doc"),
+    "zorder_layout" ->
+      (s"WITH dims AS (SELECT doc_id, least(n_chars, 1023) AS a, " +
+        s"least(CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT), 1023) AS b " +
+        "FROM documents), " +
+        "zed AS (SELECT doc_id, a, b, " +
+        (0 until 10).map(j =>
+          s"((a >> $j) & 1) * ${1L << (2 * j)} + ((b >> $j) & 1) * ${1L << (2 * j + 1)}")
+          .mkString(" + ") + " AS z FROM dims) " +
+        "SELECT CAST(z >> 16 AS INT) AS bucket, count(*) AS n_docs, " +
+        "min(a) AS min_len, max(a) AS max_len, min(b) AS min_toks, max(b) AS max_toks " +
+        "FROM zed GROUP BY 1 ORDER BY bucket"),
     "vocab_topk" ->
       (s"SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, " +
         s"unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents) " +
