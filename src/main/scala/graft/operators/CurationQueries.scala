@@ -252,7 +252,10 @@ object CurationQueries {
       }.reduce(_ + _)
       Tables.documents(s, d)
         .select(col("doc_id"), a.as("a"), b.as("b"), z.as("z"))
-        .withColumn("bucket", shiftright(col("z"), 16).cast("int")) // 16 z-range buckets
+        // bucket on bits ≥12 of z — within a bucket, bits ≥6 of BOTH
+        // dims are fixed, so every bucket spans ≤ 64 on each dimension
+        // (the provable pruning bound LayoutSpec asserts)
+        .withColumn("bucket", shiftright(col("z"), 12).cast("int"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("a")).as("min_len"), max(col("a")).as("max_len"),
@@ -318,7 +321,7 @@ object CurationQueries {
         (0 until 10).map(j =>
           s"((a >> $j) & 1) * ${1L << (2 * j)} + ((b >> $j) & 1) * ${1L << (2 * j + 1)}")
           .mkString(" + ") + " AS z FROM dims) " +
-        "SELECT CAST(z >> 16 AS INT) AS bucket, count(*) AS n_docs, " +
+        "SELECT CAST(z >> 12 AS INT) AS bucket, count(*) AS n_docs, " +
         "min(a) AS min_len, max(a) AS max_len, min(b) AS min_toks, max(b) AS max_toks " +
         "FROM zed GROUP BY 1 ORDER BY bucket"),
     "vocab_topk" ->
