@@ -64,7 +64,9 @@ object AnnQueries {
     * normalized vector's max |component| (full use of the int8 range).
     * Shared by the Spark side of ann_int8_topk; arithmetic order is
     * fixed (v/n/m*127 + 0.5, floor) so the DuckDB mirror is
-    * bit-identical.
+    * bit-identical. The RAW (un-normalized) storage variant of the same
+    * floor(x·127/scale + 0.5) trick lives in VectorQueries'
+    * `embedding_quantize` — change the rounding form in BOTH places.
     */
   private def normOf(c: Column): Column = sqrt(VectorOps.norm2(c))
   private def maxNormed(c: Column, n: Column): Column =
@@ -86,6 +88,7 @@ object AnnQueries {
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
         .withColumn("qn", normOf(col("qe")))
+        .filter(col("qn") > 0) // a zero query vector must yield no rows, not NaN ranks
         .withColumn("qm", maxNormed(col("qe"), col("qn")))
         .select(col("qe"), quantize(col("qe"), col("qn"), col("qm")).as("qv"),
           (col("qm") / lit(127.0)).as("sq"))

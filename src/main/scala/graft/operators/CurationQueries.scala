@@ -167,7 +167,9 @@ object CurationQueries {
     "corpus_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
-      val total = docs.agg(count(lit(1)).as("n_total"))
+      // total and language count both derive from the tiny per-lang
+      // table — ONE corpus scan feeds the whole rate computation
+      val total = counts.agg(sum(col("n_l")).as("n_total"))
       val nLangs = counts.agg(count(lit(1)).as("n_langs"))
       val rates = counts.crossJoin(broadcast(total)).crossJoin(broadcast(nLangs))
         .select(col("lang"),
@@ -239,9 +241,10 @@ object CurationQueries {
     // interleaving the bits of two scan dimensions (doc length, token
     // count) into one sort key makes files written in key order carry
     // TIGHT min/max ranges on BOTH dimensions, so a predicate on either
-    // prunes most files at planning time. The query assigns each doc its
-    // 16-bucket z-range and reports per-bucket min/max spans of both
-    // dims — the footer stats a pruning-friendly layout would ship.
+    // prunes most files at planning time. The query assigns each doc a
+    // z-range bucket (bits ≥12 of the key) and reports per-bucket
+    // min/max spans of both dims — the footer stats a pruning-friendly
+    // layout would ship.
     // Pure integer bit arithmetic (shifts + sums), exact in any engine.
     "zorder_layout" -> ((s, d) => {
       val a = least(col("n_chars"), lit(1023L))               // dim 1, 10 bits
@@ -253,7 +256,7 @@ object CurationQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), a.as("a"), b.as("b"), z.as("z"))
         // bucket on bits ≥12 of z — within a bucket, bits ≥6 of BOTH
-        // dims are fixed, so every bucket spans ≤ 64 on each dimension
+        // dims are fixed, so every bucket spans ≤ 63 on each dimension
         // (the provable pruning bound LayoutSpec asserts)
         .withColumn("bucket", shiftright(col("z"), 12).cast("int"))
         .groupBy(col("bucket"))

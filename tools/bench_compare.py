@@ -8,15 +8,18 @@ so a round's perf work can be judged against the previous record
 instead of a single noisy sample.
 """
 import json
+import os
 import sys
 
-HISTORY = "tools/bench_history.jsonl"
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
 
 def main():
     with open(HISTORY) as f:
         runs = [json.loads(l) for l in f if l.strip()]
     if len(runs) < 2:
         sys.exit("need at least two recorded runs")
+    if len(sys.argv) not in (1, 3):
+        sys.exit("usage: bench_compare.py [idx_a idx_b]  (two indices or none)")
     ia, ib = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) == 3 else (-2, -1)
     a, b = runs[ia], runs[ib]
     qa, qb = a["queries"], b["queries"]
@@ -31,11 +34,15 @@ def main():
             rows.append((abs(vb - va), k, va, vb, vb - va))
     rows.sort(reverse=True)
     print(f"{'query':34} {'A(s)':>8} {'B(s)':>8} {'delta':>8}")
-    for _, k, va, vb, delta in rows[:25]:
+    shown = rows[:25]
+    for _, k, va, vb, delta in shown:
         fa = f"{va:.2f}" if va is not None else "-"
         fb = f"{vb:.2f}" if vb is not None else "-"
         fd = f"{delta:+.2f}" if delta is not None else "new/gone"
         print(f"{k:34} {fa:>8} {fb:>8} {fd:>8}")
+    if len(rows) > len(shown):
+        rest = rows[len(shown):]
+        print(f"... and {len(rest)} more with |delta| <= {rest[0][0]:.2f}s")
 
 if __name__ == "__main__":
     try:
