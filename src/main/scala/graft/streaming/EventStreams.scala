@@ -81,6 +81,24 @@ object EventStreams {
       .join(existingFpIndex, Seq("fp"), "left_anti")
       .dropDuplicates("fp")
 
+  /** Bounded-state form of [[incrementalDedup]] — the production shape:
+    * plain `dropDuplicates` keys state forever (the classic streaming-
+    * dedup leak: state grows with every distinct document ever seen),
+    * while `dropDuplicatesWithinWatermark` evicts a fingerprint's state
+    * once the watermark passes it, so executor state is bounded by the
+    * duplicate-arrival horizon instead of corpus history. Requires an
+    * event-time column `ts` on the incoming relation.
+    */
+  def incrementalDedupBounded(
+      incoming: DataFrame,
+      existingFpIndex: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    incoming
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(existingFpIndex, Seq("fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming ingest relay (T1): a parquet file source replayed through
     * the batch pipeline per micro-batch via foreachBatch — the Spark
     * replacement for the reference's enqueue-per-file worker loop.

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards: the scale properties this engine sells
+  * (broadcast dimension sides, top-k without global sort, no cartesian
+  * blowups) live in the PLAN, not the results — a refactor can keep
+  * every oracle green while silently regressing to a shuffle-heavy or
+  * quadratic plan. These specs execute each query and assert the final
+  * (post-AQE) plan contains the load-bearing operator and not its
+  * scale-killing alternative.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, d)
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("v1_cosine_topk: top-k via TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("v1_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("j1_enrich_broadcast: dimension side is broadcast, not sort-merge") {
+    val p = finalPlan("j1_enrich_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("shard_packing2: per-bucket offsets join back as a broadcast") {
+    val p = finalPlan("shard_packing2")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("dedup_incremental: index joins never degenerate to a cartesian product") {
+    val p = finalPlan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("ann_int8_topk: single-row query broadcast + top-k, no global sort of the corpus") {
+    val p = finalPlan("ann_int8_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("corpus_mix: rate table broadcast onto the corpus") {
+    val p = finalPlan("corpus_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+}

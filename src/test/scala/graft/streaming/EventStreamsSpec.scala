@@ -168,6 +168,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded streaming dedup: duplicates inside the watermark horizon are dropped") {
+    // dropDuplicatesWithinWatermark = dedup with EVICTABLE state — the
+    // leak-free production form; duplicates arriving within the
+    // watermark horizon are still caught exactly like the unbounded op
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val existing = Seq("known doc").toDF("text")
+      .select(md5(col("text").cast("binary")).as("fp"))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val q = EventStreams.incrementalDedupBounded(
+        mem.toDF.toDF("doc_id", "text", "ts"), existing, "10 minutes")
+      .writeStream.format("memory").queryName("sbnd").outputMode("append").start()
+    try {
+      mem.addData((1L, "known doc", t0), (2L, "fresh", t0), (3L, "fresh", ts(1)))
+      q.processAllAvailable()
+      mem.addData((4L, "fresh", ts(2)), (5L, "other", ts(3)))
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id FROM sbnd ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // 1 dies on the index; 3 (in-batch) and 4 (cross-batch, inside
+      // the horizon) die on watermarked state
+      assert(got == Seq(2L, 5L))
+    } finally q.stop()
+  }
+
   test("ingestRelay restart resumes from checkpoint without reprocessing") {
     // the reference's 8-commit status machine exists to make restarts
     // safe; here the checkpoint IS the status machine — a restarted
