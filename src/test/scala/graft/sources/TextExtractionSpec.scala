@@ -49,6 +49,16 @@ class TextExtractionSpec extends AnyFunSuite {
     assert(points.select("point_id").distinct().count() == 5)
   }
 
+  test("image rows tall enough for OCR bands carry OCR text into the relation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ocr")
+    java.nio.file.Files.write(dir.resolve("big.png"), ImageCodec.writePng(12, 20, 7))
+    val docs = TextExtraction.extract(
+      spark.read.format("binaryFile").load(dir.toString))
+    val text = docs.select("text").collect().head.getString(0)
+    // VisualContent.combined = description + OCR lines (P8 over P7)
+    assert(text == "[image png 12x20]\nline 0: g7\nline 1: g7")
+  }
+
   test("non-utf8 txt falls down the charset ladder") {
     val dir = java.nio.file.Files.createTempDirectory("graft-latin")
     java.nio.file.Files.write(dir.resolve("l.txt"), Array[Byte](0xE9.toByte, ' ', 'x'))
