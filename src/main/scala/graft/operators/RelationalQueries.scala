@@ -146,6 +146,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("r_name", "n_name")
     }),
+    // Star-schema profit rollup (fact + three broadcast dimensions —
+    // the classic warehouse join shape): revenue by supplier nation and
+    // part brand. Money is aggregated as exact integer CENTS (per-row
+    // floor(x·100 + 0.5) then a long sum) — at scale a float sum's
+    // result depends on partition merge order, so currency must leave
+    // the float domain BEFORE the cross-row aggregate.
+    "star_profit" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+        .cast("long")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("p_brand"), cents.as("cents"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+        .orderBy("n_name", "p_brand")
+    }),
     // §2.8 completions: intersect / except (reference only has UNION;
     // these round out the set-op surface).
     "setop_intersect" -> ((s, d) => {
@@ -371,6 +392,14 @@ object RelationalQueries {
         "JOIN customer ON c_nationkey = n_nationkey " +
         "JOIN orders ON o_custkey = c_custkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "star_profit" ->
+      ("WITH c AS (SELECT n_name, p_brand, " +
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey) " +
+        "SELECT n_name, p_brand, CAST(sum(cents) AS BIGINT) AS revenue_cents, " +
+        "count(*) AS n_lines FROM c GROUP BY 1, 2 ORDER BY n_name, p_brand"),
     "setop_intersect" ->
       ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
         "INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 8000 ORDER BY c_custkey"),
