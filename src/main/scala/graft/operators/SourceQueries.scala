@@ -69,6 +69,28 @@ object SourceQueries {
     visionProvider.describe(ImageCodec.writePng(w, h, (docId % 256).toInt))
   }
 
+  /** Single-page PDF encode — the standard-extraction leg of the smart
+    * scanned-PDF lineage (no tail page: the raw text is the page).
+    */
+  val pdfOnePageUdf = udf { (text: String) =>
+    PdfCodec.write(Seq(Option(text).getOrElse("")))
+  }
+
+  /** Rasterize every synthetic page of a scanned PDF to real PNG bytes
+    * and OCR each raster through the provider seam; page texts joined
+    * "\n\n" (the reference's OCR service returns one text per file,
+    * paginating internally — services/ocr_service.py:81-187). Page
+    * geometry varies per page so multi-page OCR is actually exercised.
+    */
+  val pagesOcrUdf = udf { (docId: Long, nChars: Long, totalPages: Int) =>
+    (0 until totalPages).map { p =>
+      val w = 8 + ((docId + p) % 16).toInt
+      val h = 8 + ((nChars + p) % 16).toInt
+      val g = ((docId + p) % 256).toInt
+      ocrProvider.recognize(ImageCodec.writePng(w, h, g)).text
+    }.filter(_.nonEmpty).mkString("\n\n")
+  }
+
   val queries: Map[String, Q] = Map(
     // P7 (the real A2): avg OCR confidence per document, over the full
     // OCRResult struct — nested bbox corners are projected out so the
@@ -125,6 +147,47 @@ object SourceQueries {
           md5(col("extracted").cast("binary")).as("fp"))
         .orderBy("doc_id")
     }),
+    // The reference's extract_text_smart composed end-to-end
+    // (tasks/process_embedding.py:293-331): standard extraction (real
+    // one-page PDF round-trip), P2's scanned-detection plan
+    // (decision_agent.py:176-237 thresholds: avg page text < 100 and
+    // any page image ⇒ requires_ocr), then for scanned docs raster →
+    // OcrProvider per page, OCR text appended "{text}\n\n{ocr}" (or
+    // standing alone when extraction was empty), and the combined text
+    // through the same fixed chunk front door every ingest path uses.
+    // Per-row map work end to end — the only shuffle is the final sort.
+    "smart_scanned_pdf" -> ((s, d) => {
+      val hex = md5(col("text").cast("binary"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), hex.as("hex"),
+          (lit(1) + ascii(substring(hex, 4, 1)) % 4).as("total_pages"))
+        .withColumn("extracted", pdfExtractUdf(pdfOnePageUdf(col("text"))))
+      val planned = docs
+        .withColumn("has_images",
+          exists(sequence(lit(0), col("total_pages") - 1),
+            p => ascii(col("hex").substr(p + lit(5), lit(1))) % 3 > 0))
+        .withColumn("requires_ocr",
+          length(trim(col("text"))) < 100 && col("has_images"))
+      val combined = planned
+        .withColumn("ocr_text",
+          when(col("requires_ocr"),
+            pagesOcrUdf(col("doc_id"), col("n_chars"), col("total_pages"))))
+        .withColumn("combined",
+          when(!col("requires_ocr"), col("extracted"))
+            .when(col("extracted") === "", col("ocr_text"))
+            .otherwise(concat(col("extracted"), lit("\n\n"), col("ocr_text"))))
+      combined
+        .filter(length(trim(col("combined"))) > 0)
+        .select(col("doc_id"), col("requires_ocr"), col("combined"),
+          posexplode(sequence(lit(0L),
+            greatest(length(col("combined")) - 1, lit(0)).cast("long"), lit(160L)))
+            .as(Seq("chunk_index", "start")))
+        .select(col("doc_id"), col("requires_ocr"),
+          col("chunk_index").cast("long").as("chunk_index"),
+          col("combined").substr(col("start") + 1, lit(200)).as("chunk_text"))
+        .withColumn("character_count", length(col("chunk_text")).cast("long"))
+        .orderBy("doc_id", "chunk_index")
+    }),
     // S6: real PNG encode+decode per row (javax.imageio) — the oracle
     // re-derives the doc-determined size/shade arithmetically, so any
     // codec deviation (wrong raster, wrong format name) hash-fails.
@@ -179,6 +242,42 @@ object SourceQueries {
         "SELECT doc_id, CASE WHEN trim(text) = '' THEN 'tail:' || source " +
         "ELSE text || chr(10) || chr(10) || 'tail:' || source END AS extracted " +
         "FROM documents) ORDER BY doc_id"),
+    // arithmetic replay of the whole smart lineage: one-page PDF
+    // round-trip (verbatim text, blank page dropped), P2 page model
+    // (total_pages / per-page images from md5 hex), per-page OCR grid
+    // (h//8 lines of "line i: g<gray>", pages joined "\n\n"), the
+    // requires_ocr gate, then the fixed-size chunk replay
+    "smart_scanned_pdf" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, n_chars, text, md5(text) AS hex,
+        |    1 + ascii(substr(md5(text), 4, 1)) % 4 AS total_pages,
+        |    CASE WHEN trim(text) = '' THEN '' ELSE text END AS extracted
+        |  FROM documents),
+        |pages AS (
+        |  SELECT b.doc_id, p.i AS page,
+        |    ascii(substr(b.hex, CAST(p.i + 5 AS BIGINT), 1)) % 3 AS page_images,
+        |    8 + (b.n_chars + p.i) % 16 AS h,
+        |    (b.doc_id + p.i) % 256 AS g
+        |  FROM base b, unnest(range(b.total_pages)) AS p(i)),
+        |ocr AS (
+        |  SELECT doc_id, max(page_images) > 0 AS has_images,
+        |    string_agg('line 0: g' || g ||
+        |      CASE WHEN h // 8 = 2 THEN chr(10) || 'line 1: g' || g ELSE '' END,
+        |      chr(10) || chr(10) ORDER BY page) AS ocr_text
+        |  FROM pages GROUP BY doc_id),
+        |planned AS (
+        |  SELECT b.doc_id,
+        |    (length(trim(b.text)) < 100 AND o.has_images) AS requires_ocr,
+        |    CASE WHEN NOT (length(trim(b.text)) < 100 AND o.has_images) THEN b.extracted
+        |         WHEN b.extracted = '' THEN o.ocr_text
+        |         ELSE b.extracted || chr(10) || chr(10) || o.ocr_text END AS combined
+        |  FROM base b JOIN ocr o USING (doc_id))
+        |SELECT d.doc_id, d.requires_ocr, s.start // 160 AS chunk_index,
+        |  substr(d.combined, s.start + 1, 200) AS chunk_text,
+        |  length(substr(d.combined, s.start + 1, 200)) AS character_count
+        |FROM planned d, unnest(generate_series(0, length(d.combined) - 1, 160)) AS s(start)
+        |WHERE length(trim(d.combined)) > 0
+        |ORDER BY doc_id, chunk_index""".stripMargin),
     "s6_image_meta" ->
       ("SELECT doc_id, 'png' AS format, " +
         "CAST(8 + doc_id % 16 AS INT) AS width, " +

@@ -146,19 +146,35 @@ object VectorQueries {
     // comparison is O(block²), acceptable only while blocks stay small
     // and bounded — this is NOT the 100 TB path. The scale path is
     // embed_neardup_lsh (AnnQueries): hyperplane-LSH buckets bound the
-    // block size by construction.
-    "embed_neardup" -> ((s, d) => {
-      val e = emb(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("label"), col("id_a"), col("id_b"),
-          VectorOps.cosineScore(col("emb_a"), col("emb_b")).as("cos"))
-        .filter(col("cos") >= 0.3)
-        .orderBy("id_a", "id_b")
-    })
+    // block size by construction. The block-size guard below makes the
+    // bound LOUD: reuse at a scale where any label block exceeds it
+    // fails the job instead of silently going quadratic.
+    "embed_neardup" -> ((s, d) => embedNearDupDemo(emb(s, d)))
   )
+
+  /** The embed_neardup demo body with its guard exposed for testing.
+    * `maxBlock` bounds the per-label block size; the tiny per-label
+    * count aggregate is broadcast back onto the pair join and checked
+    * row-wise by `assert_true` inside a filter (a filter, not an unused
+    * projection, so column pruning can't optimize the guard away).
+    */
+  def embedNearDupDemo(e: DataFrame, maxBlock: Int = 4096): DataFrame = {
+    val blockSizes = e.groupBy(col("label")).agg(count(lit(1)).as("_block_n"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("emb_b"))
+    a.join(broadcast(blockSizes), Seq("label"))
+      .filter(assert_true(col("_block_n") <= maxBlock,
+        concat(lit(s"embed_neardup is an O(block^2) DEMO: label block "),
+          col("label"), lit(s" has "), col("_block_n"),
+          lit(s" rows > bound $maxBlock — use embed_neardup_lsh at scale"))).isNull)
+      .drop("_block_n")
+      .join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        VectorOps.cosineScore(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy("id_a", "id_b")
+  }
 
   private def cos(a: String, b: String) = VectorSql.cosineScore(a, b)
 

@@ -54,7 +54,12 @@ object ImageCodec extends Serializable {
       val px = img.getRGB(0, 0)
       ImageMeta(fmt, img.getWidth, img.getHeight, px & 0xff)
     } catch {
-      case _: java.io.IOException | _: RuntimeException => ImageMeta("unknown", -1, -1, -1)
+      // Only the failure modes decoders actually throw for malformed
+      // bytes — IIOException/IOException for truncated or corrupt data,
+      // IllegalArgumentException for out-of-range decode parameters.
+      // Anything else (NPE, AIOOBE) is a codec BUG and must surface.
+      case _: java.io.IOException | _: IllegalArgumentException =>
+        ImageMeta("unknown", -1, -1, -1)
     } finally iis.close()
   }
 }

@@ -122,9 +122,12 @@ object PdfCodec extends Serializable {
   }
 
   // direct lengths only: `/Length 12 0 R` is an INDIRECT reference whose
-  // first number is an object id, not a byte count (negative lookahead
-  // rejects it); digit run capped at 18 so toLong can't overflow
-  private val LengthRe = "/Length\\s+(\\d{1,18})(?!\\s*\\d+\\s+R)".r
+  // first number is an object id, not a byte count. The `(?!\\d)` anchors
+  // the end of the digit run: without it the engine backtracks `\\d{1,18}`
+  // to a shorter prefix ("12" → "1") until the indirect-ref lookahead
+  // stops matching, extracting a bogus length from every multi-digit
+  // indirect reference (and silently truncating >18-digit runs).
+  private val LengthRe = "/Length\\s+(\\d{1,18})(?!\\d)(?!\\s*\\d+\\s+R)".r
 
   /** Page texts in stream order, non-empty pages joined "\n\n"
     * (pdfplumber contract, text_extraction.py:68-75).

@@ -55,6 +55,19 @@ class CodecHardeningSpec extends AnyFunSuite {
     assert(PdfCodec.extractText(pdf) == "indirect length text")
   }
 
+  test("multi-digit indirect /Length (12 0 R) is not backtracked into a bogus count") {
+    // An unanchored \d{1,18} backtracks '12' down to '1' until the
+    // indirect-ref lookahead stops matching, extracting length=1. The
+    // payload here is 8 bytes, so 'endstream' sits within the 8-byte
+    // sanity slack of the bogus 1-byte slice — only the (?!\d) anchor
+    // in LengthRe saves the text. ('/Length 5 0 R' above passes even
+    // without the anchor; this case is the real guard.)
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Length 12 0 R >> stream\nBT(ab)Tj\nendstream endobj\n%%EOF")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.extractText(pdf) == "ab")
+  }
+
   test("declared /Length that does not land on endstream falls back to the scan") {
     val payload = "BT (mis-declared) Tj ET"
     val pdf = ("%PDF-1.4\n" +
