@@ -237,6 +237,11 @@ object DedupQueries {
       // unrecoverable), but every round's relation is the near-dup
       // sliver (MEMORY_AND_DISK) and rounds are O(log diameter), so
       // retained state is bounded by sliver × rounds, not corpus.
+      // NOT pre-partitioned by src: measured at sf0.1 (PLANS.md round 4),
+      // repartition(src) before this checkpoint was flat-to-worse
+      // (5.6-6.1s → 6.1-6.6s warm) — the per-round groupBy(dst) reshuffles
+      // the joined relation anyway, so the preserved layout buys nothing
+      // and the extra exchange taxes the seed build.
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").localCheckpoint()
       var labels = edges.groupBy(col("src"))
