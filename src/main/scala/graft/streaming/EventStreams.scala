@@ -103,6 +103,25 @@ object EventStreams {
     * the batch pipeline per micro-batch via foreachBatch — the Spark
     * replacement for the reference's enqueue-per-file worker loop.
     * Returns the started query; caller awaits/stops it.
+    *
+    * Exactly-once at the sink: each micro-batch writes its own
+    * `batch_id=<n>` partition with DYNAMIC partition overwrite, not a
+    * blind append. Structured Streaming logs a batch's offsets to the
+    * WAL before invoking foreachBatch and commits after it returns, so
+    * a crash in between replays the SAME batch id with the SAME file
+    * slice on restart — the replay then overwrites its own partition
+    * instead of appending a duplicate copy. This makes the relay
+    * exactly-once in effect independently of the content-addressed
+    * point ids (T6), which remain the cross-run dedup key.
+    *
+    * `ledgerDir`, when set, lands the T2 stage-history relation
+    * ([[IngestPipeline.ledgerStages]]) the same way, so a restarted
+    * relay heals a torn points-written/ledger-missing state.
+    *
+    * `betweenSinks` is a failure-injection seam for restart specs,
+    * deliberately placed at the worst crash point — after the points
+    * sink committed but before the ledger sink — where a crash leaves
+    * multi-sink state torn. Production callers leave it a no-op.
     */
   def ingestRelay(
       spark: SparkSession,
@@ -110,18 +129,35 @@ object EventStreams {
       outputDir: String,
       checkpointDir: String,
       settings: PipelineSettings = PipelineSettings.default,
-      provider: EmbeddingProvider = new HashProjectionEmbedder(64)): StreamingQuery = {
+      provider: EmbeddingProvider = new HashProjectionEmbedder(64),
+      ledgerDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      betweenSinks: Long => Unit = _ => ()): StreamingQuery = {
     val schema = spark.read.parquet(inputDir).schema
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    reader
       .parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        IngestPipeline.run(batch, settings, provider)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outputDir)
+        writeBatchPartition(IngestPipeline.run(batch, settings, provider), batchId, outputDir)
+        betweenSinks(batchId)
+        ledgerDir.foreach { ld =>
+          writeBatchPartition(IngestPipeline.ledgerStages(batch, settings), batchId, ld)
+        }
       }
       .start()
   }
+
+  /** Idempotent micro-batch sink write: the batch's rows replace its own
+    * `batch_id` partition (dynamic overwrite touches no other partition),
+    * so foreachBatch replays after a mid-batch crash are harmless.
+    */
+  private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
 }

@@ -226,6 +226,72 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(result.select("point_id").distinct().count() == result.count())
   }
 
+  test("mid-stream crash + restart: exactly-once points, contiguous ledger (T2/T6)") {
+    // the round-3 verdict's restart proof: kill the relay MID-STREAM at
+    // the worst crash point (batch N's points sink committed, its ledger
+    // sink not yet run), restart from the checkpoint, and prove
+    //   (a) the replayed batch does not duplicate a single point id, and
+    //   (b) every document ends with its full 7-stage T2 history exactly
+    //       once — the torn state heals.
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val cp = s"$tmp/cp"; val led = s"$tmp/ledger"
+    def doc(id: Long, text: String) =
+      Seq((id, s"src$id", "en", text.length.toLong, text))
+        .toDF("doc_id", "source", "lang", "n_chars", "text")
+    doc(1L, "alpha beta gamma delta epsilon").write.mode("append").parquet(in)
+    doc(2L, "zeta eta theta iota kappa lambda").write.mode("append").parquet(in)
+    doc(3L, "mu nu xi omicron pi rho sigma tau").write.mode("append").parquet(in)
+
+    // run 1: one file per micro-batch; injected crash between batch 1's
+    // two sink writes — the stream dies with batch 1 points on disk but
+    // no batch 1 ledger rows (torn multi-sink state)
+    val q1 = EventStreams.ingestRelay(s, in, out, cp, ledgerDir = Some(led),
+      maxFilesPerTrigger = Some(1),
+      betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // collect torn-state counts EAGERLY — the restart below overwrites
+    // batch 1's files, so lazy reads of this snapshot would dangle
+    val tornPerDoc = s.read.parquet(out).groupBy("source_drive_file").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tornPerDoc.size == 2) // batches 0 and 1 landed points
+    assert(s.read.parquet(led).select("source_drive_file").distinct().count() == 1)
+
+    // run 2: same checkpoint, no chaos — batch 1 REPLAYS (offsets were
+    // WAL-logged but uncommitted), then batch 2 runs fresh
+    val q2 = EventStreams.ingestRelay(s, in, out, cp, ledgerDir = Some(led),
+      maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val points = s.read.parquet(out)
+    // (a) all three docs present; zero duplicate point ids despite the
+    // batch 1 replay — its partition was overwritten, not re-appended
+    assert(points.select("source_drive_file").distinct().count() == 3)
+    assert(points.select("point_id").distinct().count() == points.count())
+    // the replayed batch's doc kept exactly its pre-crash row count
+    val perDoc = points.groupBy("source_drive_file").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tornPerDoc.foreach { case (id, n) => assert(perDoc(id) == n) }
+
+    // (b) T2 continuity: every doc has stage_seq 0..6 exactly once,
+    // ending Completed at 100% — no gaps, no duplicated history
+    val ledger = s.read.parquet(led)
+    val stages = ledger.groupBy("source_drive_file")
+      .agg(count(lit(1)).as("n"), countDistinct(col("stage_seq")).as("d"),
+        max(col("progress_percent")).as("p"),
+        sum(when(col("status") === "Completed", 1).otherwise(0)).as("c"))
+      .collect()
+    assert(stages.length == 3)
+    stages.foreach { r =>
+      assert(r.getAs[Long]("n") == 7L && r.getAs[Long]("d") == 7L)
+      assert(r.getAs[Double]("p") == 100.0 && r.getAs[Long]("c") == 1L)
+    }
+  }
+
   test("ingestRelay: file-source replay produces idempotent point ids") {
     val s = spark
     import s.implicits._
