@@ -274,6 +274,58 @@ object CurationQueries {
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok"))
         .limit(20)
+    }),
+    // Per-doc keyword extraction: top-5 tokens by TF-IDF — the classic
+    // relevance weighting an indexer or near-dup explainer starts from.
+    // DF comes from a window over the (doc, tok) TF relation (one
+    // shuffle on tok, no separate join with a derived table); the
+    // corpus total is a one-row broadcast. Ranking orders by the
+    // ROUNDED score with a token tiebreak so the cut is deterministic
+    // and engine-exact (ln itself is cross-engine-safe — the BM25
+    // oracle already leans on it).
+    "tfidf_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("tok"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
+    }),
+    // Gopher's repetition rule family: the fraction of a doc's word
+    // trigrams that are repeat occurrences (1 − distinct/total). Counts
+    // stay exact integers until the final rounded division; docs too
+    // short for a single trigram report zero via the left join. The
+    // trigram generator is a native array transform (no UDF), so the
+    // whole lineage is scan → map-side explode → per-doc aggregate.
+    "dup_ngram_ratio" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+      val grams = docs.filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("gram"))
+      val agg = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("gram")).as("n_distinct"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(round((col("n_grams") - col("n_distinct")).cast("double")
+              / col("n_grams"), 6)))
+        .withColumn("flagged", col("dup_ratio") > 0.05)
+        .orderBy("doc_id")
     })
   )
 
@@ -382,6 +434,29 @@ object CurationQueries {
         s"SELECT lang, count(*) AS n_docs, " +
         s"CAST(sum(len(${graft.functions.TextSql.tokens("text")})) AS BIGINT) AS n_tokens, " +
         "CAST(sum(n_chars) AS BIGINT) AS n_chars, round(avg(n_chars), 6) AS avg_doc_chars " +
-        "FROM documents GROUP BY lang) ORDER BY lang")
+        "FROM documents GROUP BY lang) ORDER BY lang"),
+    "tfidf_topk" ->
+      (s"WITH t AS (SELECT doc_id, unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "x AS (SELECT doc_id, tok, tf, count(*) OVER (PARTITION BY tok) AS df, " +
+        "(SELECT count(*) FROM documents) AS n_docs FROM tf), " +
+        "sc AS (SELECT doc_id, tok, tf, df, " +
+        "round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf FROM x) " +
+        "SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM sc) " +
+        "WHERE rn <= 5 ORDER BY doc_id, tfidf DESC, tok"),
+    "dup_ngram_ratio" ->
+      (s"WITH tk AS (SELECT doc_id, ${graft.functions.TextSql.tokens("lower(text)")} AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram " +
+        "FROM tk WHERE len(toks) >= 3), " +
+        "a AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct FROM g GROUP BY 1) " +
+        "SELECT tk.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams, " +
+        "CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct, " +
+        "CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0 " +
+        "ELSE round(CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams, 6) END AS dup_ratio, " +
+        "CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN FALSE " +
+        "ELSE round(CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams, 6) > 0.05 END AS flagged " +
+        "FROM tk LEFT JOIN a ON tk.doc_id = a.doc_id ORDER BY tk.doc_id")
   )
 }
