@@ -53,4 +53,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("tfidf_topk: rank limit pushed below the window, corpus total broadcast") {
+    val p = finalPlan("tfidf_topk")
+    // WindowGroupLimit is the load-bearing piece at scale: only the
+    // per-doc top-5 survive the partial pass, so the final rank window
+    // never sees the full (doc, token) relation
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("dup_ngram_ratio: trigram explode stays map-side, no cartesian") {
+    val p = finalPlan("dup_ngram_ratio")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the trigram generator must be a native Generate (array transform +
+    // explode), not an RDD round-trip or UDF stage
+    assert(p.contains("Generate"), p.take(800))
+  }
 }
