@@ -177,6 +177,30 @@ object DedupQueries {
         .distinct()
         .orderBy("doc_a", "doc_b")
     }),
+    // Star-pattern LSH candidates — the linear-output form of
+    // dedup_minhash_lsh for duplication-heavy data. All-pairs bucket
+    // enumeration is quadratic in duplicate MULTIPLICITY (round-4 10x
+    // probe, PLANS.md: 10 identical copies per doc → 45 pairs per
+    // bucket, 16.6x runtime at 10x data); here each bucket contributes
+    // only (bucket-min → member) edges, O(bucket size), via a window
+    // min on the SAME shuffle that grouped the bucket — no self-join.
+    // Connected components over star edges equal those over all-pairs
+    // edges (co-members stay connected through the hub), so the
+    // downstream cluster step loses nothing; StarEquivalenceSpec proves
+    // it on the test corpus.
+    "dedup_minhash_star" -> ((s, d) => {
+      val bands = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // spread md5 work
+        .select(col("doc_id"),
+          posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+      bands
+        .withColumn("doc_a", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+        .filter(col("doc_id") =!= col("doc_a"))
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
     // Skew-hardened Jaccard: ubiquitous shingles (document frequency >
     // cap) are excluded from CANDIDATE GENERATION only — a hot shingle
     // at 100 TB otherwise materializes O(df²) pairs on one key. The
@@ -407,6 +431,16 @@ object DedupQueries {
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a " +
         "JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
         "ORDER BY doc_a, doc_b"),
+    "dedup_minhash_star" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shingleSqlRel)), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM sh, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4) " +
+        "SELECT DISTINCT hub AS doc_a, doc_id AS doc_b FROM (" +
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS hub FROM bd) " +
+        "WHERE doc_id <> hub ORDER BY doc_a, doc_b"),
     "dedup_jaccard_capped" ->
       (s"WITH sh AS ($shingleSqlRel), " +
         "rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 10), " +
