@@ -76,19 +76,21 @@ object Bench {
     var reruns = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       var best = timeOnce(spark, sfDir, fn, name)
-      if (best >= 0) {
-        val ref = medians.get(name)
-        var budget = 1 + MaxExtraReruns // unconditional best-of-2, then outlier retries
-        var runs = 0
-        while (budget > 0 && (runs == 0 || ref.exists(m => best > OutlierFactor * m))) {
-          reruns += 1
-          runs += 1
-          val t = timeOnce(spark, sfDir, fn, name)
-          if (t >= 0 && t < best) best = t
-          budget -= 1
-        }
+      val ref = medians.get(name)
+      var budget = 1 + MaxExtraReruns // unconditional best-of-2, then outlier retries
+      var runs = 0
+      // a failed first run spends the SAME rerun budget — a transient
+      // failure (e.g. contention-driven OOM) gets the retry every
+      // healthy query gets unconditionally, instead of recording a
+      // permanent -1 off one bad attempt
+      while (budget > 0 && (best < 0 || runs == 0 || ref.exists(m => best > OutlierFactor * m))) {
+        reruns += 1
+        runs += 1
+        val t = timeOnce(spark, sfDir, fn, name)
+        if (t >= 0 && (best < 0 || t < best)) best = t
+        budget -= 1
       }
-      name -> best // failures stay -1 so they can't masquerade as fast queries
+      name -> best // persistent failures stay -1 so they can't masquerade as fast queries
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
 /** Persisted incremental-dedup index: the 100 TB ingestion pattern that
-  * `dedup_incremental` (RelationalQueries-style inline derivation) only
-  * *describes*, made concrete as two parquet tables:
+  * `dedup_incremental` (inline derivation, same joins via
+  * [[dedupAgainst]] — one definition, two backings) only *describes*,
+  * made concrete as two parquet tables:
   *
   *   <dir>/fp     — distinct md5 content fingerprints of the accepted corpus
   *   <dir>/bands  — distinct (band, sig) minhash LSH band index rows
@@ -15,15 +16,23 @@ import graft.functions.TextOps
   * frappe_data_pipelines' backfill, api.py bulk path, generalized to
   * content identity): `dedupBatch` runs the incoming batch against the
   * stored index (one anti-join on fp, one left_semi on bands — both
-  * batch-sized equi-joins), then `accept` appends the survivors' fp and
+  * batch-sized equi-joins), then `accept` lands the survivors' fp and
   * band rows. No full-corpus recompute, no O(corpus²) self-join ever.
+  *
+  * Crash safety: `accept` writes each batch to its own `batch_id`
+  * partition with DYNAMIC partition overwrite (the same idempotent-sink
+  * shape as the streaming relay). A crash between the fp write and the
+  * bands write leaves a torn index, but retrying `accept` with the SAME
+  * batch id overwrites exactly its own partition on both tables — the
+  * retry heals the tear and can never double-append. Both tables carry
+  * the partition column; index readers join only on fp / (band, sig).
   *
   * Appends stay exactly equal to a from-scratch rebuild because accepted
   * rows are, by construction, disjoint from the stored index on both keys:
   * an accepted doc's fp was absent from fp (anti-join) and none of its
   * (band, sig) rows hit bands (semi-join produced no match). Within-batch
   * duplicates are collapsed by the per-batch `distinct()`.
-  * DedupIndexSpec asserts this equivalence end-to-end.
+  * DedupIndexSpec asserts equivalence and accept-retry idempotency.
   */
 object DedupIndex {
 
@@ -37,33 +46,50 @@ object DedupIndex {
       .select(posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       .distinct()
 
-  /** Build the index from an initial corpus. */
-  def init(docs: DataFrame, dir: String): Unit = {
-    fingerprints(docs).write.mode("overwrite").parquet(s"$dir/fp")
-    bandRows(docs).write.mode("overwrite").parquet(s"$dir/bands")
+  private def writeBatch(df: DataFrame, batchId: Long, path: String, full: Boolean): Unit = {
+    val w = df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+    (if (full) w else w.option("partitionOverwriteMode", "dynamic")).parquet(path)
   }
 
-  /** Dedup `incoming` against the stored index. Returns the accepted rows
-    * (all incoming columns plus `fp`): exact dupes removed by the fp
-    * anti-join, near-dups by the LSH band semi-join — the same two joins
-    * as the `dedup_incremental` query, but against parquet-backed tables.
+  /** Build the index from an initial corpus (batch 0; full overwrite). */
+  def init(docs: DataFrame, dir: String): Unit = {
+    writeBatch(fingerprints(docs), 0L, s"$dir/fp", full = true)
+    writeBatch(bandRows(docs), 0L, s"$dir/bands", full = true)
+  }
+
+  /** The incremental-dedup join pipeline itself, independent of how the
+    * existing-side index is backed: exact dupes fall to an anti-join on
+    * the content fingerprint, near-dups to a left_semi against the
+    * minhash LSH band index. `dedup_incremental` (inline, oracle-
+    * replayable) and [[dedupBatch]] (parquet-backed) are both this
+    * function — the single source of truth DedupIndexSpec pins.
+    * Returns the accepted rows (all incoming columns plus `fp`).
     */
-  def dedupBatch(spark: SparkSession, dir: String, incoming: DataFrame): DataFrame = {
-    val existingFp = spark.read.parquet(s"$dir/fp")
-    val existingBands = spark.read.parquet(s"$dir/bands")
+  def dedupAgainst(incoming: DataFrame, existingFp: DataFrame,
+                   existingBands: DataFrame): DataFrame = {
     val exactNew = incoming
       .withColumn("fp", md5(col("text").cast("binary")))
-      .join(existingFp, Seq("fp"), "left_anti")
+      .join(existingFp.select("fp"), Seq("fp"), "left_anti")
     val nearDupIds = exactNew
       .select(col("doc_id"), posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
-      .join(existingBands, Seq("band", "sig"), "left_semi")
+      .join(existingBands.select("band", "sig"), Seq("band", "sig"), "left_semi")
       .select(col("doc_id")).distinct()
     exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
   }
 
-  /** Append an ACCEPTED batch (output of `dedupBatch`) to the index. */
-  def accept(accepted: DataFrame, dir: String): Unit = {
-    fingerprints(accepted).write.mode("append").parquet(s"$dir/fp")
-    bandRows(accepted).write.mode("append").parquet(s"$dir/bands")
+  /** Dedup `incoming` against the stored index. */
+  def dedupBatch(spark: SparkSession, dir: String, incoming: DataFrame): DataFrame =
+    dedupAgainst(incoming,
+      spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands"))
+
+  /** Land an ACCEPTED batch (output of `dedupBatch`) in the index under
+    * its own `batch_id` partition. Idempotent per batch id: a retry
+    * after a crash overwrites its own partition instead of appending a
+    * second copy.
+    */
+  def accept(accepted: DataFrame, dir: String, batchId: Long): Unit = {
+    writeBatch(fingerprints(accepted), batchId, s"$dir/fp", full = false)
+    writeBatch(bandRows(accepted), batchId, s"$dir/bands", full = false)
   }
 }

@@ -357,26 +357,16 @@ object DedupQueries {
     // every accepted batch), so each increment costs one batch-sized
     // map stage plus two index equi-joins — no full-corpus recompute,
     // no O(corpus²) anything. Derived inline here from one table so the
-    // oracle can replay it.
+    // oracle can replay it; the join pipeline itself is
+    // DedupIndex.dedupAgainst — the SAME definition the parquet-backed
+    // index path runs, so the two forms cannot drift (DedupIndexSpec
+    // pins persisted == inline on top).
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val incoming = docs.filter(col("doc_id") % 5 === 0)
       val existing = docs.filter(col("doc_id") % 5 =!= 0)
-      val existingFp = existing
-        .select(md5(col("text").cast("binary")).as("fp")).distinct()
-      val exactNew = incoming
-        .withColumn("fp", md5(col("text").cast("binary")))
-        .join(existingFp, Seq("fp"), "left_anti")
-      val existingBands = existing
-        .select(posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
-        .distinct()
-      val incomingBands = exactNew
-        .select(col("doc_id"), posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
-      val nearDupIds = incomingBands
-        .join(existingBands, Seq("band", "sig"), "left_semi")
-        .select(col("doc_id")).distinct()
-      exactNew
-        .join(nearDupIds, Seq("doc_id"), "left_anti")
+      DedupIndex.dedupAgainst(incoming,
+        DedupIndex.fingerprints(existing), DedupIndex.bandRows(existing))
         .select(col("doc_id"), col("fp"))
         .orderBy("doc_id")
     }),

@@ -54,11 +54,16 @@ object ImageCodec extends Serializable {
       val px = img.getRGB(0, 0)
       ImageMeta(fmt, img.getWidth, img.getHeight, px & 0xff)
     } catch {
-      // Only the failure modes decoders actually throw for malformed
-      // bytes — IIOException/IOException for truncated or corrupt data,
-      // IllegalArgumentException for out-of-range decode parameters.
-      // Anything else (NPE, AIOOBE) is a codec BUG and must surface.
-      case _: java.io.IOException | _: IllegalArgumentException =>
+      // Decode failures must stay row-local — one bad upload cannot
+      // fail a whole ingest job — and ImageIO's readers throw more than
+      // IIOException on malformed bytes (index/negative-size errors on
+      // fuzzed dimension fields, CMMException on corrupt ICC profiles).
+      // So degrade on ANY non-fatal throwable, but log its class first:
+      // a genuine codec bug stays visible in the executor log instead
+      // of silently becoming the "unknown" sentinel.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[image-codec] decode degraded to sentinel: ${e.getClass.getName}: ${e.getMessage}")
         ImageMeta("unknown", -1, -1, -1)
     } finally iis.close()
   }

@@ -153,6 +153,11 @@ object EventStreams {
   /** Idempotent micro-batch sink write: the batch's rows replace its own
     * `batch_id` partition (dynamic overwrite touches no other partition),
     * so foreachBatch replays after a mid-batch crash are harmless.
+    *
+    * Read-back contract: `batch_id` is a PARTITION column — partition
+    * type inference reads it as an integer at the END of the schema
+    * (not the long this writer stamps). Consumers should select it by
+    * name and cast, never by position or assumed long type.
     */
   private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
     df.withColumn("batch_id", lit(batchId))

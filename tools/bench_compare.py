@@ -23,8 +23,11 @@ GATE_FACTOR = 2.0
 def gate(runs, ib):
     b = runs[ib]
     ib_abs = ib if ib >= 0 else len(runs) + ib
+    # default the sf field SYMMETRICALLY: rows written before the "sf"
+    # field existed were all sf0.1 runs, on both sides of the comparison
+    default_sf = "/root/testdata/sf0.1"
     peers = [r for i, r in enumerate(runs)
-             if i != ib_abs and r.get("sf", "/root/testdata/sf0.1") == b.get("sf")]
+             if i != ib_abs and r.get("sf", default_sf) == b.get("sf", default_sf)]
     if not peers:
         print("[gate] no same-sf history to gate against — pass")
         return 0
