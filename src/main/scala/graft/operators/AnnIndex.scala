@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Persisted IVF index: the stored-table form of the `ann_ivf_topk`
+  * coarse-quantizer search, following the same discipline as
+  * [[DedupIndex]] — ONE definition of each pipeline stage backs both the
+  * inline (oracle-replayable) query and the parquet-backed path, and
+  * batch landing is crash-safe.
+  *
+  *   <dir>/centroids — the coarse quantizer (c_id, cv), tiny, broadcast
+  *   <dir>/cells     — the inverted file: (vec_id, embedding, cell)
+  *
+  * At 100 TB the inverted file is the corpus partitioned by cell id;
+  * queries broadcast their nprobe probe list and score ONLY the probed
+  * cells' rows — candidate volume is corpus/cells × nprobe per query,
+  * never the full corpus. New vectors are assigned against the STORED
+  * centroids (one broadcast cross join over the batch — batch-sized
+  * work) and landed under their own `batch_id` partition with dynamic
+  * overwrite, so a crashed or retried `addBatch` overwrites its own
+  * partition instead of double-appending (same idempotent-sink shape as
+  * the streaming relay and DedupIndex). AnnIndexSpec pins persisted ==
+  * inline, add == rebuild, and retry idempotency.
+  */
+object AnnIndex {
+
+  /** Deterministic coarse quantizer: 16 corpus vectors as centroids
+    * (the test-scale stand-in for trained centroids; at scale this
+    * table is produced by a k-means job and stays just as tiny).
+    */
+  def centroids(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id").between(100, 115))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+
+  /** Nearest-centroid assignment — broadcast cross join + partial
+    * `max(struct(cos, -c_id))` that collapses to ONE row per vector
+    * before any shuffle. Ties on the rounded cosine break toward the
+    * smaller centroid id.
+    */
+  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct(VectorOps.cosineScore(col("embedding"), col("cv")).as("c_cos"),
+          (-col("c_id")).as("neg_c")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), max(col("cand")).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("cell"))
+
+  /** Each query's nprobe closest cells (q_id, qv, cell). */
+  def probe(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        VectorOps.cosineScore(col("qv"), col("cv")).as("c_cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+  }
+
+  /** Score the probed cells only: inverted-file join on cell, exact
+    * cosine inside, per-query top-k.
+    */
+  def searchAssigned(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
+  }
+
+  private def writeBatch(df: DataFrame, batchId: Long, path: String, full: Boolean): Unit = {
+    val w = df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+    (if (full) w else w.option("partitionOverwriteMode", "dynamic")).parquet(path)
+  }
+
+  /** Build the index from an initial corpus (batch 0; full overwrite). */
+  def init(embeddings: DataFrame, dir: String): Unit = {
+    val cents = centroids(embeddings)
+    writeBatch(cents, 0L, s"$dir/centroids", full = true)
+    writeBatch(assign(embeddings, cents), 0L, s"$dir/cells", full = true)
+  }
+
+  /** Assign a batch of NEW vectors against the STORED centroids and land
+    * it under its own partition. Idempotent per batch id: a retry after
+    * a crash overwrites its own partition, never double-appends.
+    */
+  def addBatch(newVectors: DataFrame, dir: String, batchId: Long)(implicit spark: SparkSession): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
+    writeBatch(assign(newVectors, cents), batchId, s"$dir/cells", full = false)
+  }
+
+  /** IVF search against the stored index. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             nprobe: Int, k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
+    val assigned = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
+    searchAssigned(assigned, probe(queries, cents, nprobe), k)
+  }
+}

@@ -157,34 +157,17 @@ object AnnQueries {
     // touches only those cells' vectors (the inverted-file pruning).
     // Ties on the rounded assignment cosine break toward the smaller
     // centroid id in BOTH engines.
+    // Inline here from one table so the oracle can replay it; every
+    // stage (centroids, assignment, probing, in-cell scoring) is the
+    // SAME definition the parquet-backed AnnIndex runs, so the two
+    // forms cannot drift (AnnIndexSpec pins persisted == inline).
     "ann_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"),
-          struct(VectorOps.cosineScore(col("embedding"), col("cv")).as("c_cos"),
-            (-col("c_id")).as("neg_c")).as("cand"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"), max(col("cand")).as("best"))
-        .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("cell"))
+      val cents = AnnIndex.centroids(e)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
-      val probes = queries.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("qv"), col("c_id"),
-          VectorOps.cosineScore(col("qv"), col("cv")).as("c_cos"))
-        .withColumn("rnk", row_number().over(wProbe))
-        .filter(col("rnk") <= 2)
-        .select(col("q_id"), col("qv"), col("c_id").as("cell"))
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
+      AnnIndex.searchAssigned(
+        AnnIndex.assign(e, cents), AnnIndex.probe(queries, cents, nprobe = 2), k = 3)
         .orderBy("q_id", "rnk")
     }),
     // Hybrid retrieval: BM25(k1=1.2, b=0.75) over fixed query terms +

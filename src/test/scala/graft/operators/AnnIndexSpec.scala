@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF index pinned to the inline `ann_ivf_topk` query:
+  *   1. searching the parquet-backed index returns exactly the inline
+  *      query's result;
+  *   2. `addBatch` over new vectors leaves the inverted file identical
+  *      (as a multiset) to a from-scratch rebuild's — and re-running the
+  *      same addBatch (the crash-retry path) changes nothing;
+  *   3. search over the grown index equals search over a rebuilt one.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString(" "))
+
+  private def assertSameTable(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(sortedRows(a) == sortedRows(b), s"$what differ")
+
+  private def cells(dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
+
+  test("persisted IVF search == inline ann_ivf_topk; addBatch == rebuild; retry idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    val e = Tables.embeddings(spark, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+    // 1. persisted == inline (the oracled query)
+    AnnIndex.init(e, dir)
+    assertSameTable(
+      AnnIndex.search(spark, dir, queries, nprobe = 2, k = 3).orderBy("q_id", "rnk"),
+      graft.SparkEntry.queries("ann_ivf_topk")(spark, d),
+      "persisted vs inline IVF top-k")
+
+    // 2. growing the index by a batch == rebuilding over the grown
+    //    corpus, and the landing is retry-idempotent. The base corpus
+    //    keeps the centroid vectors (100-115) so stored centroids match
+    //    the rebuilt quantizer.
+    val base = e.filter(col("vec_id") % 7 =!= 3 || col("vec_id").between(100, 115))
+    val batch = e.filter(col("vec_id") % 7 === 3 && !col("vec_id").between(100, 115))
+    val growDir = java.nio.file.Files.createTempDirectory("graft-ann-grow").toString
+    AnnIndex.init(base, growDir)
+    AnnIndex.addBatch(batch, growDir, batchId = 1L)
+    AnnIndex.addBatch(batch, growDir, batchId = 1L) // simulated crash-retry
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("graft-ann-rebuild").toString
+    AnnIndex.init(e, rebuiltDir)
+    assertSameTable(cells(growDir), cells(rebuiltDir), "grown vs rebuilt inverted file")
+
+    // 3. search over grown == search over rebuilt
+    assertSameTable(
+      AnnIndex.search(spark, growDir, queries, nprobe = 2, k = 3),
+      AnnIndex.search(spark, rebuiltDir, queries, nprobe = 2, k = 3),
+      "search results (grown vs rebuilt)")
+    assert(batch.count() > 0)
+  }
+}
