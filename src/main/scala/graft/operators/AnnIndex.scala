@@ -74,17 +74,29 @@ object AnnIndex {
       .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
   }
 
-  private def writeBatch(df: DataFrame, batchId: Long, path: String, full: Boolean): Unit = {
+  private def writeBatch(df: DataFrame, batchId: Long, path: String, full: Boolean,
+                         extraPartitionCols: Seq[String] = Nil): Unit = {
     val w = df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id")
+      .write.mode("overwrite").partitionBy("batch_id" +: extraPartitionCols: _*)
     (if (full) w else w.option("partitionOverwriteMode", "dynamic")).parquet(path)
   }
 
-  /** Build the index from an initial corpus (batch 0; full overwrite). */
+  /** Build the index from an initial corpus (batch 0; full overwrite).
+    *
+    * The inverted file is additionally PARTITIONED BY `cell`: a search
+    * joins it with the (broadcast) probe list on `cell`, so Spark's
+    * dynamic partition pruning restricts the scan to the probed cells'
+    * directories — at 100 TB the query reads corpus/cells × nprobe
+    * bytes, not the table (AnnIndexSpec pins the dynamicpruning
+    * expression in the plan). Retry semantics are unchanged: dynamic
+    * overwrite replaces exactly the (batch_id, cell) leaves the retry
+    * rewrites.
+    */
   def init(embeddings: DataFrame, dir: String): Unit = {
     val cents = centroids(embeddings)
     writeBatch(cents, 0L, s"$dir/centroids", full = true)
-    writeBatch(assign(embeddings, cents), 0L, s"$dir/cells", full = true)
+    writeBatch(assign(embeddings, cents), 0L, s"$dir/cells", full = true,
+      extraPartitionCols = Seq("cell"))
   }
 
   /** Assign a batch of NEW vectors against the STORED centroids and land
@@ -93,7 +105,8 @@ object AnnIndex {
     */
   def addBatch(newVectors: DataFrame, dir: String, batchId: Long)(implicit spark: SparkSession): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
-    writeBatch(assign(newVectors, cents), batchId, s"$dir/cells", full = false)
+    writeBatch(assign(newVectors, cents), batchId, s"$dir/cells", full = false,
+      extraPartitionCols = Seq("cell"))
   }
 
   /** IVF search against the stored index. */

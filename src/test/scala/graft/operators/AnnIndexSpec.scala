@@ -61,4 +61,20 @@ class AnnIndexSpec extends AnyFunSuite {
       "search results (grown vs rebuilt)")
     assert(batch.count() > 0)
   }
+
+  test("search scan is dynamically pruned to the probed cells") {
+    // the inverted file is partitioned by cell; the probe join must
+    // plan as dynamic partition pruning so a search reads only the
+    // nprobe probed cells' directories, not the whole table — THE
+    // property that makes the stored IVF form pay at 100 TB
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-dpp").toString
+    val e = Tables.embeddings(spark, d)
+    AnnIndex.init(e, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val res = AnnIndex.search(spark, dir, queries, nprobe = 2, k = 3)
+    res.collect() // settle AQE on the final plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(1200))
+  }
 }
