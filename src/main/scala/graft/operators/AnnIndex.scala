@@ -74,28 +74,26 @@ object AnnIndex {
       .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
   }
 
-  private def writeBatch(df: DataFrame, batchId: Long, path: String, full: Boolean,
-                         extraPartitionCols: Seq[String] = Nil): Unit = {
-    val w = df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id" +: extraPartitionCols: _*)
-    (if (full) w else w.option("partitionOverwriteMode", "dynamic")).parquet(path)
-  }
-
-  /** Build the index from an initial corpus (batch 0; full overwrite).
+  /** Build the index from an initial corpus (batch 0; full overwrite via
+    * [[graft.BatchSink]], which pins STATIC overwrite so a rebuild can
+    * never leave stale incremental partitions behind).
+    *
+    * `quantizer` is the seam for a TRAINED coarse quantizer (a k-means
+    * job's (c_id, cv) table at scale); it defaults to the deterministic
+    * test-scale stand-in so the oracle path stays replayable.
     *
     * The inverted file is additionally PARTITIONED BY `cell`: a search
     * joins it with the (broadcast) probe list on `cell`, so Spark's
     * dynamic partition pruning restricts the scan to the probed cells'
     * directories — at 100 TB the query reads corpus/cells × nprobe
     * bytes, not the table (AnnIndexSpec pins the dynamicpruning
-    * expression in the plan). Retry semantics are unchanged: dynamic
-    * overwrite replaces exactly the (batch_id, cell) leaves the retry
-    * rewrites.
+    * expression in the plan).
     */
-  def init(embeddings: DataFrame, dir: String): Unit = {
-    val cents = centroids(embeddings)
-    writeBatch(cents, 0L, s"$dir/centroids", full = true)
-    writeBatch(assign(embeddings, cents), 0L, s"$dir/cells", full = true,
+  def init(embeddings: DataFrame, dir: String,
+           quantizer: Option[DataFrame] = None): Unit = {
+    val cents = quantizer.getOrElse(centroids(embeddings))
+    graft.BatchSink.writeBatch(cents, 0L, s"$dir/centroids", full = true)
+    graft.BatchSink.writeBatch(assign(embeddings, cents), 0L, s"$dir/cells", full = true,
       extraPartitionCols = Seq("cell"))
   }
 
@@ -103,9 +101,9 @@ object AnnIndex {
     * it under its own partition. Idempotent per batch id: a retry after
     * a crash overwrites its own partition, never double-appends.
     */
-  def addBatch(newVectors: DataFrame, dir: String, batchId: Long)(implicit spark: SparkSession): Unit = {
+  def addBatch(spark: SparkSession, newVectors: DataFrame, dir: String, batchId: Long): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
-    writeBatch(assign(newVectors, cents), batchId, s"$dir/cells", full = false,
+    graft.BatchSink.writeBatch(assign(newVectors, cents), batchId, s"$dir/cells", full = false,
       extraPartitionCols = Seq("cell"))
   }
 

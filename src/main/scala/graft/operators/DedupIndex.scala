@@ -46,16 +46,13 @@ object DedupIndex {
       .select(posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       .distinct()
 
-  private def writeBatch(df: DataFrame, batchId: Long, path: String, full: Boolean): Unit = {
-    val w = df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id")
-    (if (full) w else w.option("partitionOverwriteMode", "dynamic")).parquet(path)
-  }
-
-  /** Build the index from an initial corpus (batch 0; full overwrite). */
+  /** Build the index from an initial corpus (batch 0; full overwrite via
+    * [[graft.BatchSink]], which pins STATIC overwrite so a rebuild can
+    * never leave stale incremental partitions behind).
+    */
   def init(docs: DataFrame, dir: String): Unit = {
-    writeBatch(fingerprints(docs), 0L, s"$dir/fp", full = true)
-    writeBatch(bandRows(docs), 0L, s"$dir/bands", full = true)
+    graft.BatchSink.writeBatch(fingerprints(docs), 0L, s"$dir/fp", full = true)
+    graft.BatchSink.writeBatch(bandRows(docs), 0L, s"$dir/bands", full = true)
   }
 
   /** The incremental-dedup join pipeline itself, independent of how the
@@ -89,7 +86,7 @@ object DedupIndex {
     * second copy.
     */
   def accept(accepted: DataFrame, dir: String, batchId: Long): Unit = {
-    writeBatch(fingerprints(accepted), batchId, s"$dir/fp", full = false)
-    writeBatch(bandRows(accepted), batchId, s"$dir/bands", full = false)
+    graft.BatchSink.writeBatch(fingerprints(accepted), batchId, s"$dir/fp", full = false)
+    graft.BatchSink.writeBatch(bandRows(accepted), batchId, s"$dir/bands", full = false)
   }
 }

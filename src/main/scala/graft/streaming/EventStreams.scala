@@ -150,9 +150,10 @@ object EventStreams {
       .start()
   }
 
-  /** Idempotent micro-batch sink write: the batch's rows replace its own
-    * `batch_id` partition (dynamic overwrite touches no other partition),
-    * so foreachBatch replays after a mid-batch crash are harmless.
+  /** Idempotent micro-batch sink write (delegates to [[graft.BatchSink]]
+    * — the one shared definition of the crash-safe batch-partition
+    * writer): the batch's rows replace its own `batch_id` partition, so
+    * foreachBatch replays after a mid-batch crash are harmless.
     *
     * Read-back contract: `batch_id` is a PARTITION column — partition
     * type inference reads it as an integer at the END of the schema
@@ -160,9 +161,5 @@ object EventStreams {
     * name and cast, never by position or assumed long type.
     */
   private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(dir)
+    graft.BatchSink.writeBatch(df, batchId, dir, full = false)
 }

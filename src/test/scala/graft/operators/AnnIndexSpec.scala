@@ -15,14 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *   3. search over the grown index equals search over a rebuilt one.
   */
 class AnnIndexSpec extends AnyFunSuite {
-  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import TableAssertions.assertSameTable
+  private lazy val spark = SparkTestSession.spark
   private val d = "/root/testdata/sf0.001"
-
-  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
-    df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString(" "))
-
-  private def assertSameTable(a: DataFrame, b: DataFrame, what: String): Unit =
-    assert(sortedRows(a) == sortedRows(b), s"$what differ")
 
   private def cells(dir: String): DataFrame =
     spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
@@ -48,8 +43,8 @@ class AnnIndexSpec extends AnyFunSuite {
     val batch = e.filter(col("vec_id") % 7 === 3 && !col("vec_id").between(100, 115))
     val growDir = java.nio.file.Files.createTempDirectory("graft-ann-grow").toString
     AnnIndex.init(base, growDir)
-    AnnIndex.addBatch(batch, growDir, batchId = 1L)
-    AnnIndex.addBatch(batch, growDir, batchId = 1L) // simulated crash-retry
+    AnnIndex.addBatch(spark, batch, growDir, batchId = 1L)
+    AnnIndex.addBatch(spark, batch, growDir, batchId = 1L) // simulated crash-retry
     val rebuiltDir = java.nio.file.Files.createTempDirectory("graft-ann-rebuild").toString
     AnnIndex.init(e, rebuiltDir)
     assertSameTable(cells(growDir), cells(rebuiltDir), "grown vs rebuilt inverted file")
