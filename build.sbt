@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Bench's contract is that its JSON line is the LAST stdout line,
+// unprefixed; two sbt defaults break that for a parse-the-last-line
+// consumer (BENCH_r01..r04 all parsed:null):
+//  - the "[success] Total time: ..." epilogue trails the JSON;
+//  - the forked child's stdout is re-logged with an "[info] " prefix.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
