@@ -35,6 +35,59 @@ object AnnIndex {
     embeddings.filter(col("vec_id").between(100, 115))
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
 
+  /** TRAINED coarse quantizer: deterministic Lloyd's k-means over the
+    * embedding column, the drop-in for [[init]]'s `quantizer` seam.
+    * Returns the tiny (c_id, cv) table.
+    *
+    * Same no-`rand()` discipline as CurationQueries: the seed set is
+    * the k vectors with the smallest `xxhash64(vec_id)` (a
+    * hash-deterministic pseudo-random sample — stable across runs,
+    * partitionings and cluster sizes). Each of the fixed `iters`
+    * rounds assigns every vector to its nearest centroid with the
+    * SAME broadcast rounded-cosine argmax as [[assign]] (training and
+    * serving can never disagree on the metric or tie-break), then
+    * recomputes each cell's centroid as the L2-normalized
+    * element-wise mean; a cell that loses all members keeps its
+    * previous centroid, so k never silently shrinks.
+    *
+    * Scale shape: assignment is map-side (k×dim broadcast, one row
+    * out per vector before any shuffle); the update shuffles only
+    * (cell, pos) partial means — k·dim rows per round, independent of
+    * corpus size. Rounds materialize via `localCheckpoint` (flat
+    * lineage, one job per round, centroids never leave the cluster —
+    * no driver collect). At 100 TB one trains on a hash-sampled slice
+    * (`filter(pmod(xxhash64(id), m) === 0)`); the job shape is
+    * unchanged.
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    val hashOrd = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cents = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select((row_number().over(hashOrd) - 1).cast("long").as("c_id"),
+        col("embedding").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = assign(embeddings, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("c_id"),
+          transform(col("pm"), p => p.getField("m")).as("mv"))
+      val normed = means
+        .withColumn("n", sqrt(VectorOps.norm2(col("mv"))))
+        .select(col("c_id"),
+          when(col("n") > 0, transform(col("mv"), v => (v / col("n")).cast("float")))
+            .otherwise(transform(col("mv"), v => v.cast("float"))).as("cv_new"))
+      cents = cents.join(normed, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Nearest-centroid assignment — broadcast cross join + partial
     * `max(struct(cos, -c_id))` that collapses to ONE row per vector
     * before any shuffle. Ties on the rounded cosine break toward the
