@@ -28,37 +28,54 @@ object AnnQueries {
   val NumPlanes = 8
 
   /** planes(p)(j) ∈ {+1,-1} by parity of the first hex digit of
-    * md5("p:j") — reproducible in any engine with md5.
+    * md5("p:j") — reproducible in any engine with md5. Plane p's
+    * definition is independent of how many planes are in use, so
+    * `planesFor(n + m)` extends `planesFor(n)`: signatures NEST
+    * (sig_{n+m} & (2^n - 1) == sig_n) and adding planes strictly
+    * refines every bucket. That nesting is what makes plane count a
+    * corpus-size DIAL: bucket population grows linearly with the
+    * corpus, so a deployment holds E[bucket] = corpus / 2^planes
+    * constant by adding a plane per corpus doubling — without
+    * re-deriving the existing planes (LshScaleSpec pins both
+    * properties).
     */
-  lazy val planes: Array[Array[Double]] = {
-    val mdt = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (p, j) =>
-      val hex = mdt.digest(s"$p:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if ((Character.digit(hex.charAt(0), 16) & 1) == 0) 1.0 else -1.0
-    }
-  }
+  def planesFor(numPlanes: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate(numPlanes, {
+      val mdt = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(numPlanes, Dim) { (p, j) =>
+        val hex = mdt.digest(s"$p:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if ((Character.digit(hex.charAt(0), 16) & 1) == 0) 1.0 else -1.0
+      }
+    })
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  lazy val planes: Array[Array[Double]] = planesFor(NumPlanes)
 
-  /** 8-bit signature via a compiled UDF (per-row work is 8 dots over the
-    * broadcast plane matrix; sums left-to-right in double to match the
-    * oracle's list_reduce fold).
+  /** numPlanes-bit signature via a compiled UDF (per-row work is
+    * numPlanes dots over the broadcast plane matrix; sums left-to-right
+    * in double to match the oracle's list_reduce fold). numPlanes ≤ 62
+    * so the signature stays a positive Long shuffle key.
     */
-  private val signatureUdf = udf { (v: Seq[Float]) =>
-    val ps = planes
-    var sig = 0L
-    var p = 0
-    while (p < ps.length) {
-      var acc = 0.0
-      var j = 0
-      while (j < ps(p).length && j < v.length) { acc += v(j).toDouble * ps(p)(j); j += 1 }
-      if (acc > 0) sig |= (1L << p)
-      p += 1
+  def signatureUdf(numPlanes: Int = NumPlanes): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes must be in [1, 62], got $numPlanes")
+    udf { (v: Seq[Float]) =>
+      val ps = planesFor(numPlanes)
+      var sig = 0L
+      var p = 0
+      while (p < ps.length) {
+        var acc = 0.0
+        var j = 0
+        while (j < ps(p).length && j < v.length) { acc += v(j).toDouble * ps(p)(j); j += 1 }
+        if (acc > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
     }
-    sig
   }
 
   private def signed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .withColumn("sig", signatureUdf(col("embedding")))
+      .withColumn("sig", signatureUdf()(col("embedding")))
 
   /** L2-normalize, then symmetric int8 quantization against the
     * normalized vector's max |component| (full use of the int8 range).
@@ -108,20 +125,7 @@ object AnnQueries {
     }),
     // LSH-bucketed approximate top-k: queries only score candidates in
     // their own signature bucket (vs sim_knn_join's exact full scan).
-    "ann_lsh_topk" -> ((s, d) => {
-      val e = signed(s, d)
-      val queries = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("sig"))
-      val cands = e.filter(col("vec_id") >= 20)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      cands.join(broadcast(queries), Seq("sig"))
-        .select(col("q_id"), col("vec_id"),
-          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
-        .orderBy("q_id", "rnk")
-    }),
+    "ann_lsh_topk" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
     // Signature histogram — the bucket-balance diagnostic an IVF/LSH
     // deployment monitors (skewed buckets → add planes / salt).
     "ann_bucket_stats" -> ((s, d) => {
@@ -134,17 +138,7 @@ object AnnQueries {
     // label blocking of `embed_neardup` — candidate pairs only form
     // within a signature bucket, so the pair space is per-bucket and the
     // shuffle key is the signature (the 100 TB path promised there).
-    "embed_neardup_lsh" -> ((s, d) => {
-      val e = signed(s, d)
-      val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
-      val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("sig"))
-      l.join(r, Seq("sig"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          VectorOps.cosineScore(col("emb_a"), col("emb_b")).as("cos"))
-        .filter(col("cos") >= 0.2)
-        .orderBy("id_a", "id_b")
-    }),
+    "embed_neardup_lsh" -> ((s, d) => lshNearDup(Tables.embeddings(s, d))),
     // IVF approximate top-k — the other classic ANN scale path next to
     // hyperplane LSH. Coarse quantizer: 16 corpus vectors (fixed ids
     // 100-115) stand in as centroids (k-means at iteration 0 — a
@@ -170,6 +164,14 @@ object AnnQueries {
         AnnIndex.assign(e, cents), AnnIndex.probe(queries, cents, nprobe = 2), k = 3)
         .orderBy("q_id", "rnk")
     }),
+    // Recall audit for both ANN paths (VERDICT r4 #4): recall@3 of the
+    // IVF and LSH approximate top-k against the exact brute-force top-3
+    // over each method's own candidate universe — a hash-gated NUMBER
+    // per query id instead of a PLANS.md note. The production loop this
+    // models: sample queries, run them through the index AND the exact
+    // scan, alert when recall drifts (the signal that the quantizer
+    // needs retraining or the plane count needs raising).
+    "ann_recall" -> ((s, d) => annRecall(s, d)),
     // Hybrid retrieval: BM25(k1=1.2, b=0.75) over fixed query terms +
     // dense cosine, fused by RRF (1/(60+rank)).
     "hybrid_bm25_rrf" -> ((s, d) => {
@@ -223,6 +225,114 @@ object AnnQueries {
         .limit(20)
     })
   )
+
+  /** Exact top-3 ground truth over a (queries, candidates) universe —
+    * the brute-force pass each recall audit compares against. Queries
+    * broadcast; the candidate side streams once.
+    */
+  private def exactTop3(queries: DataFrame, cands: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    cands.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** Per-(method, q_id) hits against the truth set; queries with no
+    * approximate hits still get a row (recall 0), so a collapsed index
+    * can't hide by emitting nothing.
+    */
+  private def recallRows(method: String, approx: DataFrame, truth: DataFrame,
+                         queries: DataFrame): DataFrame = {
+    val hits = approx.select("q_id", "vec_id")
+      .join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    queries.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(lit(method).as("method"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / lit(3.0), 6).as("recall3"))
+  }
+
+  /** recall@3 per query id for the IVF (nprobe=2) and LSH (default
+    * planes) paths, each against exact top-3 over its own universe:
+    * IVF queries are vec_id<10 over the whole corpus minus self; LSH
+    * queries are vec_id<20 over vec_id>=20 (sim_knn_join's universe).
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val qIvf = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qLsh = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cents = AnnIndex.centroids(e)
+    val ivfApprox = AnnIndex.searchAssigned(
+      AnnIndex.assign(e, cents), AnnIndex.probe(qIvf, cents, nprobe = 2), k = 3)
+    val lshApprox = lshTopK(e)
+    recallRows("ivf", ivfApprox, exactTop3(qIvf, e), qIvf)
+      .unionByName(recallRows("lsh", lshApprox, exactTop3(qLsh, e.filter(col("vec_id") >= 20)), qLsh))
+      .orderBy("method", "q_id")
+  }
+
+  /** Guard factored out of both LSH paths: broadcast the tiny per-bucket
+    * count aggregate back onto the signature join and `assert_true`
+    * row-wise that no bucket exceeds `maxBucket` (inside a filter, like
+    * [[VectorQueries.embedNearDupDemo]]'s, so column pruning can't drop
+    * it). At 100 TB bucket population grows linearly with the corpus:
+    * the correct response is MORE PLANES (buckets = 2^planes, and
+    * signatures nest so added planes only refine), and this guard is
+    * what turns "forgot to scale numPlanes" into a loud failure instead
+    * of a silent quadratic blow-up.
+    */
+  private def guardBuckets(e: DataFrame, maxBucket: Int): DataFrame = {
+    val bucketSizes = e.groupBy(col("sig")).agg(count(lit(1)).as("_bucket_n"))
+    e.join(broadcast(bucketSizes), Seq("sig"))
+      .filter(assert_true(col("_bucket_n") <= maxBucket,
+        concat(lit("LSH bucket "), col("sig"), lit(" has "), col("_bucket_n"),
+          lit(s" rows > bound $maxBucket — scale numPlanes with the corpus" +
+            " (buckets = 2^planes; signatures nest, so adding planes only refines)"))).isNull)
+      .drop("_bucket_n")
+  }
+
+  /** Parameterized LSH top-k — `numPlanes` is the corpus-size dial
+    * (`ann_lsh_topk` runs it at the oracle-pinned default).
+    */
+  def lshTopK(emb: DataFrame, numPlanes: Int = NumPlanes, k: Int = 3,
+              maxBucket: Int = 4096): DataFrame = {
+    val e = emb.withColumn("sig", signatureUdf(numPlanes)(col("embedding")))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("sig"))
+    val cands = guardBuckets(e.filter(col("vec_id") >= 20), maxBucket)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    cands.join(broadcast(queries), Seq("sig"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Parameterized LSH near-dup pair generator — the in-bucket pair
+    * space is O(bucket²), so the guard is load-bearing here
+    * (`embed_neardup_lsh` runs it at the oracle-pinned default).
+    */
+  def lshNearDup(emb: DataFrame, numPlanes: Int = NumPlanes, minCos: Double = 0.2,
+                 maxBucket: Int = 4096): DataFrame = {
+    val e = guardBuckets(
+      emb.withColumn("sig", signatureUdf(numPlanes)(col("embedding"))), maxBucket)
+    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("sig"))
+    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("sig"))
+    l.join(r, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosineScore(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("id_a", "id_b")
+  }
 
   /** DuckDB literal for plane p as a list. */
   private def planeSql(p: Int): String = planes(p).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
@@ -299,6 +409,43 @@ object AnnQueries {
         "SELECT q_id, vec_id, score, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rnk FROM scored) " +
         "WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "ann_recall" ->
+      (s"WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
+        "qs10 AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "qs20 AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
+        "asg AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+        s"SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+        "probes AS (SELECT q_id, qv, c_id AS cell FROM (" +
+        s"SELECT q.q_id, q.qv, c.c_id, CAST(row_number() OVER (PARTITION BY q.q_id " +
+        s"ORDER BY ${cos("q.qv", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM qs10 q CROSS JOIN cents c) WHERE rn <= 2), " +
+        "ivf AS (SELECT q_id, vec_id FROM (SELECT p.q_id, a.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY p.q_id ORDER BY ${cos("a.embedding", "p.qv")} DESC, a.vec_id) AS INT) AS rnk " +
+        "FROM asg a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.q_id) WHERE rnk <= 3), " +
+        s"sg AS (SELECT vec_id, embedding, ${sigSql("embedding")} AS sig FROM embeddings), " +
+        "lq AS (SELECT vec_id AS q_id, embedding AS qv, sig FROM sg WHERE vec_id < 20), " +
+        "lc AS (SELECT * FROM sg WHERE vec_id >= 20), " +
+        "lsh AS (SELECT q_id, vec_id FROM (SELECT lq.q_id, lc.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY lq.q_id ORDER BY ${cos("lc.embedding", "lq.qv")} DESC, lc.vec_id) AS INT) AS rnk " +
+        "FROM lc JOIN lq ON lc.sig = lq.sig) WHERE rnk <= 3), " +
+        "truth_ivf AS (SELECT q_id, vec_id FROM (SELECT q.q_id, e2.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY q.q_id ORDER BY ${cos("e2.embedding", "q.qv")} DESC, e2.vec_id) AS INT) AS rnk " +
+        "FROM embeddings e2 CROSS JOIN qs10 q WHERE e2.vec_id <> q.q_id) WHERE rnk <= 3), " +
+        "truth_lsh AS (SELECT q_id, vec_id FROM (SELECT q.q_id, e2.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY q.q_id ORDER BY ${cos("e2.embedding", "q.qv")} DESC, e2.vec_id) AS INT) AS rnk " +
+        "FROM embeddings e2 CROSS JOIN qs20 q WHERE e2.vec_id >= 20) WHERE rnk <= 3), " +
+        "ih AS (SELECT a.q_id, count(*) AS hits FROM ivf a JOIN truth_ivf t " +
+        "ON a.q_id = t.q_id AND a.vec_id = t.vec_id GROUP BY 1), " +
+        "lh AS (SELECT a.q_id, count(*) AS hits FROM lsh a JOIN truth_lsh t " +
+        "ON a.q_id = t.q_id AND a.vec_id = t.vec_id GROUP BY 1) " +
+        "SELECT 'ivf' AS method, q.q_id, coalesce(ih.hits, 0) AS hits, " +
+        "round(coalesce(ih.hits, 0) / 3.0, 6) AS recall3 FROM qs10 q LEFT JOIN ih ON q.q_id = ih.q_id " +
+        "UNION ALL " +
+        "SELECT 'lsh', q.q_id, coalesce(lh.hits, 0), round(coalesce(lh.hits, 0) / 3.0, 6) " +
+        "FROM qs20 q LEFT JOIN lh ON q.q_id = lh.q_id " +
+        "ORDER BY method, q_id"),
     "hybrid_bm25_rrf" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), " +
         "tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, " +
