@@ -80,6 +80,22 @@ object DedupIndex {
     dedupAgainst(incoming,
       spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands"))
 
+  /** Dedup `incoming` against the index as it stood BEFORE `batchId`:
+    * the read is pinned to earlier batch partitions (a partition-pruned
+    * filter on the `batch_id` partition column — no data files of later
+    * batches are touched). A whole-cycle retry of a batch whose `accept`
+    * already landed then re-derives the SAME survivor set instead of
+    * dropping the batch against its own rows — which is what makes the
+    * full ingest cycle (dedup → accept → embed → ANN add) idempotent
+    * under crash-retry END TO END, not just each sink in isolation
+    * (IngestLifecycleSpec drives the cross-index proof).
+    */
+  def dedupBatch(spark: SparkSession, dir: String, incoming: DataFrame,
+                 batchId: Long): DataFrame =
+    dedupAgainst(incoming,
+      spark.read.parquet(s"$dir/fp").filter(col("batch_id") < batchId),
+      spark.read.parquet(s"$dir/bands").filter(col("batch_id") < batchId))
+
   /** Land an ACCEPTED batch (output of `dedupBatch`) in the index under
     * its own `batch_id` partition. Idempotent per batch id: a retry
     * after a crash overwrites its own partition instead of appending a
