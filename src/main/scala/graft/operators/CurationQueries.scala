@@ -20,6 +20,14 @@ object CurationQueries {
   private def hashBucket(id: org.apache.spark.sql.Column) =
     (conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10) % 100).cast("int")
 
+  /** Ubiquitous-shingle cap for contamination_check's train×test join
+    * (same role as DedupQueries.DfCap, looser because contamination
+    * recall matters more than dedup recall): a shingle in > this many
+    * docs is a stock phrase whose join contribution is O(df²) rows on
+    * one key while carrying no contamination signal.
+    */
+  private val ContaminationDfCap = 20
+
   val queries: Map[String, Q] = Map(
     // Deterministic train/val/test assignment (80/10/10 by id hash):
     // membership is a pure function of doc_id — stable across reruns,
@@ -95,16 +103,28 @@ object CurationQueries {
     // Eval-contamination check: test-split documents sharing ≥5 3-gram
     // shingles with any train-split document — the overlap audit run
     // before a benchmark score is trusted. Shingle is the join key, so
-    // the comparison never materializes the doc×doc space.
+    // the comparison never materializes the doc×doc space — and, like
+    // every pair generator in DedupQueries, the join is DF-CAPPED:
+    // ubiquitous shingles (corpus df > 20) are dropped before the
+    // train×test join. This was the ONE uncapped shingle join left in
+    // the suite, and the round-5 multiplicity probe (tools/prof14,
+    // PLANS.md) caught it going quadratic in duplicate multiplicity
+    // (0.8 s → 46.8 s at 30× duplicated sf0.1; every other pair path
+    // stayed flat). A shingle shared by dozens of documents is a stock
+    // phrase, not contamination signal — the standard stopword-shingle
+    // trade, mirrored exactly in the DuckDB oracle.
     "contamination_check" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .withColumn("bucket", hashBucket(col("doc_id")))
         .withColumn("split", when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test"))
         .select(col("doc_id"), col("split"), explode(TextOps.shingles3Udf(col("text"))).as("sh"))
-      val train = sh.filter(col("split") === "train")
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContaminationDfCap).select(col("sh"))
+      val shR = sh.join(rare, Seq("sh"))
+      val train = shR.filter(col("split") === "train")
         .select(col("doc_id").as("train_doc"), col("sh"))
-      val test = sh.filter(col("split") === "test")
+      val test = shR.filter(col("split") === "test")
         .select(col("doc_id").as("test_doc"), col("sh"))
       test.join(train, Seq("sh"))
         .groupBy(col("test_doc"), col("train_doc"))
@@ -363,10 +383,12 @@ object CurationQueries {
       (s"WITH sh AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
         "unnest(shs) AS sh FROM (SELECT doc_id, " +
         s"${graft.functions.TextSql.shingles("toks")} AS shs, $bucketSql AS b FROM " +
-        s"(SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks FROM documents))) " +
+        s"(SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks FROM documents))), " +
+        "rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 20), " +
+        "shr AS (SELECT s.doc_id, s.split, s.sh FROM sh s JOIN rare r ON s.sh = r.sh) " +
         "SELECT t.doc_id AS test_doc, r.doc_id AS train_doc, count(*) AS shared_shingles " +
-        "FROM (SELECT * FROM sh WHERE split = 'test') t " +
-        "JOIN (SELECT * FROM sh WHERE split = 'train') r ON t.sh = r.sh " +
+        "FROM (SELECT * FROM shr WHERE split = 'test') t " +
+        "JOIN (SELECT * FROM shr WHERE split = 'train') r ON t.sh = r.sh " +
         "GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY test_doc, train_doc"),
     "zorder_layout" ->
       (s"WITH dims AS (SELECT doc_id, least(n_chars, 1023) AS a, " +
