@@ -126,6 +126,10 @@ object AnnQueries {
     // LSH-bucketed approximate top-k: queries only score candidates in
     // their own signature bucket (vs sim_knn_join's exact full scan).
     "ann_lsh_topk" -> ((s, d) => lshTopK(Tables.embeddings(s, d))),
+    // Multi-probe variant: each query also probes the bucket across its
+    // lowest-margin hyperplane — the standard recall-recovery move that
+    // keeps the plane count (and so the bucket-size bound) unchanged.
+    "ann_lsh_multiprobe" -> ((s, d) => lshTopKMultiProbe(Tables.embeddings(s, d))),
     // Signature histogram — the bucket-balance diagnostic an IVF/LSH
     // deployment monitors (skewed buckets → add planes / salt).
     "ann_bucket_stats" -> ((s, d) => {
@@ -297,6 +301,60 @@ object AnnQueries {
       .drop("_bucket_n")
   }
 
+  /** Probe signatures for MULTI-PROBE LSH: the vector's own bucket
+    * first, then the buckets across its lowest-|margin| hyperplanes
+    * (the planes its dot product barely cleared — where a near
+    * neighbor most likely landed on the other side). Classic
+    * multi-probe LSH: recall is recovered by probing ~nProbes buckets
+    * per query instead of by LOWERING the plane count — probe cost is
+    * additive while the per-bucket size bound (what the plane count
+    * buys at scale) is untouched. The margins are the SAME
+    * left-to-right double dots the signature folds, so the DuckDB
+    * oracle reproduces the probe set bit-for-bit.
+    */
+  def probeSigsUdf(numPlanes: Int = NumPlanes, nProbes: Int = 2): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes must be in [1, 62], got $numPlanes")
+    require(nProbes >= 1 && nProbes <= numPlanes + 1,
+      s"nProbes must be in [1, numPlanes + 1], got $nProbes")
+    udf { (v: Seq[Float]) =>
+      val ps = planesFor(numPlanes)
+      val dots = Array.tabulate(ps.length) { p =>
+        var acc = 0.0
+        var j = 0
+        while (j < ps(p).length && j < v.length) { acc += v(j).toDouble * ps(p)(j); j += 1 }
+        acc
+      }
+      var sig = 0L
+      var p = 0
+      while (p < dots.length) { if (dots(p) > 0) sig |= (1L << p); p += 1 }
+      val order = dots.zipWithIndex.sortBy { case (dp, i) => (math.abs(dp), i) }.map(_._2)
+      (sig +: order.take(nProbes - 1).toSeq.map(i => sig ^ (1L << i))).toArray
+    }
+  }
+
+  /** Multi-probe LSH top-k: each query scores the union of its nProbes
+    * probed buckets (a candidate's single signature matches at most one
+    * probe, so the union is disjoint — no dedup needed). Same rank and
+    * guard as [[lshTopK]]; `ann_lsh_multiprobe` runs the oracle-pinned
+    * default (2 probes).
+    */
+  def lshTopKMultiProbe(emb: DataFrame, numPlanes: Int = NumPlanes, nProbes: Int = 2,
+                        k: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val e = emb.withColumn("sig", signatureUdf(numPlanes)(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        explode(probeSigsUdf(numPlanes, nProbes)(col("embedding"))).as("sig"))
+    val cands = guardBuckets(e.filter(col("vec_id") >= 20), maxBucket)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    cands.join(broadcast(queries), Seq("sig"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Parameterized LSH top-k — `numPlanes` is the corpus-size dial
     * (`ann_lsh_topk` runs it at the oracle-pinned default).
     */
@@ -346,6 +404,15 @@ object AnnQueries {
 
   private def cos(a: String, b: String) = VectorSql.cosineScore(a, b)
 
+  /** The per-plane signature dots as a DuckDB list literal expression —
+    * same fold order as the UDF, so the multi-probe margin argmin is
+    * bit-identical cross-engine.
+    */
+  private def dotsSql(v: String): String =
+    (0 until NumPlanes).map { p =>
+      s"list_reduce([CAST($v[i+1] AS DOUBLE) * (${planeSql(p)})[i+1] for i in range($Dim)], (x,y) -> x+y)"
+    }.mkString("[", ", ", "]")
+
   /** SQL mirrors of the int8 helpers (dim 64, fold order = Spark's). */
   private def normSql(a: String): String =
     s"sqrt(${VectorSql.dot(a, a, Dim)})"
@@ -384,6 +451,21 @@ object AnnQueries {
     "ann_bucket_stats" ->
       (s"SELECT CAST(${sigSql("embedding")} AS BIGINT) AS sig, count(*) AS bucket_size " +
         "FROM embeddings GROUP BY 1 ORDER BY sig"),
+    "ann_lsh_multiprobe" ->
+      (s"WITH sg AS (SELECT vec_id, embedding, CAST(${sigSql("embedding")} AS BIGINT) AS sig FROM embeddings), " +
+        s"qd AS (SELECT vec_id AS q_id, embedding AS qv, sig, ${dotsSql("embedding")} AS dts " +
+        "FROM sg WHERE vec_id < 20), " +
+        "qp AS (SELECT q_id, qv, sig FROM qd " +
+        "UNION ALL " +
+        "SELECT q_id, qv, xor(sig, CAST(1 AS BIGINT) << CAST(list_sort(" +
+        s"[[abs(dts[i+1]), CAST(i AS DOUBLE)] for i in range($NumPlanes)])[1][2] AS INT)) FROM qd), " +
+        "c AS (SELECT * FROM sg WHERE vec_id >= 20), " +
+        "scored AS (SELECT qp.q_id, c.vec_id, " +
+        s"${cos("c.embedding", "qp.qv")} AS score " +
+        "FROM c JOIN qp ON c.sig = qp.sig), " +
+        "ranked AS (SELECT q_id, vec_id, score, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rnk FROM scored) " +
+        "SELECT q_id, vec_id, rnk, score FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk"),
     "embed_neardup_lsh" ->
       (s"WITH e AS (SELECT vec_id, embedding, ${sigSql("embedding")} AS sig FROM embeddings) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

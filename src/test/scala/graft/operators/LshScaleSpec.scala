@@ -53,6 +53,38 @@ class LshScaleSpec extends AnyFunSuite {
     assert(at12.count() <= at8.count())
   }
 
+  test("multi-probe recovers the recall that more planes take away") {
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, d)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val exact = e.filter(col("vec_id") >= 20).crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "vec_id")
+    val truthN = exact.count().toDouble
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.select("q_id", "vec_id").join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .count().toDouble / truthN
+    // at 12 planes buckets are 16x finer than at 8 — single-probe recall
+    // drops; probing across the lowest-margin planes wins it back
+    // without touching the bucket-size bound the planes bought
+    val single12 = recall(AnnQueries.lshTopK(e, numPlanes = 12))
+    val multi12 = recall(AnnQueries.lshTopKMultiProbe(e, numPlanes = 12, nProbes = 4))
+    val single8 = recall(AnnQueries.lshTopK(e))
+    val multi8 = recall(AnnQueries.lshTopKMultiProbe(e))
+    info(f"planes=8:  single=$single8%.3f multi(2)=$multi8%.3f")
+    info(f"planes=12: single=$single12%.3f multi(4)=$multi12%.3f")
+    assert(multi8 >= single8, "extra probes can only add candidates")
+    assert(multi12 >= single12, "extra probes can only add candidates")
+    assert(multi12 > single12,
+      f"at 12 planes multi-probe should strictly recover recall: $multi12%.3f !> $single12%.3f")
+  }
+
   test("bucket guard fails loudly over the bound, naming the numPlanes fix") {
     def messageChain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
