@@ -60,6 +60,7 @@ object AnnIndex {
     * unchanged.
     */
   def kmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    graft.expressions.GraftFunctions.register(embeddings.sparkSession)
     val hashOrd = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
     var cents = embeddings
       .select(col("vec_id"), col("embedding"))
@@ -144,7 +145,18 @@ object AnnIndex {
     */
   def init(embeddings: DataFrame, dir: String,
            quantizer: Option[DataFrame] = None): Unit = {
-    val cents = quantizer.getOrElse(centroids(embeddings))
+    // a library caller needn't have touched Tables first — the cosine
+    // expression registration is idempotent, so make every AnnIndex
+    // entry point self-sufficient
+    graft.expressions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = quantizer.getOrElse(centroids(embeddings)).localCheckpoint()
+    // an empty quantizer writes a schemaless (unreadable) index and
+    // every later read dies far from the cause — fail HERE instead.
+    // The stand-in selects fixed corpus ids, so a corpus without them
+    // must pass quantizer = Some(kmeans(...)) explicitly.
+    require(!cents.isEmpty,
+      "AnnIndex.init: coarse quantizer is empty — the id-range stand-in found no " +
+        "centroid vectors in this corpus; pass quantizer = Some(AnnIndex.kmeans(...))")
     graft.BatchSink.writeBatch(cents, 0L, s"$dir/centroids", full = true)
     graft.BatchSink.writeBatch(assign(embeddings, cents), 0L, s"$dir/cells", full = true,
       extraPartitionCols = Seq("cell"))
@@ -155,6 +167,7 @@ object AnnIndex {
     * a crash overwrites its own partition, never double-appends.
     */
   def addBatch(spark: SparkSession, newVectors: DataFrame, dir: String, batchId: Long): Unit = {
+    graft.expressions.GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
     graft.BatchSink.writeBatch(assign(newVectors, cents), batchId, s"$dir/cells", full = false,
       extraPartitionCols = Seq("cell"))
@@ -163,6 +176,7 @@ object AnnIndex {
   /** IVF search against the stored index. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
     val assigned = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
     searchAssigned(assigned, probe(queries, cents, nprobe), k)

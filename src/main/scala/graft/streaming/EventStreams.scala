@@ -150,6 +150,57 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming index maintenance: the micro-batch form of the full
+    * corpus lifecycle (IngestLifecycleSpec's batch shape) — every
+    * arriving micro-batch of documents is deduped against the two
+    * persisted indexes, the survivors are accepted into the dedup index
+    * ([[graft.operators.DedupIndex]]), embedded through the real
+    * [[IngestPipeline.embedStage]], and landed in the ANN inverted file
+    * ([[graft.operators.AnnIndex]]) — so BOTH indexes stay current with
+    * the stream, transactionally.
+    *
+    * Exactly-once: foreachBatch may replay an epoch after a crash
+    * anywhere between the two index writes. The dedup read is PINNED to
+    * strictly-earlier batch partitions (`dedupBatch(..., batchId)`), so
+    * a replay re-derives the SAME survivor set even though its own
+    * earlier `accept` already landed; both sinks are idempotent
+    * per-batch partition overwrites, so the replay heals any tear
+    * instead of double-appending (StreamingIndexSpec injects the crash
+    * at the worst point and proves rebuild-equality after restart).
+    * Micro-batch epoch e lands as `batch_id` e+1 — batch 0 is both
+    * indexes' init partition.
+    */
+  def indexMaintenanceRelay(
+      spark: SparkSession,
+      inputDir: String,
+      dedupDir: String,
+      annDir: String,
+      checkpointDir: String,
+      provider: EmbeddingProvider = new HashProjectionEmbedder(64),
+      maxFilesPerTrigger: Option[Int] = None,
+      betweenSinks: Long => Unit = _ => ()): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    reader
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val batchId = epochId + 1
+        val survivors = graft.operators.DedupIndex
+          .dedupBatch(spark, dedupDir, batch, batchId)
+          .localCheckpoint() // one materialized derivation feeds both index writes
+        graft.operators.DedupIndex.accept(survivors, dedupDir, batchId)
+        betweenSinks(batchId)
+        val vectors = IngestPipeline.embedStage(
+            survivors.select(col("doc_id"), col("text").as("embedded_text")), provider)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        graft.operators.AnnIndex.addBatch(spark, vectors, annDir, batchId)
+      }
+      .start()
+  }
+
   /** Idempotent micro-batch sink write (delegates to [[graft.BatchSink]]
     * — the one shared definition of the crash-safe batch-partition
     * writer): the batch's rows replace its own `batch_id` partition, so

@@ -48,6 +48,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("ann_lsh_multiprobe: probe list broadcast onto the signature join, no cartesian") {
+    val p = finalPlan("ann_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("ann_recall: truth and approx sides join without a cartesian product") {
+    // (the final per-q_id outer join of two ≤k·|Q|-row relations may
+    // legitimately sort-merge — only a cartesian is a scale bug here)
+    val p = finalPlan("ann_recall")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("corpus_mix: rate table broadcast onto the corpus") {
     val p = finalPlan("corpus_mix")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

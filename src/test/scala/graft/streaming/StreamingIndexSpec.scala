@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.operators.{AnnIndex, DedupIndex}
+import graft.operators.TableAssertions.assertSameTable
+import graft.pipeline.{IngestPipeline, SparkTestSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming form of the cross-index lifecycle: the
+  * [[EventStreams.indexMaintenanceRelay]] keeps the dedup index AND the
+  * ANN inverted file current with an arriving document stream, with a
+  * crash injected at the worst point (dedup accept committed, ANN add
+  * not yet run) and a checkpoint restart that must heal the tear —
+  * plus a CROSS-BATCH duplicate that only the just-updated stored index
+  * can catch.
+  */
+class StreamingIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def embedOf(docs: DataFrame): DataFrame =
+    IngestPipeline.embedStage(docs.select(col("doc_id"), col("text").as("embedded_text")))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+
+  private def doc(id: Long, text: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq((id, s"src$id", "en", text.length.toLong, text))
+      .toDF("doc_id", "source", "lang", "n_chars", "text")
+  }
+
+  test("crash between dedup accept and ANN add heals on restart; cross-batch dup dropped") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    val in = s"$tmp/in"; val dedupDir = s"$tmp/dedup"; val annDir = s"$tmp/ann"
+    val cp = s"$tmp/cp"
+
+    // init both indexes from a 3-doc corpus (batch 0)
+    val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
+      .unionByName(doc(2, "eta theta iota kappa lambda mu"))
+      .unionByName(doc(3, "nu xi omicron pi rho sigma"))
+    DedupIndex.init(corpusA, dedupDir)
+    val embA = embedOf(corpusA)
+    AnnIndex.init(embA, annDir, quantizer = Some(AnnIndex.kmeans(embA, k = 2, iters = 2)))
+
+    // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
+    // the initial corpus; file 2 (epoch 1 → batch 2): one new doc + one
+    // exact dup of FILE 1's new doc — catchable only if batch 1's accept
+    // is visible to batch 2's dedup read
+    // one FILE per intended micro-batch (coalesce) and strictly ordered
+    // modification times — the file source orders by (mtime, path), and
+    // maxFilesPerTrigger=1 then yields exactly these two epochs
+    doc(10, "tau upsilon phi chi psi omega")
+      .unionByName(doc(11, "alpha beta gamma delta epsilon zeta"))
+      .coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1200)
+    doc(20, "aleph bet gimel dalet he vav")
+      .unionByName(doc(21, "tau upsilon phi chi psi omega"))
+      .coalesce(1).write.mode("append").parquet(in)
+
+    // run 1: crash between batch 1's two index writes
+    val q1 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
+      maxFilesPerTrigger = Some(1),
+      betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // torn state: batch 1's fp landed, its vectors did not
+    assert(spark.read.parquet(s"$dedupDir/fp").count() === 4L)
+    assert(spark.read.parquet(s"$annDir/cells").count() === 3L)
+
+    // run 2: same checkpoint, no chaos — batch 1 replays, batch 2 runs
+    val q2 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
+      maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // survivors: doc 10 (batch 1) and doc 20 (batch 2); dups 11 and 21
+    // dropped — 21 by the CROSS-BATCH check against batch 1's accept
+    val grown = corpusA.unionByName(doc(10, "tau upsilon phi chi psi omega"))
+      .unionByName(doc(20, "aleph bet gimel dalet he vav"))
+    assertSameTable(spark.read.parquet(s"$dedupDir/fp").select("fp"),
+      DedupIndex.fingerprints(grown), "fp index vs rebuild")
+    val storedCents = spark.read.parquet(s"$annDir/centroids").select("c_id", "cv")
+    assertSameTable(
+      spark.read.parquet(s"$annDir/cells").select("vec_id", "embedding", "cell"),
+      AnnIndex.assign(embedOf(grown), storedCents), "inverted file vs rebuild")
+
+    // and search over the stored index sees the streamed-in vectors
+    val query = embedOf(doc(20, "aleph bet gimel dalet he vav"))
+      .select(lit(-1L).as("q_id"), col("embedding").as("qv"))
+    val hits = AnnIndex.search(spark, annDir, query, nprobe = 2, k = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(20L), s"search must see streamed doc 20 (got $hits)")
+  }
+}
