@@ -292,13 +292,22 @@ object AnnQueries {
     * of a silent quadratic blow-up.
     */
   private def guardBuckets(e: DataFrame, maxBucket: Int): DataFrame = {
-    val bucketSizes = e.groupBy(col("sig")).agg(count(lit(1)).as("_bucket_n"))
-    e.join(broadcast(bucketSizes), Seq("sig"))
-      .filter(assert_true(col("_bucket_n") <= maxBucket,
-        concat(lit("LSH bucket "), col("sig"), lit(" has "), col("_bucket_n"),
+    // the guard must not itself break at scale: the full per-sig
+    // histogram has one row per DISTINCT signature — linear in the
+    // corpus at the recommended operating point (planes chosen to hold
+    // E[bucket] constant), far too big to broadcast. Reduce it to a
+    // ONE-ROW scalar (worst bucket size + an offending sig for the
+    // message) and broadcast that onto the relation for the row-wise
+    // assert_true (a filter, so column pruning can't drop it).
+    val worst = e.groupBy(col("sig")).agg(count(lit(1)).as("_bucket_n"))
+      .agg(max(col("_bucket_n")).as("_max_n"),
+        max(when(col("_bucket_n") > maxBucket, col("sig"))).as("_bad_sig"))
+    e.crossJoin(broadcast(worst))
+      .filter(assert_true(col("_max_n") <= maxBucket,
+        concat(lit("LSH bucket "), col("_bad_sig"), lit(" has "), col("_max_n"),
           lit(s" rows > bound $maxBucket — scale numPlanes with the corpus" +
             " (buckets = 2^planes; signatures nest, so adding planes only refines)"))).isNull)
-      .drop("_bucket_n")
+      .drop("_max_n", "_bad_sig")
   }
 
   /** Probe signatures for MULTI-PROBE LSH: the vector's own bucket
@@ -357,22 +366,13 @@ object AnnQueries {
 
   /** Parameterized LSH top-k — `numPlanes` is the corpus-size dial
     * (`ann_lsh_topk` runs it at the oracle-pinned default).
+    * Single-probe IS the nProbes=1 degenerate case of multi-probe
+    * (probeSigsUdf(n, 1) emits only the vector's own signature), so
+    * this delegates — one join/rank/guard body, no drift.
     */
   def lshTopK(emb: DataFrame, numPlanes: Int = NumPlanes, k: Int = 3,
-              maxBucket: Int = 4096): DataFrame = {
-    val e = emb.withColumn("sig", signatureUdf(numPlanes)(col("embedding")))
-    val queries = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("sig"))
-    val cands = guardBuckets(e.filter(col("vec_id") >= 20), maxBucket)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    cands.join(broadcast(queries), Seq("sig"))
-      .select(col("q_id"), col("vec_id"),
-        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
-      .orderBy("q_id", "rnk")
-  }
+              maxBucket: Int = 4096): DataFrame =
+    lshTopKMultiProbe(emb, numPlanes, nProbes = 1, k, maxBucket)
 
   /** Parameterized LSH near-dup pair generator — the in-bucket pair
     * space is O(bucket²), so the guard is load-bearing here

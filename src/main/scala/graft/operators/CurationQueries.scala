@@ -384,7 +384,7 @@ object CurationQueries {
         "unnest(shs) AS sh FROM (SELECT doc_id, " +
         s"${graft.functions.TextSql.shingles("toks")} AS shs, $bucketSql AS b FROM " +
         s"(SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks FROM documents))), " +
-        "rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 20), " +
+        s"rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $ContaminationDfCap), " +
         "shr AS (SELECT s.doc_id, s.split, s.sh FROM sh s JOIN rare r ON s.sh = r.sh) " +
         "SELECT t.doc_id AS test_doc, r.doc_id AS train_doc, count(*) AS shared_shingles " +
         "FROM (SELECT * FROM shr WHERE split = 'test') t " +

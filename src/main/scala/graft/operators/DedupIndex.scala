@@ -58,10 +58,18 @@ object DedupIndex {
   /** The incremental-dedup join pipeline itself, independent of how the
     * existing-side index is backed: exact dupes fall to an anti-join on
     * the content fingerprint, near-dups to a left_semi against the
-    * minhash LSH band index. `dedup_incremental` (inline, oracle-
-    * replayable) and [[dedupBatch]] (parquet-backed) are both this
-    * function — the single source of truth DedupIndexSpec pins.
-    * Returns the accepted rows (all incoming columns plus `fp`).
+    * minhash LSH band index, and WITHIN-batch exact duplicates collapse
+    * to the smallest doc_id — without that last step, two same-content
+    * docs arriving in one batch would BOTH survive (the index only
+    * holds earlier batches) while `accept`'s distinct() lands one fp
+    * row, leaving downstream sinks (the ANN inverted file) with more
+    * vectors than the dedup index has contents. Within-batch NEAR-dups
+    * are deliberately out of scope here — that is the full pair problem
+    * the batch operators (dedup_minhash_*) own.
+    * `dedup_incremental` (inline, oracle-replayable) and [[dedupBatch]]
+    * (parquet-backed) are both this function — the single source of
+    * truth DedupIndexSpec pins. Returns the accepted rows (all incoming
+    * columns plus `fp`).
     */
   def dedupAgainst(incoming: DataFrame, existingFp: DataFrame,
                    existingBands: DataFrame): DataFrame = {
@@ -72,7 +80,13 @@ object DedupIndex {
       .select(col("doc_id"), posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       .join(existingBands.select("band", "sig"), Seq("band", "sig"), "left_semi")
       .select(col("doc_id")).distinct()
-    exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
+    val survivors = exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    survivors
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
   }
 
   /** Dedup `incoming` against the stored index. */

@@ -480,7 +480,11 @@ object DedupQueries {
         "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
         "WHERE i.doc_id IN (SELECT doc_id FROM surv)) " +
         "SELECT s.doc_id, s.fp FROM surv s WHERE NOT EXISTS " +
-        "(SELECT 1 FROM nd WHERE nd.doc_id = s.doc_id) ORDER BY s.doc_id"),
+        "(SELECT 1 FROM nd WHERE nd.doc_id = s.doc_id) " +
+        // within-batch exact dups collapse to the smallest doc_id
+        // (mirrors DedupIndex.dedupAgainst's window dedupe)
+        "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1 " +
+        "ORDER BY s.doc_id"),
     "dedup_simhash_pairs" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +

@@ -188,6 +188,20 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val batchId = epochId + 1
+        // the index dirs are COUPLED to this checkpoint's epoch counter:
+        // restarting against existing indexes with a FRESH checkpoint
+        // restarts epochs at 0 and would dynamic-overwrite old batch
+        // partitions piecemeal — silent index corruption. A replay of
+        // the current epoch legitimately sees its own partition
+        // (max == batchId); anything beyond that is a stale-checkpoint
+        // signal, so fail loudly before writing.
+        val maxExisting = spark.read.parquet(s"$dedupDir/fp")
+          .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+        require(maxExisting <= batchId,
+          s"indexMaintenanceRelay: index at $dedupDir already holds batch_id=$maxExisting " +
+            s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
+            "location than the one that built the index? Re-init the indexes or restore " +
+            "the original checkpoint directory")
         val survivors = graft.operators.DedupIndex
           .dedupBatch(spark, dedupDir, batch, batchId)
           .localCheckpoint() // one materialized derivation feeds both index writes

@@ -44,14 +44,17 @@ class StreamingIndexSpec extends AnyFunSuite {
     AnnIndex.init(embA, annDir, quantizer = Some(AnnIndex.kmeans(embA, k = 2, iters = 2)))
 
     // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
-    // the initial corpus; file 2 (epoch 1 → batch 2): one new doc + one
-    // exact dup of FILE 1's new doc — catchable only if batch 1's accept
-    // is visible to batch 2's dedup read
+    // the initial corpus + one WITHIN-batch dup of the new doc (must
+    // collapse to the smallest doc_id — the stored index can't catch
+    // it); file 2 (epoch 1 → batch 2): one new doc + one exact dup of
+    // FILE 1's new doc — catchable only if batch 1's accept is visible
+    // to batch 2's dedup read.
     // one FILE per intended micro-batch (coalesce) and strictly ordered
     // modification times — the file source orders by (mtime, path), and
     // maxFilesPerTrigger=1 then yields exactly these two epochs
     doc(10, "tau upsilon phi chi psi omega")
       .unionByName(doc(11, "alpha beta gamma delta epsilon zeta"))
+      .unionByName(doc(12, "tau upsilon phi chi psi omega"))
       .coalesce(1).write.mode("append").parquet(in)
     Thread.sleep(1200)
     doc(20, "aleph bet gimel dalet he vav")
@@ -92,5 +95,19 @@ class StreamingIndexSpec extends AnyFunSuite {
     val hits = AnnIndex.search(spark, annDir, query, nprobe = 2, k = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(hits.contains(20L), s"search must see streamed doc 20 (got $hits)")
+
+    // a FRESH checkpoint against the already-grown indexes restarts
+    // epochs at 0 — the relay must refuse instead of dynamic-
+    // overwriting old batch partitions piecemeal
+    val q3 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, s"$tmp/cp-fresh",
+      maxFilesPerTrigger = Some(1))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("Re-init the indexes")),
+      s"stale-checkpoint guard must fire: $msgs")
   }
 }
