@@ -194,9 +194,15 @@ object EventStreams {
         // partitions piecemeal — silent index corruption. A replay of
         // the current epoch legitimately sees its own partition
         // (max == batchId); anything beyond that is a stale-checkpoint
-        // signal, so fail loudly before writing.
-        val maxExisting = spark.read.parquet(s"$dedupDir/fp")
-          .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+        // signal, so fail loudly before writing. Answered from the
+        // PARTITION LISTING (one directory list, O(#batches)) — never
+        // by scanning the index data.
+        val fpPath = new org.apache.hadoop.fs.Path(s"$dedupDir/fp")
+        val maxExisting = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .listStatus(fpPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong)
+          .foldLeft(0L)(math.max)
         require(maxExisting <= batchId,
           s"indexMaintenanceRelay: index at $dedupDir already holds batch_id=$maxExisting " +
             s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
