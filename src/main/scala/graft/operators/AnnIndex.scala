@@ -57,7 +57,10 @@ object AnnIndex {
     * lineage, one job per round, centroids never leave the cluster —
     * no driver collect). At 100 TB one trains on a hash-sampled slice
     * (`filter(pmod(xxhash64(id), m) === 0)`); the job shape is
-    * unchanged.
+    * unchanged. Size `k` with the corpus: the classic IVF rule is
+    * k ≈ √N (per-probe candidate work and cell count balance at √N);
+    * a search at fixed nprobe reads nprobe·N/k vectors, so doubling
+    * the corpus wants k doubled to hold per-query cost.
     */
   def kmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
     graft.expressions.GraftFunctions.register(embeddings.sparkSession)
