@@ -46,6 +46,28 @@ object VectorOps {
   /** Cosine rounded for stable cross-engine comparison/ordering. */
   def cosineScore(a: Column, b: Column, scale: Int = 6): Column =
     round(cosine(a, b), scale)
+
+  /** L2 norm (double, sequential fold). */
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  /** Max |component| of `c` after dividing by norm `n` — the symmetric
+    * int8 quantization scale of the NORMALIZED vector (full use of the
+    * int8 range). greatest-fold over abs() values only, so the 0.0 seed
+    * is the fold's identity (cross-engine parity note in AnnQueries).
+    */
+  def maxNormed(c: Column, n: Column): Column =
+    aggregate(c, lit(0.0), (a, v) => greatest(a, abs(v.cast("double") / n)))
+
+  /** Symmetric int8 code of `c` given norm `n` and scale `m`:
+    * floor(x/n/m·127 + 0.5) — floor form because Spark and DuckDB
+    * disagree on half-way round(). ONE definition behind the inline
+    * queries (ann_int8_topk, ann_ivf_int8) and the stored codes in
+    * [[graft.operators.AnnIndex]]; the RAW-storage variant of the same
+    * trick is VectorQueries' embedding_quantize — change the rounding
+    * form in ALL of them or none.
+    */
+  def int8Code(c: Column, n: Column, m: Column): Column =
+    transform(c, v => floor(v.cast("double") / n / m * lit(127.0) + lit(0.5)))
 }
 
 /** DuckDB-dialect SQL snippets equivalent to [[VectorOps]], used to build

@@ -106,6 +106,23 @@ object AnnIndex {
       .agg(first(col("embedding")).as("embedding"), max(col("cand")).as("best"))
       .select(col("vec_id"), col("embedding"), (-col("best.neg_c")).as("cell"))
 
+  /** Inverted-file rows with STORED int8 codes alongside the float
+    * embedding: (vec_id, embedding, cell, pq, sp). A production vector
+    * store ships the codes, not just the floats — the int8 search path
+    * then reads 4× fewer bytes per candidate and never touches the
+    * embedding column. Codes are null for zero-norm vectors (no valid
+    * code; the cosine path still carries the row). Same definitions as
+    * the inline queries ([[graft.functions.VectorOps.int8Code]]), so
+    * stored and inline ranking cannot drift.
+    */
+  private def withCodes(assigned: DataFrame): DataFrame =
+    assigned
+      .withColumn("_pn", VectorOps.norm(col("embedding")))
+      .withColumn("_pm", when(col("_pn") > 0, VectorOps.maxNormed(col("embedding"), col("_pn"))))
+      .withColumn("pq", when(col("_pn") > 0, VectorOps.int8Code(col("embedding"), col("_pn"), col("_pm"))))
+      .withColumn("sp", when(col("_pn") > 0, col("_pm") / lit(127.0)))
+      .drop("_pn", "_pm")
+
   /** Each query's nprobe closest cells (q_id, qv, cell). */
   def probe(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -161,8 +178,8 @@ object AnnIndex {
       "AnnIndex.init: coarse quantizer is empty — the id-range stand-in found no " +
         "centroid vectors in this corpus; pass quantizer = Some(AnnIndex.kmeans(...))")
     graft.BatchSink.writeBatch(cents, 0L, s"$dir/centroids", full = true)
-    graft.BatchSink.writeBatch(assign(embeddings, cents), 0L, s"$dir/cells", full = true,
-      extraPartitionCols = Seq("cell"))
+    graft.BatchSink.writeBatch(withCodes(assign(embeddings, cents)), 0L, s"$dir/cells",
+      full = true, extraPartitionCols = Seq("cell"))
   }
 
   /** Assign a batch of NEW vectors against the STORED centroids and land
@@ -172,8 +189,8 @@ object AnnIndex {
   def addBatch(spark: SparkSession, newVectors: DataFrame, dir: String, batchId: Long): Unit = {
     graft.expressions.GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
-    graft.BatchSink.writeBatch(assign(newVectors, cents), batchId, s"$dir/cells", full = false,
-      extraPartitionCols = Seq("cell"))
+    graft.BatchSink.writeBatch(withCodes(assign(newVectors, cents)), batchId, s"$dir/cells",
+      full = false, extraPartitionCols = Seq("cell"))
   }
 
   /** IVF search against the stored index. */
@@ -183,5 +200,39 @@ object AnnIndex {
     val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
     val assigned = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
     searchAssigned(assigned, probe(queries, cents, nprobe), k)
+  }
+
+  /** int8-scored IVF search against the STORED codes — the memory-bound
+    * production read path: candidates are ranked by the exact integer
+    * dot of the stored `pq` codes rescaled by the stored `sp` and the
+    * query's scale, reading 4×-smaller codes and NEVER the embedding
+    * column (column pruning drops it at the scan); the scan is still
+    * dynamically partition-pruned to the probed cells. Ranking is
+    * identical to the inline `ann_ivf_int8` query — AnnIndexSpec pins
+    * stored == inline.
+    */
+  def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
+                 nprobe: Int, k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
+    val q = probe(queries, cents, nprobe)
+      .withColumn("qn", VectorOps.norm(col("qv"))).filter(col("qn") > 0)
+      .withColumn("qm", VectorOps.maxNormed(col("qv"), col("qn")))
+      .select(col("q_id"), col("cell"),
+        VectorOps.int8Code(col("qv"), col("qn"), col("qm")).as("qq"),
+        (col("qm") / lit(127.0)).as("sq"))
+    val cands = spark.read.parquet(s"$dir/cells")
+      .select("vec_id", "cell", "pq", "sp")
+      .filter(col("pq").isNotNull)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))
+    cands.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("idot",
+        aggregate(zip_with(col("pq"), col("qq"), (a, b) => a * b), lit(0L), (a, v) => a + v)
+          .cast("long"))
+      .withColumn("score8", round(col("idot").cast("double") * col("sp") * col("sq"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
   }
 }

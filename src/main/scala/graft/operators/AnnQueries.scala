@@ -78,18 +78,13 @@ object AnnQueries {
       .withColumn("sig", signatureUdf()(col("embedding")))
 
   /** L2-normalize, then symmetric int8 quantization against the
-    * normalized vector's max |component| (full use of the int8 range).
-    * Shared by the Spark side of ann_int8_topk; arithmetic order is
-    * fixed (v/n/m*127 + 0.5, floor) so the DuckDB mirror is
-    * bit-identical. The RAW (un-normalized) storage variant of the same
-    * floor(x·127/scale + 0.5) trick lives in VectorQueries'
-    * `embedding_quantize` — change the rounding form in BOTH places.
+    * normalized vector's max |component| — the shared definitions live
+    * in [[VectorOps]] (norm/maxNormed/int8Code) so the inline queries
+    * here and the STORED codes in [[AnnIndex]] can never drift.
     */
-  private def normOf(c: Column): Column = sqrt(VectorOps.norm2(c))
-  private def maxNormed(c: Column, n: Column): Column =
-    aggregate(c, lit(0.0), (a, v) => greatest(a, abs(v.cast("double") / n)))
-  private def quantize(c: Column, n: Column, m: Column): Column =
-    transform(c, v => floor(v.cast("double") / n / m * lit(127.0) + lit(0.5)))
+  private def normOf(c: Column): Column = VectorOps.norm(c)
+  private def maxNormed(c: Column, n: Column): Column = VectorOps.maxNormed(c, n)
+  private def quantize(c: Column, n: Column, m: Column): Column = VectorOps.int8Code(c, n, m)
 
   val queries: Map[String, Q] = Map(
     // Int8-scored top-k — the memory-bound scoring path a 100 TB vector

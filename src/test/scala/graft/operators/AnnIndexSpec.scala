@@ -28,12 +28,17 @@ class AnnIndexSpec extends AnyFunSuite {
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
 
-    // 1. persisted == inline (the oracled query)
+    // 1. persisted == inline (the oracled queries) — both the cosine
+    //    path and the stored-int8-codes path
     AnnIndex.init(e, dir)
     assertSameTable(
       AnnIndex.search(spark, dir, queries, nprobe = 2, k = 3).orderBy("q_id", "rnk"),
       graft.SparkEntry.queries("ann_ivf_topk")(spark, d),
       "persisted vs inline IVF top-k")
+    assertSameTable(
+      AnnIndex.searchInt8(spark, dir, queries, nprobe = 2, k = 3).orderBy("q_id", "rnk"),
+      graft.SparkEntry.queries("ann_ivf_int8")(spark, d),
+      "stored-codes vs inline IVF int8 top-k")
 
     // 2. growing the index by a batch == rebuilding over the grown
     //    corpus, and the landing is retry-idempotent. The base corpus
