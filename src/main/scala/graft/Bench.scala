@@ -98,6 +98,12 @@ object Bench {
     val ts = java.time.Instant.now().toString
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,"queries":$qs,"sf":"$sfDir"}"""
+    // Short form for stdout: the driver keeps only a ~2KB tail of stdout, so
+    // the full 106-entry per-query map (~4KB) can never parse there — it
+    // lives in bench_history.jsonl instead (written below). Stdout carries
+    // just the summary (<200 bytes).
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,"nqueries":${results.size},"sf":"$sfDir"}"""
     // Full per-query record to a file too: the driver's stdout capture
     // truncates long tails, which made round-2 timings unrecoverable.
     try {
@@ -111,7 +117,7 @@ object Bench {
     spark.stop()
     // Printed after spark.stop() so the JSON is the final stdout line even if
     // shutdown emits anything — the driver parses the tail of stdout.
-    println(line)
+    println(shortLine)
     System.out.flush()
   }
 }

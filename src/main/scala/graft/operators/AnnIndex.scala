@@ -40,9 +40,17 @@ object AnnIndex {
     * Returns the tiny (c_id, cv) table.
     *
     * Same no-`rand()` discipline as CurationQueries: the seed set is
-    * the k vectors with the smallest `xxhash64(vec_id)` (a
+    * the k vectors with the smallest `md5("seed:" || vec_id)` (a
     * hash-deterministic pseudo-random sample — stable across runs,
-    * partitionings and cluster sizes). Each of the fixed `iters`
+    * partitionings and cluster sizes, and md5 exists in every engine so
+    * the whole training loop is oracle-expressible; `ann_recall_trained`
+    * replays it in DuckDB). Seed candidates are filtered to norm2 > 0
+    * and deduplicated on the embedding (keeping the smallest vec_id):
+    * a zero-norm seed has null cosine to every vector and a duplicate
+    * seed is tied with its twin for every vector — either way that cell
+    * never attracts members and the empty-cell carry-forward would keep
+    * the degenerate centroid for all `iters` rounds, silently shrinking
+    * effective k. Each of the fixed `iters`
     * rounds assigns every vector to its nearest centroid with the
     * SAME broadcast rounded-cosine argmax as [[assign]] (training and
     * serving can never disagree on the metric or tie-break), then
@@ -64,10 +72,13 @@ object AnnIndex {
     */
   def kmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
     graft.expressions.GraftFunctions.register(embeddings.sparkSession)
-    val hashOrd = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    def seedKey = md5(concat(lit("seed:"), col("vec_id").cast("string")).cast("binary"))
+    val hashOrd = Window.orderBy(seedKey, col("vec_id"))
     var cents = embeddings
       .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .filter(VectorOps.norm2(col("embedding")) > 0)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .orderBy(seedKey, col("vec_id")).limit(k)
       .select((row_number().over(hashOrd) - 1).cast("long").as("c_id"),
         col("embedding").as("cv"))
       .localCheckpoint()
@@ -109,8 +120,13 @@ object AnnIndex {
   /** Inverted-file rows with STORED int8 codes alongside the float
     * embedding: (vec_id, embedding, cell, pq, sp). A production vector
     * store ships the codes, not just the floats — the int8 search path
-    * then reads 4× fewer bytes per candidate and never touches the
-    * embedding column. Codes are null for zero-norm vectors (no valid
+    * then reads the codes and never touches the embedding column.
+    * Codes are stored as `array<tinyint>` (values are in [-127, 127]):
+    * 1 byte/component vs the 4-byte float embedding, so the byte-level
+    * 4× claim holds by LAYOUT, not just via parquet dictionary
+    * encoding (int8Code's floor() returns doubles — 8 bytes/component
+    * as produced, cast down here, widened back by the arithmetic in
+    * [[searchInt8]]). Codes are null for zero-norm vectors (no valid
     * code; the cosine path still carries the row). Same definitions as
     * the inline queries ([[graft.functions.VectorOps.int8Code]]), so
     * stored and inline ranking cannot drift.
@@ -119,7 +135,9 @@ object AnnIndex {
     assigned
       .withColumn("_pn", VectorOps.norm(col("embedding")))
       .withColumn("_pm", when(col("_pn") > 0, VectorOps.maxNormed(col("embedding"), col("_pn"))))
-      .withColumn("pq", when(col("_pn") > 0, VectorOps.int8Code(col("embedding"), col("_pn"), col("_pm"))))
+      .withColumn("pq", when(col("_pn") > 0,
+        transform(VectorOps.int8Code(col("embedding"), col("_pn"), col("_pm")),
+          v => v.cast("tinyint"))))
       .withColumn("sp", when(col("_pn") > 0, col("_pm") / lit(127.0)))
       .drop("_pn", "_pm")
 
@@ -193,7 +211,11 @@ object AnnIndex {
       full = false, extraPartitionCols = Seq("cell"))
   }
 
-  /** IVF search against the stored index. */
+  /** IVF search against the stored index. Zero-norm queries are kept
+    * and score NaN against every candidate (double 0/0) — see the
+    * [[searchInt8]] note for the documented divergence and the
+    * pre-filter callers should apply.
+    */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
@@ -210,10 +232,23 @@ object AnnIndex {
     * dynamically partition-pruned to the probed cells. Ranking is
     * identical to the inline `ann_ivf_int8` query — AnnIndexSpec pins
     * stored == inline.
+    *
+    * Zero-norm queries: this path DROPS them (a zero vector has no
+    * int8 code — `qn > 0` below, mirroring `ann_ivf_int8`'s inline
+    * filter), while the cosine [[search]] path carries them with NaN
+    * scores. The divergence is deliberate and documented rather than
+    * papered over: NaN ranks are garbage, so callers with possibly-
+    * zero queries should pre-filter on [[VectorOps.norm2]] for either
+    * path. An index written without stored codes fails here with an
+    * explicit message instead of an opaque missing-column error.
     */
   def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
                  nprobe: Int, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
+    val stored = spark.read.parquet(s"$dir/cells")
+    require(stored.columns.contains("pq") && stored.columns.contains("sp"),
+      s"AnnIndex.searchInt8: index at $dir has no stored int8 codes (pq/sp columns) — " +
+        "it predates code storage; re-run AnnIndex.init/addBatch (or retrain) to rebuild with codes")
     val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
     val q = probe(queries, cents, nprobe)
       .withColumn("qn", VectorOps.norm(col("qv"))).filter(col("qn") > 0)
@@ -221,7 +256,7 @@ object AnnIndex {
       .select(col("q_id"), col("cell"),
         VectorOps.int8Code(col("qv"), col("qn"), col("qm")).as("qq"),
         (col("qm") / lit(127.0)).as("sq"))
-    val cands = spark.read.parquet(s"$dir/cells")
+    val cands = stored
       .select("vec_id", "cell", "pq", "sp")
       .filter(col("pq").isNotNull)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))

@@ -194,20 +194,35 @@ object EventStreams {
         // partitions piecemeal — silent index corruption. A replay of
         // the current epoch legitimately sees its own partition
         // (max == batchId); anything beyond that is a stale-checkpoint
-        // signal, so fail loudly before writing. Answered from the
-        // PARTITION LISTING (one directory list, O(#batches)) — never
-        // by scanning the index data.
-        val fpPath = new org.apache.hadoop.fs.Path(s"$dedupDir/fp")
-        val maxExisting = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .listStatus(fpPath).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("batch_id="))
-          .map(_.stripPrefix("batch_id=").toLong)
-          .foldLeft(0L)(math.max)
-        require(maxExisting <= batchId,
-          s"indexMaintenanceRelay: index at $dedupDir already holds batch_id=$maxExisting " +
-            s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
-            "location than the one that built the index? Re-init the indexes or restore " +
-            "the original checkpoint directory")
+        // signal, so fail loudly before writing. BOTH index dirs are
+        // checked — the ANN dir can be from a different lineage (or
+        // ahead of the dedup index after a torn cycle + re-init of only
+        // one side), and a dedup-only check would let its old batch
+        // partitions be dynamic-overwritten piecemeal. Answered from
+        // the PARTITION LISTING (one directory list per index,
+        // O(#batches)) — never by scanning the index data. A missing
+        // dir is an explicit not-initialized error, not a raw
+        // FileNotFoundException from listStatus.
+        def maxLandedBatch(dir: String, initHint: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(fs.exists(p),
+            s"indexMaintenanceRelay: index table $dir does not exist — " +
+              s"index not initialized; run $initHint first")
+          fs.listStatus(p).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch_id="))
+            .map(_.stripPrefix("batch_id=").toLong)
+            .foldLeft(0L)(math.max)
+        }
+        Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init",
+          s"$annDir/cells" -> "AnnIndex.init").foreach { case (tbl, hint) =>
+          val maxExisting = maxLandedBatch(tbl, hint)
+          require(maxExisting <= batchId,
+            s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
+              s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
+              "location than the one that built the index? Re-init the indexes or restore " +
+              "the original checkpoint directory")
+        }
         val survivors = graft.operators.DedupIndex
           .dedupBatch(spark, dedupDir, batch, batchId)
           .localCheckpoint() // one materialized derivation feeds both index writes
