@@ -131,7 +131,7 @@ object AnnIndex {
     * the inline queries ([[graft.functions.VectorOps.int8Code]]), so
     * stored and inline ranking cannot drift.
     */
-  private def withCodes(assigned: DataFrame): DataFrame =
+  private[operators] def withCodes(assigned: DataFrame): DataFrame =
     assigned
       .withColumn("_pn", VectorOps.norm(col("embedding")))
       .withColumn("_pm", when(col("_pn") > 0, VectorOps.maxNormed(col("embedding"), col("_pn"))))
@@ -270,4 +270,93 @@ object AnnIndex {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
   }
+
+  /** RETRAIN the coarse quantizer on the corpus the index actually
+    * holds and rebuild the inverted file against it — the lifecycle
+    * answer to distribution drift: [[addBatch]] assigns every new batch
+    * against FROZEN centroids, so as the corpus drifts away from the
+    * training distribution, cells unbalance and recall (the number
+    * `ann_recall` / [[recallAudit]] measures) degrades; retraining is
+    * the fix, and [[retrainIfDrifted]] is the documented trigger.
+    *
+    * Equivalent to `init(storedVectors, dir, Some(kmeans(storedVectors)))`
+    * on the merged corpus (AnnRetrainSpec pins the equality), but
+    * executed crash-safe against the LIVE index: both tables are
+    * rewritten via write-then-swap ([[graft.BatchSink.replaceTable]] —
+    * the source table stays intact until its replacement is fully
+    * committed), cells first, then centroids. A crash between the two
+    * swaps leaves cells assigned by centroids that aren't stored yet —
+    * an inconsistent but fully recoverable state: re-running retrain
+    * re-derives the SAME centroids (k-means is hash-seeded and
+    * deterministic, and the vector SET in cells is unchanged by
+    * re-assignment) and completes the swap. Like compaction, retrain
+    * folds batch history into batch 0, so run it only on a quiesced
+    * index (no in-flight addBatch / streaming batch — same contract as
+    * [[graft.BatchSink.compact]]).
+    */
+  def retrain(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 5): Unit = {
+    graft.expressions.GraftFunctions.register(spark)
+    graft.BatchSink.recoverSwap(spark, s"$dir/cells")
+    graft.BatchSink.recoverSwap(spark, s"$dir/centroids")
+    val stored = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding")
+    val cents = kmeans(stored, k, iters) // localCheckpointed — survives the cells swap
+    graft.BatchSink.replaceTable(withCodes(assign(stored, cents)), s"$dir/cells", Seq("cell"))
+    graft.BatchSink.replaceTable(cents, s"$dir/centroids")
+  }
+
+  /** recall@k of the stored index against the exact brute-force top-k
+    * over the same stored corpus, per query id — the production drift
+    * monitor: sample queries, compare the index's answer to the exact
+    * scan's. One extra corpus pass per audit (that's what an audit IS),
+    * run on a sampled query set at a monitoring cadence, never on the
+    * serving path.
+    */
+  def recallAudit(spark: SparkSession, dir: String, queries: DataFrame,
+                  nprobe: Int, k: Int = 3): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val stored = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
+    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
+    val approx = searchAssigned(stored, probe(queries, cents, nprobe), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val truth = stored.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val hits = approx.select("q_id", "vec_id")
+      .join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    queries.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
+
+  /** THE recall-threshold retrain trigger: audit the stored index with
+    * the given sample queries and retrain iff mean recall@k fell below
+    * `minRecall`. Returns whether a retrain ran. The one-row mean
+    * aggregate is the only driver-side value (the decision itself —
+    * same class as dedup_clusters' convergence count).
+    */
+  def retrainIfDrifted(spark: SparkSession, dir: String, queries: DataFrame,
+                       nprobe: Int, minRecall: Double,
+                       k: Int = 16, iters: Int = 5): Boolean = {
+    val mean = recallAudit(spark, dir, queries, nprobe)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    val drifted = mean < minRecall
+    if (drifted) retrain(spark, dir, k, iters)
+    drifted
+  }
+
+  /** Fold all `batch_id=N/cell=M` partitions of the inverted file into
+    * batch 0 — small-file hygiene for a long-running ingest (#batches ×
+    * #cells parquet leaves otherwise). Crash-safe write-then-swap; see
+    * [[graft.BatchSink.compact]] for the quiescence contract. The
+    * centroids table is always a single batch-0 write (init/retrain
+    * only), so only the cells table needs folding.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    graft.BatchSink.compact(spark, s"$dir/cells", Seq("cell"))
 }

@@ -119,4 +119,18 @@ object DedupIndex {
     graft.BatchSink.writeBatch(fingerprints(accepted), batchId, s"$dir/fp", full = false)
     graft.BatchSink.writeBatch(bandRows(accepted), batchId, s"$dir/bands", full = false)
   }
+
+  /** Fold all batch partitions of both tables into batch 0 — small-file
+    * hygiene after many accepted batches. Crash-safe write-then-swap
+    * ([[graft.BatchSink.compact]]). QUIESCENCE MATTERS MORE HERE than
+    * for the ANN tables: the batch-pinned reader (`dedupBatch(...,
+    * batchId)` reads `batch_id < batchId`) relies on batch history for
+    * whole-cycle crash-retry idempotency, and compaction rewrites that
+    * history — so compact only when no batch can be retried (stream
+    * stopped with its checkpoint committed, or between batch jobs).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    graft.BatchSink.compact(spark, s"$dir/fp")
+    graft.BatchSink.compact(spark, s"$dir/bands")
+  }
 }

@@ -89,8 +89,14 @@ class LshScaleSpec extends AnyFunSuite {
     def messageChain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
         .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    // the guard consumes a PRECOMPUTED stats table (persisted at index
+    // accept time — AnnLshIndexSpec covers the stored form; here it is
+    // recomputed inline), never a per-query corpus re-aggregation
+    val e = Tables.embeddings(spark, d)
+    val stats = AnnQueries.bucketStats(
+      e.withColumn("sig", AnnQueries.signatureUdf(8)(col("embedding"))))
     val ex = intercept[Throwable] {
-      AnnQueries.lshNearDup(Tables.embeddings(spark, d), maxBucket = 1).count()
+      AnnQueries.lshNearDup(e, maxBucket = 1, stats = Some(stats)).count()
     }
     assert(messageChain(ex).exists(_.contains("scale numPlanes")),
       s"guard fired without the numPlanes hint: ${messageChain(ex)}")
