@@ -208,6 +208,16 @@ object AnnQueries {
     // scan, alert when recall drifts (the signal that the quantizer
     // needs retraining or the plane count needs raising).
     "ann_recall" -> ((s, d) => annRecall(s, d)),
+    // Recall audit of the TRAINED quantizer (VERDICT r5 #5): the same
+    // hash-gated recall@3 as `ann_recall`'s IVF row, but with centroids
+    // from the full deterministic k-means loop ([[AnnIndex.kmeans]] —
+    // md5-hash-seeded, fixed 5 Lloyd's rounds, empty-cell
+    // carry-forward), replayed END TO END in the DuckDB oracle
+    // (seeding, per-round assignment, mean/normalize/float-cast,
+    // carry-forward). A kmeans regression now fails the DRIVER gate,
+    // not just AnnKMeansSpec; at sf0.01 the trained recall (0.467)
+    // roughly doubles the stand-in's 0.233 from `ann_recall`.
+    "ann_recall_trained" -> ((s, d) => annRecallTrained(s, d)),
     // Hybrid retrieval: BM25(k1=1.2, b=0.75) over fixed query terms +
     // dense cosine, fused by RRF (1/(60+rank)).
     "hybrid_bm25_rrf" -> ((s, d) => {
@@ -311,6 +321,21 @@ object AnnQueries {
     recallRows("ivf", ivfApprox, exactTop3(qIvf, e), qIvf)
       .unionByName(recallRows("lsh", lshApprox, exactTop3(qLsh, e.filter(col("vec_id") >= 20)), qLsh))
       .orderBy("method", "q_id")
+  }
+
+  /** recall@3 of the IVF path under the TRAINED coarse quantizer
+    * (default k=16, iters=5 [[AnnIndex.kmeans]]), queries vec_id<10
+    * over the whole corpus minus self — the trained-path counterpart of
+    * [[annRecall]]'s `ivf` rows.
+    */
+  def annRecallTrained(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cents = AnnIndex.kmeans(e)
+    val approx = AnnIndex.searchAssigned(
+      AnnIndex.assign(e, cents), AnnIndex.probe(q, cents, nprobe = 2), k = 3)
+    recallRows("ivf_trained", approx, exactTop3(q, e), q).orderBy("method", "q_id")
   }
 
   /** Per-signature bucket histogram of a signed relation — computed ONCE
@@ -469,6 +494,42 @@ object AnnQueries {
   private def quantSql(a: String, n: String, m: String): String =
     s"[floor(CAST($a[i+1] AS DOUBLE) / $n / $m * 127.0 + 0.5) for i in range($Dim)]"
 
+  /** The DuckDB replay of [[AnnIndex.kmeans]] (k, iters) as a CTE chain
+    * ending in `cents<iters>` (c_id, cv) — seeding (norm-filtered,
+    * embedding-deduped, md5-ordered), per-round rounded-cosine argmax
+    * assignment, per-cell mean, L2-normalize + FLOAT cast, empty-cell
+    * carry-forward. Prototyped against all three scales in
+    * tools/proto_kmeans.py. Stage-for-stage the same dataflow as the
+    * Scala; the only cross-engine risk is double-summation order in the
+    * per-cell means, which the float cast absorbs (analysis in
+    * PLANS.md round-6).
+    */
+  private def kmeansCtes(k: Int, iters: Int): (String, String) = {
+    val norm2 = VectorSql.dot("embedding", "embedding", Dim)
+    val head = Seq(
+      s"cand AS (SELECT min(vec_id) AS vec_id, embedding FROM embeddings WHERE $norm2 > 0 GROUP BY embedding)",
+      "seed AS (SELECT CAST(row_number() OVER (ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS c_id, " +
+        "embedding AS cv FROM cand)",
+      s"cents0 AS (SELECT c_id, cv FROM seed WHERE c_id < $k)")
+    val rounds = (1 to iters).flatMap { r =>
+      val p = s"cents${r - 1}"
+      Seq(
+        s"asg$r AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+          "SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+          s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+          s"FROM embeddings e CROSS JOIN $p c) WHERE rn = 1)",
+        s"pm$r AS (SELECT cell, i, avg(CAST(embedding[i+1] AS DOUBLE)) AS m " +
+          s"FROM asg$r CROSS JOIN range($Dim) t(i) GROUP BY cell, i)",
+        s"mv$r AS (SELECT cell AS c_id, list(m ORDER BY i) AS mv FROM pm$r GROUP BY cell)",
+        s"nm$r AS (SELECT c_id, mv, sqrt(${VectorSql.dot("mv", "mv", Dim)}) AS n FROM mv$r)",
+        s"up$r AS (SELECT c_id, CASE WHEN n > 0 THEN [CAST(mv[i+1]/n AS FLOAT) for i in range($Dim)] " +
+          s"ELSE [CAST(mv[i+1] AS FLOAT) for i in range($Dim)] END AS cv_new FROM nm$r)",
+        s"cents$r AS (SELECT c.c_id, coalesce(u.cv_new, c.cv) AS cv " +
+          s"FROM cents${r - 1} c LEFT JOIN up$r u USING (c_id))")
+    }
+    ((head ++ rounds).mkString(", "), s"cents$iters")
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_int8_topk" ->
       (s"WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
@@ -602,6 +663,30 @@ object AnnQueries {
         "SELECT 'lsh', q.q_id, coalesce(lh.hits, 0), round(coalesce(lh.hits, 0) / 3.0, 6) " +
         "FROM qs20 q LEFT JOIN lh ON q.q_id = lh.q_id " +
         "ORDER BY method, q_id"),
+    "ann_recall_trained" -> {
+      val (ctes, cents) = kmeansCtes(16, 5)
+      (s"WITH $ctes, " +
+        "qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "asgf AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+        "SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        s"FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1), " +
+        "probes AS (SELECT q_id, qv, c_id AS cell FROM (" +
+        "SELECT q.q_id, q.qv, c.c_id, CAST(row_number() OVER (PARTITION BY q.q_id " +
+        s"ORDER BY ${cos("q.qv", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        s"FROM qs q CROSS JOIN $cents c) WHERE rn <= 2), " +
+        "ivf AS (SELECT q_id, vec_id FROM (SELECT p.q_id, a.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY p.q_id ORDER BY ${cos("a.embedding", "p.qv")} DESC, a.vec_id) AS INT) AS rnk " +
+        "FROM asgf a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.q_id) WHERE rnk <= 3), " +
+        "truth AS (SELECT q_id, vec_id FROM (SELECT q.q_id, e2.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY q.q_id ORDER BY ${cos("e2.embedding", "q.qv")} DESC, e2.vec_id) AS INT) AS rnk " +
+        "FROM embeddings e2 CROSS JOIN qs q WHERE e2.vec_id <> q.q_id) WHERE rnk <= 3), " +
+        "h AS (SELECT a.q_id, count(*) AS hits FROM ivf a JOIN truth t " +
+        "ON a.q_id = t.q_id AND a.vec_id = t.vec_id GROUP BY 1) " +
+        "SELECT 'ivf_trained' AS method, q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, " +
+        "round(coalesce(h.hits, 0) / 3.0, 6) AS recall3 " +
+        "FROM qs q LEFT JOIN h ON q.q_id = h.q_id ORDER BY method, q.q_id")
+    },
     "hybrid_bm25_rrf" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), " +
         "tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, " +

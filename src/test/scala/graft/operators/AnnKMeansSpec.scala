@@ -81,6 +81,19 @@ class AnnKMeansSpec extends AnyFunSuite {
     assert(maxDiff < 1e-6, s"centroids drifted across runs: $maxDiff")
   }
 
+  test("oracled ann_recall_trained beats the stand-in's ann_recall ivf rows (sf0.01)") {
+    // the driver-gated rows, compared at the gate's own scale: a kmeans
+    // regression must now fail CORRECTNESS, not just this suite
+    val d01 = "/root/testdata/sf0.01"
+    def meanRecall(df: org.apache.spark.sql.DataFrame, method: String): Double =
+      df.filter(col("method") === method).agg(avg(col("recall3"))).head().getDouble(0)
+    val trained = meanRecall(graft.SparkEntry.queries("ann_recall_trained")(spark, d01), "ivf_trained")
+    val standIn = meanRecall(graft.SparkEntry.queries("ann_recall")(spark, d01), "ivf")
+    info(f"sf0.01 recall@3 nprobe=2: stand-in $standIn%.3f vs trained $trained%.3f")
+    assert(trained >= standIn,
+      f"trained quantizer recall must be at least the stand-in's: $trained%.3f !>= $standIn%.3f")
+  }
+
   test("kmeans output drops into AnnIndex.init's quantizer seam") {
     val e = Tables.embeddings(spark, d)
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-kmeans").toString
