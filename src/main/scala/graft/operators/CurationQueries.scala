@@ -132,6 +132,43 @@ object CurationQueries {
         .filter(col("shared_shingles") >= 5)
         .orderBy("test_doc", "train_doc")
     }),
+    // The df-cap's blind spot, made visible (ADVICE r5): a test doc
+    // duplicated VERBATIM across more than ContaminationDfCap train
+    // docs has every shingle over the cap — contamination_check reports
+    // zero overlap exactly when the leak is worst. This companion audit
+    // closes that hole per test doc, with two linear (never pairwise)
+    // measures: exact_train_dups — train docs sharing the doc's md5
+    // content fingerprint (catches verbatim mass duplication however
+    // high the df); dropped_shingles vs total_shingles — how much of
+    // the doc's shingle mass the cap silenced, so a doc whose overlap
+    // was capped away shows a loud dropped-mass number instead of a
+    // silent zero. Both joins are keyed on fp / shingle (df table is
+    // corpus-linear); no doc×doc space anywhere.
+    "contamination_mass" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("bucket", hashBucket(col("doc_id")))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      val sh = base
+        .select(col("doc_id"), col("split"), explode(TextOps.shingles3Udf(col("text"))).as("sh"))
+      val dfx = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val testSh = sh.filter(col("split") === "test")
+        .join(dfx, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total_shingles"),
+          sum(when(col("df") > ContaminationDfCap, 1L).otherwise(0L)).as("dropped_shingles"))
+      val fps = base.select(col("doc_id"), col("split"), md5(col("text").cast("binary")).as("fp"))
+      val trainFp = fps.filter(col("split") === "train")
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_train"))
+      fps.filter(col("split") === "test")
+        .join(trainFp, Seq("fp"), "left")
+        .select(col("doc_id"), coalesce(col("n_train"), lit(0L)).as("exact_train_dups"))
+        .join(testSh, Seq("doc_id"), "left")
+        .select(col("doc_id").as("test_doc"), col("exact_train_dups"),
+          coalesce(col("dropped_shingles"), lit(0L)).as("dropped_shingles"),
+          coalesce(col("total_shingles"), lit(0L)).as("total_shingles"))
+        .orderBy("test_doc")
+    }),
     // PII scrubbing: regex redaction of emails / phone numbers — the
     // pre-training privacy pass. The word-salad corpus has no organic
     // PII, so the query plants deterministic doc-derived PII in a
@@ -390,6 +427,24 @@ object CurationQueries {
         "FROM (SELECT * FROM shr WHERE split = 'test') t " +
         "JOIN (SELECT * FROM shr WHERE split = 'train') r ON t.sh = r.sh " +
         "GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY test_doc, train_doc"),
+    "contamination_mass" ->
+      (s"WITH base AS (SELECT doc_id, text, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+        s"FROM (SELECT doc_id, text, $bucketSql AS b FROM documents)), " +
+        "sh AS (SELECT doc_id, split, unnest(shs) AS sh FROM (SELECT doc_id, split, " +
+        s"${graft.functions.TextSql.shingles("toks")} AS shs FROM " +
+        s"(SELECT doc_id, split, ${graft.functions.TextSql.tokens("text")} AS toks FROM base))), " +
+        "dfx AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh), " +
+        "ts AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS total_shingles, " +
+        s"CAST(coalesce(sum(CASE WHEN d.df > $ContaminationDfCap THEN 1 ELSE 0 END), 0) AS BIGINT) AS dropped_shingles " +
+        "FROM sh s JOIN dfx d ON s.sh = d.sh WHERE s.split = 'test' GROUP BY 1), " +
+        "fps AS (SELECT doc_id, split, md5(text) AS fp FROM base), " +
+        "tf AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_train FROM fps WHERE split = 'train' GROUP BY 1), " +
+        "ex AS (SELECT f.doc_id, CAST(coalesce(max(t.n_train), 0) AS BIGINT) AS exact_train_dups " +
+        "FROM fps f LEFT JOIN tf t ON f.fp = t.fp WHERE f.split = 'test' GROUP BY 1) " +
+        "SELECT ex.doc_id AS test_doc, ex.exact_train_dups, " +
+        "CAST(coalesce(ts.dropped_shingles, 0) AS BIGINT) AS dropped_shingles, " +
+        "CAST(coalesce(ts.total_shingles, 0) AS BIGINT) AS total_shingles " +
+        "FROM ex LEFT JOIN ts ON ex.doc_id = ts.doc_id ORDER BY test_doc"),
     "zorder_layout" ->
       (s"WITH dims AS (SELECT doc_id, least(n_chars, 1023) AS a, " +
         s"least(CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT), 1023) AS b " +

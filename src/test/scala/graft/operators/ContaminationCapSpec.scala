@@ -61,4 +61,43 @@ class ContaminationCapSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == stockTest),
       s"stock-phrase-only overlap must be capped away, got: ${out.filter(_._1 == stockTest)}")
   }
+
+  test("mass-duplicated verbatim leak is invisible to the cap but loud in contamination_mass") {
+    // ADVICE r5: a test doc duplicated verbatim across > cap train docs
+    // has EVERY shingle over the cap — contamination_check reports zero
+    // exactly when the leak is worst. contamination_mass must surface it
+    // via the fp containment count AND a full dropped-shingle mass.
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 300L)
+    val testIds = ids.filter(bucket(_) >= 90)
+    val trainIds = ids.filter(bucket(_) < 80)
+    assert(testIds.size >= 1 && trainIds.size >= 25)
+    val massTest = testIds.head
+    val massTrains = trainIds.take(25).toSet
+    val massText = "mass duplicated leak text appears verbatim in twenty five train documents"
+    val rows = ids.map { id =>
+      val text =
+        if (id == massTest || massTrains.contains(id)) massText
+        else s"filler$id pad$id alpha$id beta$id gamma$id delta$id epsilon$id zeta$id"
+      (id, s"src$id", "en", text.length.toLong, text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam-mass").toString
+    rows.toDF("doc_id", "source", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // the capped pairwise check is blind to it...
+    val pairs = graft.SparkEntry.queries("contamination_check")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("test_doc") === massTest).count()
+    assert(pairs === 0L, "every shingle is over the cap, the pair check must report nothing")
+    // ...but the mass audit names both the fp containment and the
+    // silenced shingle mass
+    val row = graft.SparkEntry.queries("contamination_mass")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("test_doc") === massTest)
+      .select("exact_train_dups", "dropped_shingles", "total_shingles")
+      .head()
+    assert(row.getLong(0) === 25L, s"fp containment must count the 25 verbatim train copies: $row")
+    assert(row.getLong(1) === row.getLong(2) && row.getLong(2) > 0L,
+      s"the whole shingle mass was capped away and must be reported as dropped: $row")
+  }
 }
