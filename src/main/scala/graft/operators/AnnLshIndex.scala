@@ -152,6 +152,49 @@ object AnnLshIndex {
       .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))
   }
 
+  /** int8-scored LSH search against the STORED codes — same
+    * memory-bound read path as [[AnnIndex.searchInt8]]: candidates in
+    * the probed buckets are ranked by the exact integer dot of the
+    * stored tinyint `pq` codes rescaled by `sp` and the query's scale,
+    * reading 1-byte components and never the embedding column (pruned
+    * at the scan), still sigp-partition-pruned. Zero-norm queries are
+    * dropped (no valid code — the same documented divergence as the
+    * IVF pair); an index without stored codes fails with an explicit
+    * message. AnnLshIndexSpec pins the ranking equal to the same int8
+    * formula computed inline from the raw embeddings.
+    */
+  def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
+                 k: Int, nProbes: Int = 1, maxBucket: Int = 4096): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val np = numPlanes(spark, dir)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    require(stored.columns.contains("pq") && stored.columns.contains("sp"),
+      s"AnnLshIndex.searchInt8: index at $dir has no stored int8 codes (pq/sp columns) — " +
+        "it predates code storage; re-run AnnLshIndex.init/addBatch to rebuild with codes")
+    val probes = AnnQueries.guardWithStats(
+      queries
+        .withColumn("qn", VectorOps.norm(col("qv"))).filter(col("qn") > 0)
+        .withColumn("qm", VectorOps.maxNormed(col("qv"), col("qn")))
+        .select(col("q_id"),
+          explode(AnnQueries.probeSigsUdf(np, nProbes)(col("qv"))).as("sig"),
+          VectorOps.int8Code(col("qv"), col("qn"), col("qm")).as("qq"),
+          (col("qm") / lit(127.0)).as("sq"))
+        .withColumn("sigp", sigPrefix(col("sig"))),
+      stats(spark, dir), maxBucket)
+    val cands = stored.select("vec_id", "sig", "sigp", "pq", "sp")
+      .filter(col("pq").isNotNull)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))
+    cands.join(broadcast(probes), Seq("sigp", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("idot",
+        aggregate(zip_with(col("pq"), col("qq"), (a, b) => a * b), lit(0L), (a, v) => a + v)
+          .cast("long"))
+      .withColumn("score8", round(col("idot").cast("double") * col("sp") * col("sq"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
+  }
+
   /** Raise the index's plane count IN PLACE: re-sign the stored
     * embeddings with `newNumPlanes` and rewrite vectors → stats → meta.
     * The nesting property makes this a pure REFINEMENT — every new

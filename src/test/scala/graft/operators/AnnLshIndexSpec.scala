@@ -98,6 +98,59 @@ class AnnLshIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nest"))
   }
 
+  test("searchInt8 == the same int8 ranking computed inline from raw embeddings") {
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    val dir = tmp("graft-lsh-int8")
+    val e = Tables.embeddings(spark, d)
+    AnnLshIndex.init(e.filter(col("vec_id") >= 20), dir)
+    val stored = AnnLshIndex.searchInt8(spark, dir, queries(e), k = 3, nProbes = 2)
+      .orderBy("q_id", "rnk")
+    // inline reference: sign + probe with the same UDFs, rank by the
+    // same integer dot over codes derived from the raw embeddings
+    val cands = e.filter(col("vec_id") >= 20)
+      .withColumn("sig", AnnQueries.signatureUdf()(col("embedding")))
+      .withColumn("pn", VectorOps.norm(col("embedding"))).filter(col("pn") > 0)
+      .withColumn("pm", VectorOps.maxNormed(col("embedding"), col("pn")))
+      .select(col("vec_id"), col("sig"),
+        VectorOps.int8Code(col("embedding"), col("pn"), col("pm")).as("pq"),
+        (col("pm") / lit(127.0)).as("sp"))
+    val probes = queries(e)
+      .withColumn("qn", VectorOps.norm(col("qv"))).filter(col("qn") > 0)
+      .withColumn("qm", VectorOps.maxNormed(col("qv"), col("qn")))
+      .select(col("q_id"),
+        explode(AnnQueries.probeSigsUdf(AnnQueries.NumPlanes, 2)(col("qv"))).as("sig"),
+        VectorOps.int8Code(col("qv"), col("qn"), col("qm")).as("qq"),
+        (col("qm") / lit(127.0)).as("sq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))
+    val inline = cands.join(broadcast(probes), Seq("sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("idot",
+        aggregate(zip_with(col("pq"), col("qq"), (a, b) => a * b), lit(0L), (a, v) => a + v)
+          .cast("long"))
+      .withColumn("score8", round(col("idot").cast("double") * col("sp") * col("sq"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
+      .orderBy("q_id", "rnk")
+    assertSameTable(stored, inline, "stored-codes vs inline int8 LSH ranking")
+    assert(stored.count() > 0)
+  }
+
+  test("searchInt8 on a codeless index fails with the explicit rebuild message") {
+    val dir = tmp("graft-lsh-nocodes")
+    val e = Tables.embeddings(spark, d)
+    AnnLshIndex.init(e, dir)
+    // simulate a pre-code-storage index: rewrite vectors without pq/sp
+    val stripped = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "embedding", "sig", "sigp").localCheckpoint()
+    graft.BatchSink.replaceTable(stripped, s"$dir/vectors", Seq("sigp"))
+    val ex = intercept[IllegalArgumentException] {
+      AnnLshIndex.searchInt8(spark, dir, queries(e), k = 3)
+    }
+    assert(ex.getMessage.contains("no stored int8 codes"))
+  }
+
   test("search scan is dynamically pruned to the probed sigp partitions") {
     val dir = tmp("graft-lsh-dpp")
     val e = Tables.embeddings(spark, d)
