@@ -211,6 +211,16 @@ object AnnIndex {
       full = false, extraPartitionCols = Seq("cell"))
   }
 
+  /** Self-healing store read: promote a torn write-then-swap
+    * (crash mid-[[retrain]]/[[compact]]) before the table is opened, so
+    * readers after ANY crash window see a complete table. One FS
+    * metadata probe per table when nothing is torn.
+    */
+  private def readHealed(spark: SparkSession, path: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, path)
+    spark.read.parquet(path)
+  }
+
   /** IVF search against the stored index. Zero-norm queries are kept
     * and score NaN against every candidate (double 0/0) — see the
     * [[searchInt8]] note for the documented divergence and the
@@ -219,8 +229,8 @@ object AnnIndex {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
-    val assigned = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
+    val cents = readHealed(spark, s"$dir/centroids").select("c_id", "cv")
+    val assigned = readHealed(spark, s"$dir/cells").select("vec_id", "embedding", "cell")
     searchAssigned(assigned, probe(queries, cents, nprobe), k)
   }
 
@@ -245,11 +255,11 @@ object AnnIndex {
   def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
                  nprobe: Int, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val stored = spark.read.parquet(s"$dir/cells")
+    val stored = readHealed(spark, s"$dir/cells")
     require(stored.columns.contains("pq") && stored.columns.contains("sp"),
       s"AnnIndex.searchInt8: index at $dir has no stored int8 codes (pq/sp columns) — " +
         "it predates code storage; re-run AnnIndex.init/addBatch (or retrain) to rebuild with codes")
-    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
+    val cents = readHealed(spark, s"$dir/centroids").select("c_id", "cv")
     val q = probe(queries, cents, nprobe)
       .withColumn("qn", VectorOps.norm(col("qv"))).filter(col("qn") > 0)
       .withColumn("qm", VectorOps.maxNormed(col("qv"), col("qn")))
@@ -314,8 +324,8 @@ object AnnIndex {
   def recallAudit(spark: SparkSession, dir: String, queries: DataFrame,
                   nprobe: Int, k: Int = 3): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val stored = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding", "cell")
-    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
+    val stored = readHealed(spark, s"$dir/cells").select("vec_id", "embedding", "cell")
+    val cents = readHealed(spark, s"$dir/centroids").select("c_id", "cv")
     val approx = searchAssigned(stored, probe(queries, cents, nprobe), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     val truth = stored.crossJoin(broadcast(queries))

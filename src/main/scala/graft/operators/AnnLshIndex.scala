@@ -113,9 +113,11 @@ object AnnLshIndex {
     * plane-count monitoring read. Index-sized metadata, not a corpus
     * scan.
     */
-  def stats(spark: SparkSession, dir: String): DataFrame =
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/stats")
     spark.read.parquet(s"$dir/stats")
       .groupBy(col("sig")).agg(sum(col("n")).cast("long").as("n"))
+  }
 
   /** Multi-probe LSH search against the stored index. Same probe set,
     * scoring and rank as the inline [[AnnQueries.lshTopKMultiProbe]]
@@ -140,6 +142,7 @@ object AnnLshIndex {
           explode(AnnQueries.probeSigsUdf(np, nProbes)(col("qv"))).as("sig"))
         .withColumn("sigp", sigPrefix(col("sig"))),
       stats(spark, dir), maxBucket)
+    graft.BatchSink.recoverSwap(spark, s"$dir/vectors")
     val cands = spark.read.parquet(s"$dir/vectors")
       .select("vec_id", "embedding", "sig", "sigp")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
@@ -167,6 +170,7 @@ object AnnLshIndex {
                  k: Int, nProbes: Int = 1, maxBucket: Int = 4096): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val np = numPlanes(spark, dir)
+    graft.BatchSink.recoverSwap(spark, s"$dir/vectors")
     val stored = spark.read.parquet(s"$dir/vectors")
     require(stored.columns.contains("pq") && stored.columns.contains("sp"),
       s"AnnLshIndex.searchInt8: index at $dir has no stored int8 codes (pq/sp columns) — " +

@@ -154,10 +154,11 @@ object EventStreams {
     * corpus lifecycle (IngestLifecycleSpec's batch shape) — every
     * arriving micro-batch of documents is deduped against the two
     * persisted indexes, the survivors are accepted into the dedup index
-    * ([[graft.operators.DedupIndex]]), embedded through the real
+    * ([[graft.operators.DedupIndex]]), embedded ONCE through the real
     * [[IngestPipeline.embedStage]], and landed in the ANN inverted file
-    * ([[graft.operators.AnnIndex]]) — so BOTH indexes stay current with
-    * the stream, transactionally.
+    * ([[graft.operators.AnnIndex]]) — and, when `lshDir` is set, in the
+    * persisted LSH index ([[graft.operators.AnnLshIndex]]) too — so
+    * every index stays current with the stream, transactionally.
     *
     * Exactly-once: foreachBatch may replay an epoch after a crash
     * anywhere between the two index writes. The dedup read is PINNED to
@@ -178,7 +179,8 @@ object EventStreams {
       checkpointDir: String,
       provider: EmbeddingProvider = new HashProjectionEmbedder(64),
       maxFilesPerTrigger: Option[Int] = None,
-      betweenSinks: Long => Unit = _ => ()): StreamingQuery = {
+      betweenSinks: Long => Unit = _ => (),
+      lshDir: Option[String] = None): StreamingQuery = {
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
@@ -214,8 +216,9 @@ object EventStreams {
             .map(_.stripPrefix("batch_id=").toLong)
             .foldLeft(0L)(math.max)
         }
-        Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init",
-          s"$annDir/cells" -> "AnnIndex.init").foreach { case (tbl, hint) =>
+        (Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init",
+          s"$annDir/cells" -> "AnnIndex.init") ++
+          lshDir.map(l => s"$l/vectors" -> "AnnLshIndex.init")).foreach { case (tbl, hint) =>
           val maxExisting = maxLandedBatch(tbl, hint)
           require(maxExisting <= batchId,
             s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
@@ -231,7 +234,12 @@ object EventStreams {
         val vectors = IngestPipeline.embedStage(
             survivors.select(col("doc_id"), col("text").as("embedded_text")), provider)
           .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint() // one embed pass feeds every index write
         graft.operators.AnnIndex.addBatch(spark, vectors, annDir, batchId)
+        // the optional third index: same batch id, same idempotent
+        // partition overwrite — a replay after a crash between the IVF
+        // and LSH adds heals the tear exactly like the dedup/IVF pair
+        lshDir.foreach(l => graft.operators.AnnLshIndex.addBatch(spark, vectors, l, batchId))
       }
       .start()
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{AnnIndex, DedupIndex}
+import graft.operators.{AnnIndex, AnnLshIndex, DedupIndex}
 import graft.operators.TableAssertions.assertSameTable
 import graft.pipeline.{IngestPipeline, SparkTestSession}
 import org.apache.spark.sql.DataFrame
@@ -33,7 +33,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
     val in = s"$tmp/in"; val dedupDir = s"$tmp/dedup"; val annDir = s"$tmp/ann"
-    val cp = s"$tmp/cp"
+    val lshDir = s"$tmp/lsh"; val cp = s"$tmp/cp"
 
     // init both indexes from a 3-doc corpus (batch 0)
     val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
@@ -42,6 +42,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     DedupIndex.init(corpusA, dedupDir)
     val embA = embedOf(corpusA)
     AnnIndex.init(embA, annDir, quantizer = Some(AnnIndex.kmeans(embA, k = 2, iters = 2)))
+    AnnLshIndex.init(embA, lshDir)
 
     // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
     // the initial corpus + one WITHIN-batch dup of the new doc (must
@@ -63,7 +64,7 @@ class StreamingIndexSpec extends AnyFunSuite {
 
     // run 1: crash between batch 1's two index writes
     val q1 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
-      maxFilesPerTrigger = Some(1),
+      maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
       betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q1.processAllAvailable()
@@ -75,7 +76,7 @@ class StreamingIndexSpec extends AnyFunSuite {
 
     // run 2: same checkpoint, no chaos — batch 1 replays, batch 2 runs
     val q2 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1), lshDir = Some(lshDir))
     try q2.processAllAvailable() finally q2.stop()
 
     // survivors: doc 10 (batch 1) and doc 20 (batch 2); dups 11 and 21
@@ -96,11 +97,24 @@ class StreamingIndexSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(hits.contains(20L), s"search must see streamed doc 20 (got $hits)")
 
+    // the third index rode the same lifecycle: stored LSH vectors ==
+    // a from-scratch rebuild over the grown corpus, and its search
+    // sees the streamed-in vector too
+    val rebuiltLsh = s"$tmp/lsh-rebuilt"
+    AnnLshIndex.init(embedOf(grown), rebuiltLsh)
+    assertSameTable(
+      spark.read.parquet(s"$lshDir/vectors").select("vec_id", "sig", "sigp", "pq", "sp"),
+      spark.read.parquet(s"$rebuiltLsh/vectors").select("vec_id", "sig", "sigp", "pq", "sp"),
+      "streamed LSH index vs rebuild")
+    val lshHits = AnnLshIndex.search(spark, lshDir, query, k = 2, nProbes = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lshHits.contains(20L), s"LSH search must see streamed doc 20 (got $lshHits)")
+
     // a FRESH checkpoint against the already-grown indexes restarts
     // epochs at 0 — the relay must refuse instead of dynamic-
     // overwriting old batch partitions piecemeal
     val q3 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, s"$tmp/cp-fresh",
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1), lshDir = Some(lshDir))
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q3.processAllAvailable()
     }
