@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val OutlierFactor = 1.5
   private val MaxExtraReruns = 2
+  /** A whole-suite total this far above the denoised best-known total
+    * means the RUN landed in a contended window the per-query rerun
+    * budget couldn't flatten (r3–r6 artifacts were 1.6–1.9× off clean
+    * reruns of the same code); one full second pass, minuted per query
+    * against the first, lands outside most contention windows at a
+    * bounded cost.
+    */
+  private val SecondPassFactor = 1.3
 
   /** Parse per-query medians out of bench_history.jsonl. The file is written
     * only by this object, so a targeted regex over `"name":value` pairs inside
@@ -74,7 +82,7 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     var reruns = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var results = SparkEntry.queries.map { case (name, fn) =>
       var best = timeOnce(spark, sfDir, fn, name)
       val ref = medians.get(name)
       var budget = 1 + MaxExtraReruns // unconditional best-of-2, then outlier retries
@@ -92,12 +100,32 @@ object Bench {
       }
       name -> best // persistent failures stay -1 so they can't masquerade as fast queries
     }
+    def totalOf(rs: Map[String, Double]): Double = rs.values.filter(_ >= 0).sum
+    def bestKnownOf(rs: Map[String, Double]): Double = rs.collect {
+      case (k, v) if v >= 0 => medians.get(k).fold(v)(math.min(v, _))
+    }.sum
+    // Whole-suite contention escape (VERDICT r6 #1): per-query retries
+    // can't flatten a contended window that outlasts them. When this
+    // run's total blows past the denoised best-known total, run ONE
+    // full second pass and keep per-query minima across passes.
+    var passes = 1
+    val bk1 = bestKnownOf(results)
+    if (bk1 > 0 && totalOf(results) > SecondPassFactor * bk1) {
+      passes = 2
+      System.err.println(f"[bench] total ${totalOf(results)}%.1fs > " +
+        f"$SecondPassFactor%.1f x best_known ${bk1}%.1fs — running a second full pass")
+      results = results.map { case (name, prev) =>
+        reruns += 1
+        val t = timeOnce(spark, sfDir, SparkEntry.queries(name), name)
+        name -> (if (t >= 0 && (prev < 0 || t < prev)) t else prev)
+      }
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = totalOf(results)
     val ts = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
     // Contention telemetry (VERDICT r5 #7): the artifact run can land in
     // a fully-contended window the rerun budget can't flatten (r3/r4/r5
     // all did), so the summary also reports the sum of per-query
@@ -105,15 +133,13 @@ object Bench {
     // observable to the uncontended total. `value` stays the honest
     // this-run number; best_known_total is the denoised one a gate
     // comparing across rounds should prefer.
-    val bestKnown = results.collect { case (k, v) if v >= 0 =>
-      medians.get(k).fold(v)(math.min(v, _))
-    }.sum
+    val bestKnown = bestKnownOf(results)
     // Short form for stdout: the driver keeps only a ~2KB tail of stdout, so
     // the full 106-entry per-query map (~4KB) can never parse there — it
     // lives in bench_history.jsonl instead (written below). Stdout carries
     // just the summary (<300 bytes).
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,"passes":$passes,""" +
         s""""nqueries":${results.size},"best_known_total":$bestKnown,"sf":"$sfDir"}"""
     // Full per-query record to a file too: the driver's stdout capture
     // truncates long tails, which made round-2 timings unrecoverable.

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Vector math over `ArrayType(FloatType)` columns, built from native
   * Catalyst higher-order functions so Catalyst can prune/push around them
@@ -68,6 +69,32 @@ object VectorOps {
     */
   def int8Code(c: Column, n: Column, m: Column): Column =
     transform(c, v => floor(v.cast("double") / n / m * lit(127.0) + lit(0.5)))
+
+  /** THE int8 candidate-ranking tail shared by every int8 search path —
+    * the inline `ann_ivf_int8` query and the stored-code searches of
+    * both index families ([[graft.operators.AnnIndex.searchInt8]],
+    * [[graft.operators.AnnLshIndex.searchInt8]]) — so the ranking can
+    * never drift between inline and stored forms. `cands` carries
+    * (vec_id, pq, sp) plus the join keys; `probes` (broadcast — it is
+    * queries × probes, always tiny next to the corpus) carries (q_id,
+    * qq, sq) plus the same keys. Candidates are ranked per query by the
+    * EXACT integer dot of the int8 codes rescaled by the two stored
+    * scales; the integer dot is bit-exact in any engine, which is what
+    * keeps the whole ranking hash-oracle-able.
+    */
+  def rankInt8(cands: DataFrame, probes: DataFrame, joinCols: Seq[String],
+               k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))
+    cands.join(broadcast(probes), joinCols)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("idot",
+        aggregate(zip_with(col("pq"), col("qq"), (a, b) => a * b), lit(0L), (a, v) => a + v)
+          .cast("long"))
+      .withColumn("score8", round(col("idot").cast("double") * col("sp") * col("sq"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
+  }
 }
 
 /** DuckDB-dialect SQL snippets equivalent to [[VectorOps]], used to build

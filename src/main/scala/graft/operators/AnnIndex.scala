@@ -269,16 +269,7 @@ object AnnIndex {
     val cands = stored
       .select("vec_id", "cell", "pq", "sp")
       .filter(col("pq").isNotNull)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))
-    cands.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("idot",
-        aggregate(zip_with(col("pq"), col("qq"), (a, b) => a * b), lit(0L), (a, v) => a + v)
-          .cast("long"))
-      .withColumn("score8", round(col("idot").cast("double") * col("sp") * col("sq"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
+    VectorOps.rankInt8(cands, q, Seq("cell"), k)
   }
 
   /** RETRAIN the coarse quantizer on the corpus the index actually
@@ -300,7 +291,7 @@ object AnnIndex {
     * re-derives the SAME centroids (k-means is hash-seeded and
     * deterministic, and the vector SET in cells is unchanged by
     * re-assignment) and completes the swap. Like compaction, retrain
-    * folds batch history into batch 0, so run it only on a quiesced
+    * folds batch history into the high-water batch id, so run it only on a quiesced
     * index (no in-flight addBatch / streaming batch — same contract as
     * [[graft.BatchSink.compact]]).
     */
@@ -310,7 +301,11 @@ object AnnIndex {
     graft.BatchSink.recoverSwap(spark, s"$dir/centroids")
     val stored = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding")
     val cents = kmeans(stored, k, iters) // localCheckpointed — survives the cells swap
-    graft.BatchSink.replaceTable(withCodes(assign(stored, cents)), s"$dir/cells", Seq("cell"))
+    // fold into the high-water batch id, like compact: the relay's
+    // stale-checkpoint guard reads max(batch_id) from the listing
+    val highWater = graft.BatchSink.batchIds(spark, s"$dir/cells").foldLeft(0L)(math.max)
+    graft.BatchSink.replaceTable(withCodes(assign(stored, cents)), s"$dir/cells",
+      Seq("cell"), batchId = highWater)
     graft.BatchSink.replaceTable(cents, s"$dir/centroids")
   }
 
@@ -353,15 +348,22 @@ object AnnIndex {
   def retrainIfDrifted(spark: SparkSession, dir: String, queries: DataFrame,
                        nprobe: Int, minRecall: Double,
                        k: Int = 16, iters: Int = 5): Boolean = {
-    val mean = recallAudit(spark, dir, queries, nprobe)
-      .agg(avg(col("recall"))).head().getDouble(0)
+    val row = recallAudit(spark, dir, queries, nprobe)
+      .agg(avg(col("recall"))).head()
+    // an empty query sample makes avg(recall) NULL — recall is
+    // UNDEFINED there, and neither "retrain" nor "don't" is a sound
+    // default, so refuse with the cause instead of NPE-ing on getDouble
+    require(!row.isNullAt(0),
+      "AnnIndex.retrainIfDrifted: the query sample is empty — mean recall is undefined; " +
+        "pass a non-empty queries relation to audit against")
+    val mean = row.getDouble(0)
     val drifted = mean < minRecall
     if (drifted) retrain(spark, dir, k, iters)
     drifted
   }
 
   /** Fold all `batch_id=N/cell=M` partitions of the inverted file into
-    * batch 0 — small-file hygiene for a long-running ingest (#batches ×
+    * the high-water batch id — small-file hygiene for a long-running ingest (#batches ×
     * #cells parquet leaves otherwise). Crash-safe write-then-swap; see
     * [[graft.BatchSink.compact]] for the quiescence contract. The
     * centroids table is always a single batch-0 write (init/retrain

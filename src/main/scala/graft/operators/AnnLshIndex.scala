@@ -50,13 +50,45 @@ object AnnLshIndex {
   def sigPrefix(sig: Column): Column = sig.bitwiseAND(lit((1L << SigPrefixBits) - 1))
 
   /** Rows as stored: signature + prefix + int8 codes next to the
-    * embedding — one definition shared by init/addBatch/refine.
+    * embedding — one definition shared by init/addBatch/refine. Every
+    * row also carries `np`, the plane count its signature was computed
+    * in: the tear detector ([[readSigned]]) compares it against meta at
+    * search time, turning a crashed half-refine into a loud error
+    * instead of silently empty joins.
     */
   private def signedRows(vectors: DataFrame, numPlanes: Int): DataFrame =
     AnnIndex.withCodes(
       vectors.select(col("vec_id"), col("embedding"))
         .withColumn("sig", AnnQueries.signatureUdf(numPlanes)(col("embedding")))
         .withColumn("sigp", sigPrefix(col("sig"))))
+      .withColumn("np", lit(numPlanes))
+
+  /** Self-healing, TEAR-CHECKED store read: promote any torn
+    * write-then-swap, then assert the table's rows were signed in the
+    * plane space meta pins. The refine crash window this catches —
+    * vectors swapped to the new plane space, meta still the old count —
+    * would otherwise make every (sigp, sig) probe join silently miss
+    * (probe signatures computed in the old space, stored sigs in the
+    * new): near-zero recall with no error until the next refine. Tables
+    * are only ever swapped WHOLE ([[graft.BatchSink.replaceTable]]) and
+    * incremental batches are signed against the stored meta, so one
+    * row's `np` answers for the whole table — a single-row driver read,
+    * same cost class as the meta read itself.
+    */
+  private def readSigned(spark: SparkSession, dir: String, table: String,
+                         np: Int): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/$table")
+    val df = spark.read.parquet(s"$dir/$table")
+    require(df.columns.contains("np"),
+      s"AnnLshIndex: $dir/$table predates tear detection (no np column) — " +
+        "re-run AnnLshIndex.init to rebuild the index")
+    val storedNp = df.select("np").head().getInt(0)
+    require(storedNp == np,
+      s"AnnLshIndex: $dir/$table is signed with $storedNp planes but meta pins $np — " +
+        "a refine crashed between the table swap and the meta rewrite; " +
+        "re-run refine(newNumPlanes) to heal the index")
+    df
+  }
 
   private def writeMeta(spark: SparkSession, dir: String, numPlanes: Int): Unit = {
     import spark.implicits._
@@ -87,7 +119,8 @@ object AnnLshIndex {
     graft.BatchSink.writeBatch(signed, 0L, s"$dir/vectors",
       full = true, extraPartitionCols = Seq("sigp"))
     graft.BatchSink.writeBatch(
-      AnnQueries.bucketStats(embeddings.sparkSession.read.parquet(s"$dir/vectors")),
+      AnnQueries.bucketStats(embeddings.sparkSession.read.parquet(s"$dir/vectors"))
+        .withColumn("np", lit(numPlanes)),
       0L, s"$dir/stats", full = true)
     writeMeta(embeddings.sparkSession, dir, numPlanes)
   }
@@ -101,10 +134,12 @@ object AnnLshIndex {
   def addBatch(spark: SparkSession, newVectors: DataFrame, dir: String,
                batchId: Long): Unit = {
     graft.expressions.GraftFunctions.register(spark)
-    val signed = signedRows(newVectors, numPlanes(spark, dir)).localCheckpoint()
+    val np = numPlanes(spark, dir)
+    val signed = signedRows(newVectors, np).localCheckpoint()
     graft.BatchSink.writeBatch(signed, batchId, s"$dir/vectors",
       full = false, extraPartitionCols = Seq("sigp"))
-    graft.BatchSink.writeBatch(AnnQueries.bucketStats(signed), batchId,
+    graft.BatchSink.writeBatch(
+      AnnQueries.bucketStats(signed).withColumn("np", lit(np)), batchId,
       s"$dir/stats", full = false)
   }
 
@@ -141,9 +176,8 @@ object AnnLshIndex {
         .select(col("q_id"), col("qv"),
           explode(AnnQueries.probeSigsUdf(np, nProbes)(col("qv"))).as("sig"))
         .withColumn("sigp", sigPrefix(col("sig"))),
-      stats(spark, dir), maxBucket)
-    graft.BatchSink.recoverSwap(spark, s"$dir/vectors")
-    val cands = spark.read.parquet(s"$dir/vectors")
+      readSigned(spark, dir, "stats", np), maxBucket)
+    val cands = readSigned(spark, dir, "vectors", np)
       .select("vec_id", "embedding", "sig", "sigp")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     cands.join(broadcast(probes), Seq("sigp", "sig"))
@@ -170,8 +204,7 @@ object AnnLshIndex {
                  k: Int, nProbes: Int = 1, maxBucket: Int = 4096): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val np = numPlanes(spark, dir)
-    graft.BatchSink.recoverSwap(spark, s"$dir/vectors")
-    val stored = spark.read.parquet(s"$dir/vectors")
+    val stored = readSigned(spark, dir, "vectors", np)
     require(stored.columns.contains("pq") && stored.columns.contains("sp"),
       s"AnnLshIndex.searchInt8: index at $dir has no stored int8 codes (pq/sp columns) — " +
         "it predates code storage; re-run AnnLshIndex.init/addBatch to rebuild with codes")
@@ -184,19 +217,10 @@ object AnnLshIndex {
           VectorOps.int8Code(col("qv"), col("qn"), col("qm")).as("qq"),
           (col("qm") / lit(127.0)).as("sq"))
         .withColumn("sigp", sigPrefix(col("sig"))),
-      stats(spark, dir), maxBucket)
+      readSigned(spark, dir, "stats", np), maxBucket)
     val cands = stored.select("vec_id", "sig", "sigp", "pq", "sp")
       .filter(col("pq").isNotNull)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))
-    cands.join(broadcast(probes), Seq("sigp", "sig"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("idot",
-        aggregate(zip_with(col("pq"), col("qq"), (a, b) => a * b), lit(0L), (a, v) => a + v)
-          .cast("long"))
-      .withColumn("score8", round(col("idot").cast("double") * col("sp") * col("sq"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
+    VectorOps.rankInt8(cands, probes, Seq("sigp", "sig"), k)
   }
 
   /** Raise the index's plane count IN PLACE: re-sign the stored
@@ -211,9 +235,14 @@ object AnnLshIndex {
     * Each table rewrite is crash-safe (write-then-swap,
     * [[graft.BatchSink.replaceTable]]); meta is rewritten LAST, so a
     * crash anywhere mid-refine leaves meta at the old plane count and
-    * re-running refine(newNumPlanes) heals deterministically. Like
-    * [[compact]], refine folds batch history into batch 0 — run it only
-    * on a quiesced index.
+    * re-running refine(newNumPlanes) heals deterministically — and the
+    * torn window in between is LOUD, not silent: every stored row
+    * carries its signing plane count, and [[readSigned]] refuses to
+    * search a table whose rows disagree with meta (otherwise the
+    * old-space probes would just miss the new-space sigs — near-zero
+    * recall with no error). Like [[compact]], refine folds batch
+    * history into the high-water batch id — run it only on a quiesced
+    * index.
     */
   def refine(spark: SparkSession, dir: String, newNumPlanes: Int): Unit = {
     graft.expressions.GraftFunctions.register(spark)
@@ -221,15 +250,23 @@ object AnnLshIndex {
     require(newNumPlanes > old,
       s"AnnLshIndex.refine: newNumPlanes=$newNumPlanes must exceed the stored $old " +
         "(signatures nest upward; lowering planes would merge buckets, not refine them)")
+    graft.BatchSink.recoverSwap(spark, s"$dir/vectors") // heal before the source read
     val resigned = signedRows(
       spark.read.parquet(s"$dir/vectors").select("vec_id", "embedding"), newNumPlanes)
-    graft.BatchSink.replaceTable(resigned, s"$dir/vectors", Seq("sigp"))
+    // fold into the high-water batch id, like compact: the relay's
+    // stale-checkpoint guard reads max(batch_id) from the listing
+    val vHigh = graft.BatchSink.batchIds(spark, s"$dir/vectors").foldLeft(0L)(math.max)
+    val sHigh = graft.BatchSink.batchIds(spark, s"$dir/stats").foldLeft(0L)(math.max)
+    graft.BatchSink.replaceTable(resigned, s"$dir/vectors", Seq("sigp"), batchId = vHigh)
     graft.BatchSink.replaceTable(
-      AnnQueries.bucketStats(spark.read.parquet(s"$dir/vectors")), s"$dir/stats")
+      AnnQueries.bucketStats(spark.read.parquet(s"$dir/vectors"))
+        .withColumn("np", lit(newNumPlanes)),
+      s"$dir/stats", batchId = sHigh)
     writeMeta(spark, dir, newNumPlanes)
   }
 
-  /** Fold all batch partitions of both tables into batch 0 — see
+  /** Fold all batch partitions of both tables into the high-water
+    * batch id — see
     * [[graft.BatchSink.compact]] for the crash-safety and quiescence
     * contract. Search results are identical before/after (spec'd); the
     * file count drops from #batches × #prefixes to #prefixes.

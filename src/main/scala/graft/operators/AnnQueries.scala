@@ -188,17 +188,7 @@ object AnnQueries {
         .select(col("vec_id"), col("cell"),
           quantize(col("embedding"), col("pn"), col("pm")).as("pq"),
           (col("pm") / lit(127.0)).as("sp"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("score8").desc, col("vec_id"))
-      cands.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("idot",
-          aggregate(zip_with(col("pq"), col("qq"), (a, b) => a * b), lit(0L), (a, v) => a + v)
-            .cast("long"))
-        .withColumn("score8", round(col("idot").cast("double") * col("sp") * col("sq"), 6))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("vec_id"), col("rnk"), col("idot"), col("score8"))
-        .orderBy("q_id", "rnk")
+      VectorOps.rankInt8(cands, q, Seq("cell"), k = 3).orderBy("q_id", "rnk")
     }),
     // Recall audit for both ANN paths (VERDICT r4 #4): recall@3 of the
     // IVF and LSH approximate top-k against the exact brute-force top-3

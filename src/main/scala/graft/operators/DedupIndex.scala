@@ -120,7 +120,8 @@ object DedupIndex {
     graft.BatchSink.writeBatch(bandRows(accepted), batchId, s"$dir/bands", full = false)
   }
 
-  /** Fold all batch partitions of both tables into batch 0 — small-file
+  /** Fold all batch partitions of both tables into the high-water
+    * batch id — small-file
     * hygiene after many accepted batches. Crash-safe write-then-swap
     * ([[graft.BatchSink.compact]]). QUIESCENCE MATTERS MORE HERE than
     * for the ANN tables: the batch-pinned reader (`dedupBatch(...,

@@ -142,13 +142,37 @@ class AnnLshIndexSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, d)
     AnnLshIndex.init(e, dir)
     // simulate a pre-code-storage index: rewrite vectors without pq/sp
+    // (np stays — the simulated index has tear detection, just no codes)
     val stripped = spark.read.parquet(s"$dir/vectors")
-      .select("vec_id", "embedding", "sig", "sigp").localCheckpoint()
+      .select("vec_id", "embedding", "sig", "sigp", "np").localCheckpoint()
     graft.BatchSink.replaceTable(stripped, s"$dir/vectors", Seq("sigp"))
     val ex = intercept[IllegalArgumentException] {
       AnnLshIndex.searchInt8(spark, dir, queries(e), k = 3)
     }
     assert(ex.getMessage.contains("no stored int8 codes"))
+  }
+
+  test("a torn refine (vectors swapped, meta not yet rewritten) fails LOUDLY at search") {
+    val dir = tmp("graft-lsh-tear")
+    val e = Tables.embeddings(spark, d)
+    AnnLshIndex.init(e, dir)
+    val np = AnnLshIndex.numPlanes(spark, dir)
+    // simulate the refine crash window: stored rows signed in a NEWER
+    // plane space than meta pins (equivalently: meta still old). Without
+    // the tear detector the (sigp, sig) probe join would just miss —
+    // near-zero recall, no error (ADVICE r6).
+    import spark.implicits._
+    Seq(np + 2).toDF("num_planes").write.mode("overwrite").parquet(s"$dir/meta")
+    val ex = intercept[IllegalArgumentException] {
+      AnnLshIndex.search(spark, dir, queries(e), k = 3).collect()
+    }
+    assert(ex.getMessage.contains(s"signed with $np planes but meta pins ${np + 2}"))
+    assert(ex.getMessage.contains("re-run refine"))
+    // and the documented healing path clears the tear: re-running refine
+    // to the meta-pinned count makes search work again
+    Seq(np).toDF("num_planes").write.mode("overwrite").parquet(s"$dir/meta")
+    AnnLshIndex.refine(spark, dir, np + 2)
+    assert(AnnLshIndex.search(spark, dir, queries(e), k = 3).count() > 0)
   }
 
   test("search scan is dynamically pruned to the probed sigp partitions") {
@@ -216,6 +240,9 @@ class AnnLshIndexSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.rename(new org.apache.hadoop.fs.Path(vecPath),
       new org.apache.hadoop.fs.Path(vecPath + ".swap"))
+    // a COMPLETED swap carries BatchSink's own commit sentinel (written
+    // after row-count verification) — fabricate it like replaceTable would
+    fs.create(new org.apache.hadoop.fs.Path(vecPath + ".swap/_GRAFT_COMMIT"), true).close()
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),
       new org.apache.hadoop.fs.Path(vecPath + ".old")) // stale .old rides along
     assert(!fs.exists(new org.apache.hadoop.fs.Path(vecPath)))

@@ -85,5 +85,12 @@ class AnnRetrainSpec extends AnyFunSuite {
       "recall below threshold must retrain")
     assert(meanRecall(dir, qs) >= current,
       "the triggered retrain must not make recall worse on a static corpus")
+
+    // ADVICE r6: an empty query sample makes mean recall UNDEFINED —
+    // refuse with the cause, don't NPE on the null aggregate
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.retrainIfDrifted(spark, dir, qs.filter(lit(false)), nprobe = 2, minRecall = 0.5)
+    }
+    assert(ex.getMessage.contains("query sample is empty"))
   }
 }

@@ -7,9 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Small-file hygiene for the persisted indexes (VERDICT r5 #6): after
   * many accepted batches, `compact` must fold every `batch_id=N`
-  * partition into batch 0 without changing a single query answer —
-  * IVF search, int8 search, and the dedup decision are all pinned
-  * across the fold.
+  * partition into ONE partition at the HIGH-WATER batch id (ADVICE r6:
+  * folding into 0 would erase the high-water mark the relay's
+  * stale-checkpoint guard reads, letting a wrong-checkpoint restart
+  * silently overwrite the folded corpus) without changing a single
+  * query answer — IVF search, int8 search, and the dedup decision are
+  * all pinned across the fold.
   */
 class IndexCompactSpec extends AnyFunSuite {
   import TableAssertions.assertSameTable
@@ -21,6 +24,9 @@ class IndexCompactSpec extends AnyFunSuite {
 
   private def batchDirs(path: String) =
     new java.io.File(path).listFiles().count(_.getName.startsWith("batch_id="))
+
+  private def batchIdSet(path: String) =
+    graft.BatchSink.batchIds(spark, path).toSet
 
   test("AnnIndex.compact folds batches; search and searchInt8 identical") {
     val e = Tables.embeddings(spark, d)
@@ -36,7 +42,8 @@ class IndexCompactSpec extends AnyFunSuite {
     val (b, b8) = (before.collect().map(_.toSeq).toSet, before8.collect().map(_.toSeq).toSet)
     assert(batchDirs(s"$dir/cells") === 3)
     AnnIndex.compact(spark, dir)
-    assert(batchDirs(s"$dir/cells") === 1, "all batches folded into batch 0")
+    assert(batchIdSet(s"$dir/cells") === Set(2L),
+      "all batches folded into the high-water id, preserving the relay guard's mark")
     assert(AnnIndex.search(spark, dir, queries, nprobe = 2, k = 3)
       .collect().map(_.toSeq).toSet === b, "IVF search changed across compaction")
     assert(AnnIndex.searchInt8(spark, dir, queries, nprobe = 2, k = 3)
@@ -55,8 +62,8 @@ class IndexCompactSpec extends AnyFunSuite {
     val b = before.collect().map(_.getLong(0)).toSet
     assert(batchDirs(s"$dir/fp") === 2)
     DedupIndex.compact(spark, dir)
-    assert(batchDirs(s"$dir/fp") === 1)
-    assert(batchDirs(s"$dir/bands") === 1)
+    assert(batchIdSet(s"$dir/fp") === Set(1L), "fp folded into the high-water id")
+    assert(batchIdSet(s"$dir/bands") === Set(1L), "bands folded into the high-water id")
     val after = DedupIndex.dedupBatch(spark, dir, incoming).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(after === b, "dedup decision changed across compaction")
