@@ -170,6 +170,35 @@ object EventStreams {
     * at the worst point and proves rebuild-equality after restart).
     * Micro-batch epoch e lands as `batch_id` e+1 — batch 0 is both
     * indexes' init partition.
+    *
+    * MAINTENANCE CADENCE — the lifecycle hooks that keep a long-running
+    * relay healthy without an operator babysitting it:
+    *
+    *  - `compactEvery = Some(n)`: every n batches, fold the
+    *    accumulated `batch_id` partitions of every index table via
+    *    [[graft.BatchSink.compactBelow]] (small-file hygiene: a
+    *    micro-batch sink otherwise grows #batches × #values parquet
+    *    leaves). Runs at the START of the epoch and folds only
+    *    strictly-earlier partitions — replay-safe by compactBelow's
+    *    construction (the pinned `batch_id < e` dedup read selects the
+    *    same rows before and after the fold, and the epoch's own id
+    *    never moves), so a crash anywhere in the epoch replays
+    *    correctly. This is why the in-stream cadence must NOT call
+    *    [[graft.BatchSink.compact]]: a whole-history fold would pull
+    *    the current epoch's crashed first attempt into the fold and
+    *    the replay's dynamic overwrite would then clobber folded
+    *    corpus partitions.
+    *  - `auditEvery = Some(m)` (+ `auditQueries`, `auditDir`): every m
+    *    batches, run the READ-ONLY drift audit ([[graft.operators
+    *    .AnnIndex.recallAudit]] over the stored IVF index) and land
+    *    its one-row mean under the epoch's own `batch_id` partition in
+    *    `auditDir` — an idempotent monitoring sink, replay-safe like
+    *    every other write here. The audit deliberately does NOT
+    *    trigger [[graft.operators.AnnIndex.retrain]] in-stream:
+    *    retrain folds the whole batch history (its quiescence
+    *    contract), which is exactly what a live epoch must not do —
+    *    an operator watches the audit table (or wires an alert) and
+    *    runs `retrainIfDrifted` with the stream STOPPED.
     */
   def indexMaintenanceRelay(
       spark: SparkSession,
@@ -180,7 +209,16 @@ object EventStreams {
       provider: EmbeddingProvider = new HashProjectionEmbedder(64),
       maxFilesPerTrigger: Option[Int] = None,
       betweenSinks: Long => Unit = _ => (),
-      lshDir: Option[String] = None): StreamingQuery = {
+      lshDir: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      auditEvery: Option[Int] = None,
+      auditQueries: Option[DataFrame] = None,
+      auditDir: Option[String] = None,
+      auditNprobe: Int = 2): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1), s"compactEvery must be >= 1, got $compactEvery")
+    require(auditEvery.forall(_ >= 1), s"auditEvery must be >= 1, got $auditEvery")
+    require(auditEvery.isEmpty || (auditQueries.nonEmpty && auditDir.nonEmpty),
+      "indexMaintenanceRelay: auditEvery needs auditQueries and auditDir")
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
@@ -226,6 +264,16 @@ object EventStreams {
               "location than the one that built the index? Re-init the indexes or restore " +
               "the original checkpoint directory")
         }
+        // cadence: fold strictly-earlier batch partitions BEFORE this
+        // epoch touches anything (see the compactEvery scaladoc note on
+        // why the in-stream fold must be compactBelow, never compact)
+        compactEvery.filter(n => batchId % n == 0).foreach { _ =>
+          graft.BatchSink.compactBelow(spark, s"$dedupDir/fp", batchId)
+          graft.BatchSink.compactBelow(spark, s"$dedupDir/bands", batchId)
+          graft.BatchSink.compactBelow(spark, s"$annDir/cells", batchId, Seq("cell"))
+          lshDir.foreach(l =>
+            graft.BatchSink.compactBelow(spark, s"$l/vectors", batchId, Seq("sigp")))
+        }
         val survivors = graft.operators.DedupIndex
           .dedupBatch(spark, dedupDir, batch, batchId)
           .localCheckpoint() // one materialized derivation feeds both index writes
@@ -240,6 +288,19 @@ object EventStreams {
         // partition overwrite — a replay after a crash between the IVF
         // and LSH adds heals the tear exactly like the dedup/IVF pair
         lshDir.foreach(l => graft.operators.AnnLshIndex.addBatch(spark, vectors, l, batchId))
+        // cadence: READ-ONLY drift audit over the just-updated stored
+        // index, landed under this epoch's own batch partition (replay
+        // recomputes over identical stored state → identical rows →
+        // idempotent overwrite). Retrain stays out-of-band — see the
+        // auditEvery scaladoc note.
+        auditEvery.filter(n => batchId % n == 0).foreach { _ =>
+          val mean = graft.operators.AnnIndex
+            .recallAudit(spark, annDir, auditQueries.get, auditNprobe)
+            .agg(avg(col("recall")).as("mean_recall"),
+              count(lit(1)).cast("long").as("n_queries"))
+            .withColumn("audited_batch", lit(batchId))
+          graft.BatchSink.writeBatch(mean, batchId, auditDir.get, full = false)
+        }
       }
       .start()
   }

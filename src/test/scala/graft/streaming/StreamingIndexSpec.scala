@@ -124,4 +124,68 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(msgs.exists(_.contains("Re-init the indexes")),
       s"stale-checkpoint guard must fire: $msgs")
   }
+
+  test("cadence hooks: identical search results, fewer batch partitions, audit rows land") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cadence").toString
+    val in = s"$tmp/in"
+
+    val corpus = doc(1, "alpha beta gamma delta epsilon zeta")
+      .unionByName(doc(2, "eta theta iota kappa lambda mu"))
+      .unionByName(doc(3, "nu xi omicron pi rho sigma"))
+    val emb = embedOf(corpus)
+
+    // one file per epoch, ordered mtimes → 3 micro-batches (ids 1..3)
+    doc(10, "tau upsilon phi chi psi omega").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1200)
+    doc(20, "aleph bet gimel dalet he vav").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1200)
+    doc(30, "zayin het tet yod kaf lamed").coalesce(1).write.mode("append").parquet(in)
+
+    def runRelay(suffix: String, hooks: Boolean): (String, String, String) = {
+      val dedupDir = s"$tmp/dedup-$suffix"; val annDir = s"$tmp/ann-$suffix"
+      val lshDir = s"$tmp/lsh-$suffix"
+      DedupIndex.init(corpus, dedupDir)
+      AnnIndex.init(emb, annDir, quantizer = Some(AnnIndex.kmeans(emb, k = 2, iters = 2)))
+      AnnLshIndex.init(emb, lshDir)
+      val auditQ = emb.limit(2).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val q = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, s"$tmp/cp-$suffix",
+        maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
+        compactEvery = if (hooks) Some(2) else None,
+        auditEvery = if (hooks) Some(2) else None,
+        auditQueries = if (hooks) Some(auditQ) else None,
+        auditDir = if (hooks) Some(s"$tmp/audit-$suffix") else None)
+      try q.processAllAvailable() finally q.stop()
+      (dedupDir, annDir, lshDir)
+    }
+    val (_, annPlain, lshPlain) = runRelay("plain", hooks = false)
+    val (_, annHooked, lshHooked) = runRelay("hooked", hooks = true)
+
+    // search results are IDENTICAL with and without the cadence hooks
+    val query = embedOf(doc(30, "zayin het tet yod kaf lamed"))
+      .select(lit(-1L).as("q_id"), col("embedding").as("qv"))
+    assertSameTable(
+      AnnIndex.search(s, annPlain, query, nprobe = 2, k = 3),
+      AnnIndex.search(s, annHooked, query, nprobe = 2, k = 3),
+      "IVF search plain vs cadence-compacted")
+    assertSameTable(
+      AnnLshIndex.search(s, lshPlain, query, k = 3, nProbes = 2),
+      AnnLshIndex.search(s, lshHooked, query, k = 3, nProbes = 2),
+      "LSH search plain vs cadence-compacted")
+
+    // the fold actually reduced batch partitions (4 ids → 3: {0,1}
+    // folded into 1 at the batch-2 epoch start, then 2 and 3 landed)
+    val plainIds = graft.BatchSink.batchIds(s, s"$annPlain/cells").toSet
+    val hookedIds = graft.BatchSink.batchIds(s, s"$annHooked/cells").toSet
+    assert(plainIds == Set(0L, 1L, 2L, 3L), s"plain ids: $plainIds")
+    assert(hookedIds == Set(1L, 2L, 3L), s"hooked ids: $hookedIds")
+
+    // the audit landed exactly at the cadence epoch, read-only + sane
+    val audit = s.read.parquet(s"$tmp/audit-hooked")
+    val rows = audit.select(col("audited_batch").cast("long"), col("mean_recall"),
+      col("n_queries").cast("long")).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(2L), s"audit batches: ${rows.toSeq}")
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(rows.forall(_.getLong(2) == 2L))
+  }
 }
