@@ -97,11 +97,13 @@ object TextQueries {
         .orderBy("doc_id", "chunk_index")
     }),
     // G3: Docling-style hybrid chunker (chunking_service.py:23-124 —
-    // paragraph items → oversize split by token budget → merge_peers).
-    // Oracled at maxTokens=32 so the split path is live (corpus docs
-    // run to ~110 words); on this single-paragraph corpus the chunks
-    // are exact 32-word windows, which DuckDB re-derives from the token
-    // array. merge_peers needs multi-paragraph docs → ChunkersSpec.
+    // paragraph items → oversize split by token budget → merge_peers),
+    // budgeting BPE-ish ceil(len/4) tokens per word. Oracled at
+    // maxTokens=32 so the split path is live (corpus docs run to ~110
+    // words / ~140 weighted tokens); DuckDB re-derives the weighted
+    // windows AND the final-pair merge (the only merge the greedy pass
+    // can perform here — see g3Ctes) from the same per-word weights.
+    // General multi-paragraph merge_peers → ChunkersSpec.
     "g3_hybrid_chunks" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(hybridChunkUdf(col("text"))).as("c"))
@@ -360,33 +362,58 @@ object TextQueries {
     */
   private val smartSql =
     g1Ctes("lang NOT IN ('zh','ar','de','fr','es')") +
+      s", ${g3Ctes("lang = 'zh'")} " +
       "SELECT doc_id, 'text' AS strategy, CAST(chunk_index AS BIGINT) AS chunk_index, chunk_text " +
       "FROM allc WHERE chunk_text <> '' " +
       "UNION ALL SELECT doc_id, 'article', CAST(0 AS BIGINT), trim(text) " +
       "FROM documents WHERE lang IN ('de','fr','es') AND trim(text) <> '' " +
-      "UNION ALL SELECT doc_id, 'structured', CAST(g.i AS BIGINT), " +
-      "array_to_string(toks[(g.i * 32 + 1):((g.i + 1) * 32)], ' ') " +
-      s"FROM (SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks " +
-      "FROM documents WHERE lang = 'zh' AND trim(text) <> '') p, " +
-      "unnest(range(CAST(ceil(len(p.toks) / 32.0) AS BIGINT))) AS g(i) " +
+      "UNION ALL SELECT doc_id, 'structured', CAST(nci AS BIGINT), " +
+      "string_agg(wtext, chr(10) || chr(10) ORDER BY ci) " +
+      "FROM g3fin GROUP BY doc_id, nci " +
       "UNION ALL SELECT doc_id, 'visual', CAST(0 AS BIGINT), 'Visual Content: ' || source " +
       "FROM documents WHERE lang = 'ar' " +
       "ORDER BY doc_id, chunk_index"
 
-  /** G3 oracle: on a corpus with no "\n\n" every doc is ONE paragraph,
-    * so the hybrid chunker reduces to exact 32-word windows (merge can
-    * never combine two 32-token windows; the trailing short window has
-    * no following peer). Rebuilt from the token array; single-space
-    * word salad means joined windows equal the original substrings.
+  /** G3 oracle CTE chain — the DuckDB replay of
+    * [[graft.text.HybridChunker]] at budget 32 with the BPE-ish
+    * ceil(len/4) word weights, parameterized by a `documents`
+    * predicate so the same replay serves the standalone query and the
+    * structured branch of smart_pipeline_chunks. Prototyped row-exact
+    * against a Python port on all three scales (tools/proto_g3.py).
+    *
+    * Stages mirror the Scala exactly: per-word weight → prefix-sum
+    * cumBefore → window floor(cum/32) → per-window text/weight →
+    * final-pair merge. The merge stage replays ONLY the final pair:
+    * on a single-paragraph corpus (no "\n\n" — true here) with words
+    * ≤ 61 chars (max is 8), every non-final window weighs ≥ 32-2+1 =
+    * 31, so greedy merge_peers provably cannot combine anything except
+    * the last two windows when they fit the budget — which this corpus
+    * does exercise (21 docs at sf0.1).
     */
+  private def g3Ctes(where: String): String =
+    s"g3p AS (SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks " +
+      s"FROM documents WHERE ($where) AND trim(text) <> ''), " +
+      "g3tk AS (SELECT doc_id, CAST(g.i AS BIGINT) AS i, toks[g.i+1] AS tok, " +
+      "CAST((length(toks[g.i+1]) + 3) // 4 AS BIGINT) AS w " +
+      "FROM g3p, unnest(range(len(g3p.toks))) AS g(i)), " +
+      "g3cb AS (SELECT doc_id, i, tok, w, coalesce(sum(w) OVER (PARTITION BY doc_id " +
+      "ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g3tk), " +
+      "g3win AS (SELECT doc_id, cum // 32 AS wno, string_agg(tok, ' ' ORDER BY i) AS wtext, " +
+      "CAST(sum(w) AS BIGINT) AS ww FROM g3cb GROUP BY doc_id, cum // 32), " +
+      "g3idx AS (SELECT doc_id, wno, wtext, ww, " +
+      "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wno) AS BIGINT) - 1 AS ci, " +
+      "count(*) OVER (PARTITION BY doc_id) AS n, " +
+      "lag(ww) OVER (PARTITION BY doc_id ORDER BY wno) AS prev_w FROM g3win), " +
+      "g3fin AS (SELECT doc_id, ci, CASE WHEN ci = n - 1 AND n >= 2 AND ww + prev_w <= 32 " +
+      "THEN ci - 1 ELSE ci END AS nci, wtext FROM g3idx)"
+
   private val g3Sql =
-    "SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_index, " +
-      "array_to_string(toks[(g.i * 32 + 1):((g.i + 1) * 32)], ' ') AS chunk_text, " +
+    s"WITH ${g3Ctes("TRUE")} " +
+      "SELECT doc_id, CAST(nci AS BIGINT) AS chunk_index, " +
+      "string_agg(wtext, chr(10) || chr(10) ORDER BY ci) AS chunk_text, " +
       "'Document' AS section_path, CAST(0 AS BIGINT) AS start_char, " +
-      "CAST(length(array_to_string(toks[(g.i * 32 + 1):((g.i + 1) * 32)], ' ')) AS BIGINT) AS end_char " +
-      s"FROM (SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks " +
-      "FROM documents WHERE trim(text) <> '') p, " +
-      "unnest(range(CAST(ceil(len(p.toks) / 32.0) AS BIGINT))) AS g(i) " +
+      "CAST(length(string_agg(wtext, chr(10) || chr(10) ORDER BY ci)) AS BIGINT) AS end_char " +
+      "FROM g3fin GROUP BY doc_id, nci " +
       "ORDER BY doc_id, chunk_index"
 
   val oracles: Map[String, String] = Map(

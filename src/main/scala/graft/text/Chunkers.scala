@@ -187,40 +187,74 @@ object SemanticChunker {
   *  1. paragraphs = `text.split("\n\n")`, trimmed, blanks dropped
   *     (the reference builds a DoclingDocument with one PARAGRAPH item
   *     per split piece; falls back to `[text]` when none) — :58-61
-  *  2. paragraphs over the token budget are split into windows of
-  *     `maxTokens` tokens (HybridChunker's oversize split)
+  *  2. paragraphs over the token budget are split into budget-sized
+  *     windows (HybridChunker's oversize split): word i joins window
+  *     `floor(cumBefore / maxTokens)` of its cumulative token weight —
+  *     so a window may exceed the budget by at most one straddling
+  *     word, mirroring the reference family's size-check-BEFORE-add
+  *     quirk, and the windowing is a pure prefix-sum (replayable as
+  *     SQL, no sequential state)
   *  3. consecutive small pieces are merged while the combined token
   *     count stays ≤ `maxTokens` (merge_peers=True), joined "\n\n"
   *  4. plain-text docs have no headings, so section_path is always
   *     "Document", and start_char/end_char are 0/len(chunk.text) —
   *     the REFERENCE's own values (:75-80 sets exactly those)
   *
-  * Documented divergence: docling counts BPE tokens via a HuggingFace
-  * tokenizer; with no model shipped here, tokens are whitespace words.
-  * The merge/split structure — what the operator contributes — is
-  * identical; only the budget unit differs.
+  * Token budget unit: docling counts BPE tokens via a HuggingFace
+  * tokenizer; with no model shipped here, a word costs
+  * [[tokenWeight]] = ceil(len/4) tokens — the published
+  * ~4-characters-per-token heuristic for BPE vocabularies. Unlike the
+  * earlier 1-token-per-word stand-in this tracks what a real
+  * tokenizer charges for long words (an 8-char word costs 2), while
+  * staying deterministic and engine-replayable (the `g3_hybrid_chunks`
+  * oracle re-derives windows AND the final-pair merge from the same
+  * per-word weights in DuckDB).
   */
 object HybridChunker {
   val DefaultMaxTokens = 512
 
+  /** BPE-ish token cost of one whitespace word: ceil(len/4). */
+  private[text] def tokenWeight(word: String): Long = ((word.length + 3) / 4).toLong
+
   private def words(s: String): Array[String] = s.trim.split("\\s+").filter(_.nonEmpty)
+
+  private[text] def weightOf(piece: String): Long = {
+    var acc = 0L
+    for (w <- words(piece)) acc += tokenWeight(w)
+    acc
+  }
 
   def chunk(text: String, maxTokens: Int = DefaultMaxTokens): Vector[SemanticChunk] = {
     if (text == null || text.trim.isEmpty) return Vector.empty
     val paras0 = text.split("\n\n", -1).toVector.map(_.trim).filter(_.nonEmpty)
     val paras = if (paras0.nonEmpty) paras0 else Vector(text.trim)
-    // oversize split: windows of maxTokens words
+    // oversize split: quantized cumulative-weight windows (step 2)
     val pieces = paras.flatMap { p =>
       val w = words(p)
-      if (w.length <= maxTokens) Vector(p)
-      else w.grouped(maxTokens).map(_.mkString(" ")).toVector
+      if (weightOf(p) <= maxTokens) Vector(p)
+      else {
+        val out = Vector.newBuilder[String]
+        var cur = Vector.empty[String]
+        var cum = 0L
+        var curWin = 0L
+        for (t <- w) {
+          val win = cum / maxTokens
+          if (win != curWin && cur.nonEmpty) {
+            out += cur.mkString(" "); cur = Vector.empty; curWin = win
+          }
+          cur :+= t
+          cum += tokenWeight(t)
+        }
+        if (cur.nonEmpty) out += cur.mkString(" ")
+        out.result()
+      }
     }
     // merge peers: greedy pack while the combined budget holds
     val merged = Vector.newBuilder[String]
     var cur = Vector.empty[String]
-    var curToks = 0
+    var curToks = 0L
     for (p <- pieces) {
-      val t = words(p).length
+      val t = weightOf(p)
       if (cur.nonEmpty && curToks + t > maxTokens) {
         merged += cur.mkString("\n\n"); cur = Vector(p); curToks = t
       } else { cur :+= p; curToks += t }

@@ -166,20 +166,38 @@ class RecursiveChunkerSpec extends AnyFunSuite {
   }
 
   test("G3 hybrid: small peer paragraphs merge up to the token budget") {
+    // BPE-ish weights: one=1 two=1 three=2 | four=1 five=1 | six=1 ten=1
+    // -> p1=4, p2=2, p3(six seven eight nine ten)=1+2+2+1+1=7 > 6 so p3
+    // SPLITS (windows "six seven eight nine"=6, "ten"=1); merge then
+    // packs p1+p2 (6), leaves the full window, leaves the tail
     val text = "one two three\n\nfour five\n\nsix seven eight nine ten"
-    // budgets: 3 + 2 + 5 tokens; maxTokens=6 -> [p1+p2 (5)], [p3 (5)]
     val cs = HybridChunker.chunk(text, maxTokens = 6)
-    assert(cs.map(_.text) == Vector("one two three\n\nfour five", "six seven eight nine ten"))
-    assert(cs.map(_.chunkIndex) == Vector(0, 1))
+    assert(cs.map(_.text) == Vector("one two three\n\nfour five", "six seven eight nine", "ten"))
+    assert(cs.map(_.chunkIndex) == Vector(0, 1, 2))
     assert(cs.forall(_.sectionPath == "Document"))
     // the reference sets start=0, end=len(chunk.text) (chunking_service.py:75-80)
     assert(cs.forall(c => c.startChar == 0L && c.endChar == c.text.length.toLong))
   }
 
-  test("G3 hybrid: oversized paragraph splits into token windows") {
+  test("G3 hybrid: a long word costs ceil(len/4) tokens, not 1") {
+    // "abcdefgh" (8 chars) costs 2: budget 2 fits it alone; with a
+    // 1-token peer the pair (3) overflows and splits at the boundary
+    assert(HybridChunker.chunk("abcdefgh", maxTokens = 2).map(_.text) == Vector("abcdefgh"))
+    assert(HybridChunker.chunk("abcdefgh xy", maxTokens = 2).map(_.text)
+      == Vector("abcdefgh", "xy"))
+  }
+
+  test("G3 hybrid: oversized paragraph splits into weighted windows") {
+    // w1..w9 weigh 1 (2 chars), w10 weighs 1 (3 chars) -> same windows
+    // as the word-count budget for short words
     val text = (1 to 10).map(i => s"w$i").mkString(" ")
     val cs = HybridChunker.chunk(text, maxTokens = 4)
     assert(cs.map(_.text) == Vector("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    // a straddling heavy word may push a window one past the budget
+    // (size-check-before-add): weights 1,1,1,2 -> window0 carries all
+    // four (cum before "eeeee" is 3 < 4), weight 5
+    val cs2 = HybridChunker.chunk("a b c eeeee x y z w q", maxTokens = 4)
+    assert(cs2.head.text == "a b c eeeee")
   }
 
   test("G3 hybrid: split windows do not merge back over budget") {
@@ -187,6 +205,16 @@ class RecursiveChunkerSpec extends AnyFunSuite {
     // merge into the preceding full window
     val cs = HybridChunker.chunk("a b c d e", maxTokens = 4)
     assert(cs.map(_.text) == Vector("a b c d", "e"))
+  }
+
+  test("G3 hybrid: final window pair merges when a straddle leaves room") {
+    // weights 1,2,2,2,1,1 at budget 4: windows = [a bbbbb ccccc] (5,
+    // straddle), [ddddd e] (3), [f] (1) -> greedy merge packs the final
+    // pair (3+1 <= 4) — the exact case the g3 oracle's merge stage
+    // replays (tools/proto_g3.py: live on the real corpus too)
+    val cs = HybridChunker.chunk("a bbbbb ccccc ddddd e f", maxTokens = 4)
+    assert(cs.map(_.text) == Vector("a bbbbb ccccc", "ddddd e\n\nf"))
+    assert(cs.map(_.chunkIndex) == Vector(0, 1))
   }
 
   test("G3 hybrid: blank input yields no chunks; no-paragraph fallback") {
