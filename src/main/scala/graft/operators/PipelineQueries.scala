@@ -48,6 +48,17 @@ object PipelineQueries {
       IngestPipeline.ledgerStages(Tables.documents(s, d))
         .orderBy("source_drive_file", "stage_seq")
     }),
+    // Per-batch embed progress counters (process_embedding.py:358-367:
+    // processed_chunks/progress_percent committed after every provider
+    // batch). Oracled at batchSize=2 so the batch loop is live on this
+    // corpus (docs chunk to <= 4 fixed chunks, so the reference's
+    // batch_size=50 — the operator default — would collapse every file
+    // to one batch); the percent is the reference's float-then-truncate
+    // int(processed/n*80), replayed in double in both engines.
+    "pipeline_progress" -> ((s, d) => {
+      IngestPipeline.embedProgress(Tables.documents(s, d), batchSize = 2)
+        .orderBy("source_drive_file", "batch_no")
+    }),
     // T3 retry orchestration: a synthetic failed-job ledger (every 4th
     // doc failed, retry_count seeded 0/1) swept through retryLoop with a
     // deterministic attempt-outcome seam — the final ledger replays the
@@ -145,6 +156,18 @@ object PipelineQueries {
         "CASE WHEN k = 'empty' AND stage_seq = 2 THEN 'empty document' " +
         "WHEN k = 'large' AND stage_seq = 1 THEN 'file too large' END AS error_message " +
         "FROM st ORDER BY source_drive_file, stage_seq"),
+    "pipeline_progress" ->
+      ("WITH led AS (SELECT doc_id AS source_drive_file, " +
+        "(length(text) - 1) // 160 + 1 AS total_chunks FROM documents " +
+        "WHERE length(trim(text)) > 0 AND n_chars <= 52428800), " +
+        "b AS (SELECT source_drive_file, total_chunks, CAST(g.i AS BIGINT) + 1 AS batch_no " +
+        "FROM led, unnest(range((total_chunks + 1) // 2)) AS g(i)) " +
+        "SELECT source_drive_file, batch_no, " +
+        "CAST(least(batch_no * 2, total_chunks) AS BIGINT) AS processed_chunks, " +
+        "CAST(total_chunks AS BIGINT) AS total_chunks, " +
+        "CAST(floor(CAST(least(batch_no * 2, total_chunks) AS DOUBLE) / " +
+        "CAST(total_chunks AS DOUBLE) * 80.0) AS BIGINT) AS progress_percent " +
+        "FROM b ORDER BY source_drive_file, batch_no"),
     // closed form of the bounded sweep history: with m = (id + r0) % 3 the
     // first successful attempt is sweep j = (m = 0 ? 3 : 3 - m); a job
     // seeded retry_count 1 that needs sweep 3 exhausts eligibility first

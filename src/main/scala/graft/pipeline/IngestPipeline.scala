@@ -182,6 +182,40 @@ object IngestPipeline {
         when(col("status") === "Completed", lit(100.0)).otherwise(lit(0.0)))
   }
 
+  /** Per-batch embed progress counters: the reference's embed loop
+    * writes `processed_chunks = min(i + batch_size, n)` and
+    * `progress_percent = int(processed / n * 80)` after every provider
+    * batch (process_embedding.py:358-367, batch_size 50) — mid-stage
+    * granularity the milestone [[ledgerStages]] deliberately omits.
+    * Modeled batch-engine-honestly as one row per (file, batch) of the
+    * counter values the reference would have committed after that batch
+    * landed: no mutation, the whole loop is a single explode over a
+    * per-file batch range (corpus-linear, no shuffle). The percent is
+    * the reference's own float-then-truncate (int() == floor for
+    * positive), computed in double in BOTH engines so the oracle is
+    * bit-identical; it tops out at 80 exactly like the loop.
+    */
+  def embedProgress(
+      files: DataFrame,
+      settings: PipelineSettings = PipelineSettings.default,
+      chunkSize: Int = 200,
+      chunkOverlap: Int = 40,
+      batchSize: Int = 50): DataFrame = {
+    require(batchSize >= 1, s"embedProgress: batchSize must be >= 1, got $batchSize")
+    val b = batchSize.toLong
+    ledger(files, settings, chunkSize, chunkOverlap)
+      .filter(col("status") === "Completed")
+      .select(col("source_drive_file"), col("total_chunks"))
+      .withColumn("batch_no",
+        explode(sequence(lit(1L),
+          floor((col("total_chunks") + (b - 1)) / b).cast("long"))))
+      .withColumn("processed_chunks", least(col("batch_no") * b, col("total_chunks")))
+      .select(col("source_drive_file"), col("batch_no"), col("processed_chunks"),
+        col("total_chunks"),
+        floor(col("processed_chunks").cast("double") /
+          col("total_chunks").cast("double") * 80.0).cast("long").as("progress_percent"))
+  }
+
   /** The reference's granular job state machine (T2) as data: status
     * history rows per file, mirroring the eight-option Select
     * (embedding_job.json:60-67 — Queued → Extracting Text → Chunking →

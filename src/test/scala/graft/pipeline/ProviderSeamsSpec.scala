@@ -83,6 +83,30 @@ class ProviderSeamsSpec extends AnyFunSuite {
     assert(bad.last._4 == 15.0) // progress freezes where the job died
   }
 
+  test("embedProgress replays the reference's per-batch counter writes") {
+    val s = spark
+    import s.implicits._
+    // 1201 chars -> 8 fixed chunks (stride 160); batchSize 3 -> batches
+    // of processed 3,6,8 — the reference loop's min(i+bs, n) tail and
+    // the int(processed/n*80) float-truncate (3/8*80=30, 6/8*80=60,
+    // 80 exactly at the end: the loop tops out at 80, never 100)
+    val files = Seq(
+      (1L, "big.txt", "x" * 1201, 1201L),
+      (2L, "small.txt", "tiny", 4L),
+      (3L, "empty.txt", "  ", 2L)
+    ).toDF("doc_id", "source", "text", "n_chars")
+    val rows = IngestPipeline.embedProgress(files, batchSize = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, 3L, 8L, 30L), (1L, 2L, 6L, 8L, 60L), (1L, 3L, 8L, 8L, 80L)))
+    // a file smaller than one batch still gets its single counter write
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 1L, 1L, 80L)))
+    // failed files never reach the embed loop
+    assert(!rows.exists(_._1 == 3L))
+  }
+
   test("health probes report ok on the test tables and provider") {
     val rows = HealthProbes.testConnections(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
