@@ -13,10 +13,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * per-executor (@transient lazy), never serialized.
   */
 trait HttpTransport extends Serializable {
-  /** POST `body` (JSON) to `url`, return the response body. MUST throw
-    * on non-2xx — adapters treat any throw as a failed batch.
+  /** POST `body` (JSON) to `url` with extra request `headers` (e.g. an
+    * Authorization bearer), return the response body. MUST throw on
+    * non-2xx — adapters treat any throw as a failed batch.
     */
-  def post(url: String, body: String, timeoutMillis: Int): String
+  def post(url: String, body: String, timeoutMillis: Int,
+           headers: Map[String, String] = Map.empty): String
 }
 
 /** Production transport over the JDK 11+ `java.net.http.HttpClient` —
@@ -28,10 +30,13 @@ final class JdkHttpTransport extends HttpTransport {
       .connectTimeout(java.time.Duration.ofSeconds(10))
       .build()
 
-  def post(url: String, body: String, timeoutMillis: Int): String = {
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+  def post(url: String, body: String, timeoutMillis: Int,
+           headers: Map[String, String] = Map.empty): String = {
+    val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMillis.toLong))
       .header("Content-Type", "application/json")
+    headers.foreach { case (k, v) => builder.header(k, v) }
+    val req = builder
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
       .build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -101,4 +106,79 @@ final class OllamaEmbeddingProvider(
         transport.post(s"$baseUrl/api/embed", requestBody(batch), timeoutMillis),
         batch.size)
     }.toSeq
+}
+
+/** [[BatchReranker]] adapter for the Cohere rerank API — the second
+  * trait-seam proof (reference: services/search_service.py:270-301,
+  * which calls `co.rerank(model, query, documents, top_n)` and reorders
+  * by the returned indexed scores). Protocol (public Cohere REST API):
+  * POST `{base}/v1/rerank` with an Authorization bearer and
+  * `{"model": m, "query": q, "documents": [...], "top_n": n}` →
+  * `{"results": [{"index": i, "relevance_score": s}, ...]}` sorted best
+  * first.
+  *
+  * Deliberately NOT on the correctness path (no oracle row — no server
+  * in the sandbox, and a model's scores aren't replayable). What IS
+  * pinned (HttpProvidersSpec, stubbed transport): the request shape,
+  * bearer header, and that a malformed response — out-of-range or
+  * duplicate index, non-numeric or unsorted scores, too many results —
+  * fails loudly instead of silently reordering or mis-aligning the
+  * top-k, the failure mode that matters when the caller maps indices
+  * back onto its candidate rows.
+  */
+final class CohereRerankProvider(
+    apiKey: String,
+    model: String = "rerank-english-v3.0",
+    baseUrl: String = "https://api.cohere.ai",
+    timeoutMillis: Int = 30000,
+    transport: HttpTransport = new JdkHttpTransport) extends BatchReranker {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def requestBody(query: String, documents: Seq[String], topN: Int): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("query", query)
+    val arr = root.putArray("documents")
+    documents.foreach(arr.add)
+    root.put("top_n", topN)
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseResults(json: String, nDocs: Int, topN: Int): Seq[(Int, Double)] = {
+    val root = mapper.readTree(json)
+    val rs = root.get("results")
+    require(rs != null && rs.isArray,
+      s"CohereRerankProvider: response has no 'results' array: ${json.take(200)}")
+    require(rs.size() <= topN,
+      s"CohereRerankProvider: asked for top_n=$topN but got ${rs.size()} results")
+    val out = (0 until rs.size()).map { i =>
+      val r = rs.get(i)
+      val idx = r.get("index")
+      require(idx != null && idx.isInt,
+        s"CohereRerankProvider: result $i has no integer 'index': ${r.toString.take(120)}")
+      require(idx.intValue() >= 0 && idx.intValue() < nDocs,
+        s"CohereRerankProvider: result index ${idx.intValue()} out of range [0, $nDocs) — " +
+          "refusing to mis-align candidates")
+      val sc = r.get("relevance_score")
+      require(sc != null && sc.isNumber,
+        s"CohereRerankProvider: result $i has no numeric 'relevance_score': ${r.toString.take(120)}")
+      (idx.intValue(), sc.doubleValue())
+    }
+    require(out.map(_._1).distinct.size == out.size,
+      "CohereRerankProvider: duplicate candidate index in results — refusing to mis-align")
+    require(out.iterator.sliding(2).withPartial(false)
+      .forall(w => w.head._2 >= w.last._2),
+      "CohereRerankProvider: results not sorted best-first — refusing a shuffled top-k")
+    out
+  }
+
+  def rerank(query: String, documents: Seq[String], topN: Int): Seq[(Int, Double)] = {
+    require(topN >= 1, s"CohereRerankProvider: topN must be >= 1, got $topN")
+    if (documents.isEmpty) Seq.empty
+    else parseResults(
+      transport.post(s"$baseUrl/v1/rerank", requestBody(query, documents, topN),
+        timeoutMillis, Map("Authorization" -> s"Bearer $apiKey")),
+      documents.size, topN)
+  }
 }

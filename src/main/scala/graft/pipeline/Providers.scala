@@ -214,3 +214,27 @@ final class LexicalOverlapReranker extends Reranker {
     else (q & t).size.toDouble / (q | t).size.toDouble
   }
 }
+
+/** Batch rerank seam matching the reference's call shape — ONE call
+  * over the whole candidate list (search_service.py:270-301 sends
+  * `documents=[r.text for r in results]` and gets back indexed
+  * scores), not a score per pair. Returns (candidate index, relevance
+  * score), best first, at most `topN` entries.
+  */
+trait BatchReranker extends Serializable {
+  def rerank(query: String, documents: Seq[String], topN: Int): Seq[(Int, Double)]
+}
+
+/** Any pairwise [[Reranker]] lifted to the batch seam: score each
+  * candidate, stable-sort best first (ties keep candidate order — when
+  * candidates arrive score-ordered this is exactly the tie-break of
+  * [[graft.search.SearchService]]'s inline rerank expression, which
+  * the equivalence spec pins).
+  */
+final class PairwiseBatchReranker(inner: Reranker) extends BatchReranker {
+  def rerank(query: String, documents: Seq[String], topN: Int): Seq[(Int, Double)] =
+    documents.zipWithIndex
+      .map { case (d, i) => (i, inner.score(query, d)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(topN)
+}

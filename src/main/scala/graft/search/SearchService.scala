@@ -79,4 +79,81 @@ object SearchService {
       .orderBy(col("rerank_score").desc, col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** External-reranker stage over an ALREADY-REDUCED candidate sliver —
+    * the mapPartitions slot the scaladoc above promises. The reference
+    * sends the whole candidate list in ONE rerank call
+    * (search_service.py:270-301) and maps the returned indexed scores
+    * back onto its rows; this does the same: candidates (top-k·overFetch,
+    * never the corpus) are coalesced to one partition in their ranked
+    * order, the [[graft.pipeline.BatchReranker]] is called once inside
+    * the task, and each returned (index, score) picks its row. On
+    * provider failure, reference parity: fall back to the first k
+    * candidates in their original order with a null rerank_score
+    * (search_service.py:304-316 returns `results[:top_k]`), loud in the
+    * executor log, never a crashed query.
+    *
+    * Output adds `rerank_rank` (0-based, best first — the row order
+    * authority; single-partition order is not a downstream contract)
+    * and `rerank_score` (null on fallback).
+    */
+  def rerankStage(
+      candidates: DataFrame,
+      queryText: String,
+      reranker: graft.pipeline.BatchReranker,
+      k: Int,
+      orderCols: Seq[Column],
+      textCol: String = "text"): DataFrame = {
+    val textIdx = candidates.schema.fieldNames.indexOf(textCol)
+    require(textIdx >= 0,
+      s"rerankStage: candidates have no '$textCol' column (${candidates.columns.mkString(", ")})")
+    val outSchema = candidates.schema
+      .add("rerank_rank", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("rerank_score", org.apache.spark.sql.types.DoubleType, nullable = true)
+    val ordered = candidates.coalesce(1).sortWithinPartitions(orderCols: _*)
+    val rdd = ordered.rdd.mapPartitions { rows =>
+      val list = rows.toVector
+      if (list.isEmpty) Iterator.empty
+      else {
+        val ranked: Seq[(Int, Option[Double])] =
+          try reranker.rerank(queryText, list.map(_.getString(textIdx)), k)
+            .map { case (i, s) => (i, Some(s)) }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[rerankStage] reranker failed, " +
+                s"falling back to vector order: ${e.getMessage}")
+              list.indices.take(k).map(i => (i, None))
+          }
+        ranked.iterator.zipWithIndex.map { case ((i, s), rank) =>
+          org.apache.spark.sql.Row.fromSeq(
+            list(i).toSeq :+ rank.toLong :+ s.orNull)
+        }
+      }
+    }
+    candidates.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** [[search]] with the rerank hop routed through an external
+    * [[graft.pipeline.BatchReranker]] instead of the inline codegen
+    * expression. `queryText` is the caller's query string (an input,
+    * not something to collect back off the query relation).
+    * SearchServiceSpec pins this path with the lexical scorer lifted
+    * through [[graft.pipeline.PairwiseBatchReranker]] equal to
+    * [[search]] row-for-row, and the fallback equal to the dense
+    * top-k.
+    */
+  def searchWithBatchReranker(
+      vectors: DataFrame,
+      accessibleIds: DataFrame,
+      query: DataFrame,
+      queryText: String,
+      reranker: graft.pipeline.BatchReranker,
+      k: Int = 10,
+      overFetch: Int = 5,
+      excludeId: Option[Long] = None): DataFrame = {
+    val candidates = denseTopK(rlsFilter(vectors, accessibleIds), query, k * overFetch, excludeId)
+    rerankStage(candidates, queryText, reranker, k,
+      orderCols = Seq(col("score").desc, col("vec_id")))
+      .orderBy(col("rerank_rank"))
+  }
 }

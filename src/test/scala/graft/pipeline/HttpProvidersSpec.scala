@@ -18,7 +18,8 @@ class HttpProvidersSpec extends AnyFunSuite {
     val requests = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     private var served = 0
-    def post(url: String, body: String, timeoutMillis: Int): String = {
+    def post(url: String, body: String, timeoutMillis: Int,
+        headers: Map[String, String]): String = {
       requests += ((url, body))
       val n = mapper.readTree(body).get("input").size()
       val root = mapper.createObjectNode()
@@ -50,7 +51,8 @@ class HttpProvidersSpec extends AnyFunSuite {
 
   test("count mismatch fails loudly instead of mis-aligning rows") {
     val lying = new HttpTransport {
-      def post(url: String, body: String, timeoutMillis: Int): String =
+      def post(url: String, body: String, timeoutMillis: Int,
+        headers: Map[String, String]): String =
         """{"embeddings": [[1.0, 2.0]]}""" // one vector for two texts
     }
     val p = new OllamaEmbeddingProvider(dimension = 2, transport = lying)
@@ -60,7 +62,8 @@ class HttpProvidersSpec extends AnyFunSuite {
 
   test("width mismatch (wrong model dimension) fails loudly") {
     val narrow = new HttpTransport {
-      def post(url: String, body: String, timeoutMillis: Int): String =
+      def post(url: String, body: String, timeoutMillis: Int,
+        headers: Map[String, String]): String =
         """{"embeddings": [[1.0, 2.0, 3.0]]}"""
     }
     val p = new OllamaEmbeddingProvider(dimension = 64, transport = narrow)
@@ -71,12 +74,94 @@ class HttpProvidersSpec extends AnyFunSuite {
 
   test("missing embeddings array (error payload) fails loudly") {
     val err = new HttpTransport {
-      def post(url: String, body: String, timeoutMillis: Int): String =
+      def post(url: String, body: String, timeoutMillis: Int,
+        headers: Map[String, String]): String =
         """{"error": "model not found"}"""
     }
     val p = new OllamaEmbeddingProvider(dimension = 2, transport = err)
     val e = intercept[IllegalArgumentException] { p.embed(Seq("a")) }
     assert(e.getMessage.contains("embeddings"))
+  }
+
+  /** Canned-response rerank transport: scores candidate i as nDocs - i
+    * reversed by the `order` permutation, and records requests+headers.
+    */
+  private final class StubRerankTransport(order: Seq[(Int, Double)]) extends HttpTransport {
+    val requests = scala.collection.mutable.ArrayBuffer.empty[(String, String, Map[String, String])]
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def post(url: String, body: String, timeoutMillis: Int,
+        headers: Map[String, String]): String = {
+      requests += ((url, body, headers))
+      val root = mapper.createObjectNode()
+      val rs = root.putArray("results")
+      order.foreach { case (i, s) =>
+        val r = rs.addObject(); r.put("index", i); r.put("relevance_score", s)
+      }
+      mapper.writeValueAsString(root)
+    }
+  }
+
+  test("cohere rerank: request shape, bearer header, indexed scores back") {
+    val stub = new StubRerankTransport(Seq((2, 0.9), (0, 0.5)))
+    val p = new CohereRerankProvider(apiKey = "KEY", model = "m",
+      baseUrl = "http://unit.test", transport = stub)
+    val out = p.rerank("q", Seq("a", "b", "c"), topN = 2)
+    assert(out == Seq((2, 0.9), (0, 0.5)))
+    val (url, body, headers) = stub.requests.head
+    assert(url == "http://unit.test/v1/rerank")
+    assert(headers("Authorization") == "Bearer KEY")
+    val req = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(req.get("model").asText() == "m")
+    assert(req.get("query").asText() == "q")
+    assert((0 until req.get("documents").size()).map(req.get("documents").get(_).asText())
+      == Seq("a", "b", "c"))
+    assert(req.get("top_n").asInt() == 2)
+    // no call at all for an empty candidate list
+    val before = stub.requests.size
+    assert(p.rerank("q", Nil, topN = 2).isEmpty && stub.requests.size == before)
+  }
+
+  test("cohere rerank: malformed responses fail loudly, never mis-rank") {
+    def provider(order: Seq[(Int, Double)]) = new CohereRerankProvider(
+      apiKey = "k", transport = new StubRerankTransport(order))
+    // out-of-range index
+    val e1 = intercept[IllegalArgumentException] {
+      provider(Seq((7, 0.9))).rerank("q", Seq("a", "b"), 2)
+    }
+    assert(e1.getMessage.contains("out of range"))
+    // duplicate index
+    val e2 = intercept[IllegalArgumentException] {
+      provider(Seq((1, 0.9), (1, 0.8))).rerank("q", Seq("a", "b"), 2)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // unsorted scores (a shuffled top-k must not pass silently)
+    val e3 = intercept[IllegalArgumentException] {
+      provider(Seq((0, 0.2), (1, 0.8))).rerank("q", Seq("a", "b"), 2)
+    }
+    assert(e3.getMessage.contains("sorted"))
+    // more results than asked
+    val e4 = intercept[IllegalArgumentException] {
+      provider(Seq((0, 0.9), (1, 0.8))).rerank("q", Seq("a", "b"), 1)
+    }
+    assert(e4.getMessage.contains("top_n"))
+    // error payload with no results array
+    val err = new HttpTransport {
+      def post(url: String, body: String, timeoutMillis: Int,
+          headers: Map[String, String]): String = """{"message": "invalid api token"}"""
+    }
+    val e5 = intercept[IllegalArgumentException] {
+      new CohereRerankProvider(apiKey = "bad", transport = err).rerank("q", Seq("a"), 1)
+    }
+    assert(e5.getMessage.contains("results"))
+  }
+
+  test("pairwise reranker lifts to the batch seam with stable ties") {
+    val b = new PairwiseBatchReranker(new LexicalOverlapReranker)
+    // "x y" vs candidates: exact match 1.0, half overlap, disjoint 0.0,
+    // and a tie (two identical candidates) resolved by candidate order
+    val out = b.rerank("x y", Seq("z w", "x y", "x q", "x q"), topN = 3)
+    assert(out.map(_._1) == Seq(1, 2, 3))
+    assert(out.head._2 == 1.0)
   }
 
   test("adapter satisfies the provider contract the pipeline relies on") {

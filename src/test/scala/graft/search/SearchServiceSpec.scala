@@ -44,6 +44,52 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 1L, 2L))
   }
 
+  test("external batch reranker path == inline codegen path on the lexical scorer") {
+    val s = spark
+    import s.implicits._
+    val v = fixture()
+    val accessible = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val qText = "q text words"
+    val query = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), lit(qText).as("q_text"))
+    // the inline expression rounds to 6dp before ordering — lift a
+    // scorer with the same rounding so tie-breaks agree exactly
+    val rounded = new graft.pipeline.Reranker {
+      private val inner = new graft.pipeline.LexicalOverlapReranker
+      def score(q: String, t: String): Double =
+        math.floor(inner.score(q, t) * 1e6 + 0.5) / 1e6
+    }
+    val inline = SearchService.search(v, accessible, query, k = 3, overFetch = 2,
+      excludeId = Some(0L)).collect()
+    val external = SearchService.searchWithBatchReranker(v, accessible, query, qText,
+      new graft.pipeline.PairwiseBatchReranker(rounded), k = 3, overFetch = 2,
+      excludeId = Some(0L)).collect()
+    assert(external.map(_.getAs[Long]("vec_id")).toSeq
+      == inline.map(_.getAs[Long]("vec_id")).toSeq)
+    assert(external.map(_.getAs[Double]("rerank_score")).toSeq
+      == inline.map(_.getAs[Double]("rerank_score")).toSeq)
+    assert(external.map(_.getAs[Long]("rerank_rank")).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("reranker failure falls back to the dense top-k in original order") {
+    val s = spark
+    import s.implicits._
+    val v = fixture()
+    val accessible = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val query = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), lit("q").as("q_text"))
+    val broken = new graft.pipeline.BatchReranker {
+      def rerank(q: String, docs: Seq[String], topN: Int): Seq[(Int, Double)] =
+        throw new java.io.IOException("HTTP 503")
+    }
+    val out = SearchService.searchWithBatchReranker(v, accessible, query, "q",
+      broken, k = 2, overFetch = 2, excludeId = Some(0L)).collect()
+    // reference parity (search_service.py:304-316): results[:top_k],
+    // vector order, scores null
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 1L))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("rerank_score"))))
+  }
+
   test("lexicalOverlap matches the provider trait implementation") {
     val s = spark
     import s.implicits._
