@@ -13,12 +13,18 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * per-executor (@transient lazy), never serialized.
   */
 trait HttpTransport extends Serializable {
-  /** POST `body` (JSON) to `url` with extra request `headers` (e.g. an
-    * Authorization bearer), return the response body. MUST throw on
-    * non-2xx — adapters treat any throw as a failed batch.
+  /** Send `method` (POST/PUT/GET/DELETE) to `url` with an optional JSON
+    * `body` and extra request `headers` (e.g. an Authorization bearer);
+    * return the response body. MUST throw on non-2xx — adapters treat
+    * any throw as a failed call.
     */
-  def post(url: String, body: String, timeoutMillis: Int,
-           headers: Map[String, String] = Map.empty): String
+  def request(method: String, url: String, body: Option[String],
+              timeoutMillis: Int, headers: Map[String, String] = Map.empty): String
+
+  /** POST convenience — the embed/rerank adapters' only verb. */
+  final def post(url: String, body: String, timeoutMillis: Int,
+                 headers: Map[String, String] = Map.empty): String =
+    request("POST", url, Some(body), timeoutMillis, headers)
 }
 
 /** Production transport over the JDK 11+ `java.net.http.HttpClient` —
@@ -30,19 +36,19 @@ final class JdkHttpTransport extends HttpTransport {
       .connectTimeout(java.time.Duration.ofSeconds(10))
       .build()
 
-  def post(url: String, body: String, timeoutMillis: Int,
-           headers: Map[String, String] = Map.empty): String = {
+  def request(method: String, url: String, body: Option[String],
+              timeoutMillis: Int, headers: Map[String, String] = Map.empty): String = {
     val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMillis.toLong))
       .header("Content-Type", "application/json")
     headers.foreach { case (k, v) => builder.header(k, v) }
-    val req = builder
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-      .build()
+    val publisher = body.fold(java.net.http.HttpRequest.BodyPublishers.noBody())(
+      java.net.http.HttpRequest.BodyPublishers.ofString)
+    val req = builder.method(method, publisher).build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
-        s"POST $url returned HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+        s"$method $url returned HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
     resp.body()
   }
 }
@@ -104,6 +110,73 @@ final class OllamaEmbeddingProvider(
     texts.grouped(batchSize).flatMap { batch =>
       parseEmbeddings(
         transport.post(s"$baseUrl/api/embed", requestBody(batch), timeoutMillis),
+        batch.size)
+    }.toSeq
+}
+
+/** [[EmbeddingProvider]] adapter for the OpenRouter embeddings API
+  * (OpenAI-compatible; reference: embedding_service.py:145-173).
+  * Protocol: POST `{base}/api/v1/embeddings` with an Authorization
+  * bearer and `{"model": m, "input": [...], "encoding_format":
+  * "float"}` → `{"data": [{"index": i, "embedding": [...]}]}`.
+  *
+  * The load-bearing behavior the spec pins: `data` is NOT guaranteed
+  * to arrive in input order — the reference sorts by `index`
+  * (embedding_service.py:171-172) and so does this adapter; a missing
+  * or non-contiguous index set refuses loudly (a positionally-zipped
+  * embed stage must never see silently permuted vectors).
+  */
+final class OpenRouterEmbeddingProvider(
+    val dimension: Int,
+    apiKey: String,
+    model: String = "openai/text-embedding-3-small",
+    baseUrl: String = "https://openrouter.ai",
+    batchSize: Int = 50,
+    timeoutMillis: Int = 30000,
+    transport: HttpTransport = new JdkHttpTransport) extends EmbeddingProvider {
+  require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def requestBody(texts: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val arr = root.putArray("input")
+    texts.foreach(arr.add)
+    root.put("encoding_format", "float")
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseData(json: String, expected: Int): Seq[Array[Float]] = {
+    val root = mapper.readTree(json)
+    val data = root.get("data")
+    require(data != null && data.isArray,
+      s"OpenRouterEmbeddingProvider: response has no 'data' array: ${json.take(200)}")
+    require(data.size() == expected,
+      s"OpenRouterEmbeddingProvider: sent $expected texts but got ${data.size()} rows — " +
+        "refusing to mis-align rows")
+    val rows = (0 until data.size()).map { i =>
+      val r = data.get(i)
+      val idx = r.get("index")
+      require(idx != null && idx.isInt && idx.intValue() >= 0 && idx.intValue() < expected,
+        s"OpenRouterEmbeddingProvider: row $i has no valid 'index': ${r.toString.take(120)}")
+      val emb = r.get("embedding")
+      require(emb != null && emb.isArray && emb.size() == dimension,
+        s"OpenRouterEmbeddingProvider: embedding ${idx.intValue()} has width " +
+          s"${if (emb == null) "?" else emb.size()}, expected $dimension — model/dimension mismatch")
+      idx.intValue() -> Array.tabulate(emb.size())(j => emb.get(j).floatValue())
+    }
+    require(rows.map(_._1).distinct.size == expected,
+      "OpenRouterEmbeddingProvider: duplicate 'index' in response — refusing to mis-align rows")
+    // the API may return rows out of order; the reference sorts by index
+    rows.sortBy(_._1).map(_._2)
+  }
+
+  def embed(texts: Seq[String]): Seq[Array[Float]] =
+    texts.grouped(batchSize).flatMap { batch =>
+      parseData(
+        transport.post(s"$baseUrl/api/v1/embeddings", requestBody(batch),
+          timeoutMillis, Map("Authorization" -> s"Bearer $apiKey")),
         batch.size)
     }.toSeq
 }

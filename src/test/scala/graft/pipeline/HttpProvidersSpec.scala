@@ -18,10 +18,10 @@ class HttpProvidersSpec extends AnyFunSuite {
     val requests = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     private var served = 0
-    def post(url: String, body: String, timeoutMillis: Int,
-        headers: Map[String, String]): String = {
-      requests += ((url, body))
-      val n = mapper.readTree(body).get("input").size()
+    def request(method: String, url: String, body: Option[String],
+        timeoutMillis: Int, headers: Map[String, String]): String = {
+      requests += ((url, body.getOrElse("")))
+      val n = mapper.readTree(body.getOrElse("")).get("input").size()
       val root = mapper.createObjectNode()
       val embs = root.putArray("embeddings")
       for (_ <- 0 until n) {
@@ -51,8 +51,8 @@ class HttpProvidersSpec extends AnyFunSuite {
 
   test("count mismatch fails loudly instead of mis-aligning rows") {
     val lying = new HttpTransport {
-      def post(url: String, body: String, timeoutMillis: Int,
-        headers: Map[String, String]): String =
+      def request(method: String, url: String, body: Option[String],
+        timeoutMillis: Int, headers: Map[String, String]): String =
         """{"embeddings": [[1.0, 2.0]]}""" // one vector for two texts
     }
     val p = new OllamaEmbeddingProvider(dimension = 2, transport = lying)
@@ -62,8 +62,8 @@ class HttpProvidersSpec extends AnyFunSuite {
 
   test("width mismatch (wrong model dimension) fails loudly") {
     val narrow = new HttpTransport {
-      def post(url: String, body: String, timeoutMillis: Int,
-        headers: Map[String, String]): String =
+      def request(method: String, url: String, body: Option[String],
+        timeoutMillis: Int, headers: Map[String, String]): String =
         """{"embeddings": [[1.0, 2.0, 3.0]]}"""
     }
     val p = new OllamaEmbeddingProvider(dimension = 64, transport = narrow)
@@ -74,8 +74,8 @@ class HttpProvidersSpec extends AnyFunSuite {
 
   test("missing embeddings array (error payload) fails loudly") {
     val err = new HttpTransport {
-      def post(url: String, body: String, timeoutMillis: Int,
-        headers: Map[String, String]): String =
+      def request(method: String, url: String, body: Option[String],
+        timeoutMillis: Int, headers: Map[String, String]): String =
         """{"error": "model not found"}"""
     }
     val p = new OllamaEmbeddingProvider(dimension = 2, transport = err)
@@ -89,9 +89,9 @@ class HttpProvidersSpec extends AnyFunSuite {
   private final class StubRerankTransport(order: Seq[(Int, Double)]) extends HttpTransport {
     val requests = scala.collection.mutable.ArrayBuffer.empty[(String, String, Map[String, String])]
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def post(url: String, body: String, timeoutMillis: Int,
-        headers: Map[String, String]): String = {
-      requests += ((url, body, headers))
+    def request(method: String, url: String, body: Option[String],
+        timeoutMillis: Int, headers: Map[String, String]): String = {
+      requests += ((url, body.getOrElse(""), headers))
       val root = mapper.createObjectNode()
       val rs = root.putArray("results")
       order.foreach { case (i, s) =>
@@ -146,13 +146,127 @@ class HttpProvidersSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("top_n"))
     // error payload with no results array
     val err = new HttpTransport {
-      def post(url: String, body: String, timeoutMillis: Int,
-          headers: Map[String, String]): String = """{"message": "invalid api token"}"""
+      def request(method: String, url: String, body: Option[String],
+          timeoutMillis: Int, headers: Map[String, String]): String =
+        """{"message": "invalid api token"}"""
     }
     val e5 = intercept[IllegalArgumentException] {
       new CohereRerankProvider(apiKey = "bad", transport = err).rerank("q", Seq("a"), 1)
     }
     assert(e5.getMessage.contains("results"))
+  }
+
+  test("openrouter embed: sorts out-of-order response rows by index") {
+    // the OpenAI-compatible API does not guarantee data order; the
+    // reference sorts by index (embedding_service.py:171-172)
+    val shuffled = new HttpTransport {
+      def request(method: String, url: String, body: Option[String],
+          timeoutMillis: Int, headers: Map[String, String]): String = {
+        assert(url == "http://unit.test/api/v1/embeddings")
+        assert(headers("Authorization") == "Bearer K2")
+        """{"data": [
+          {"index": 1, "embedding": [10.0, 0.0]},
+          {"index": 0, "embedding": [20.0, 0.0]},
+          {"index": 2, "embedding": [30.0, 0.0]}]}"""
+      }
+    }
+    val p = new OpenRouterEmbeddingProvider(dimension = 2, apiKey = "K2",
+      baseUrl = "http://unit.test", transport = shuffled)
+    // input order restored: row 0 leads with 20, row 1 with 10, row 2 with 30
+    assert(p.embed(Seq("a", "b", "c")).map(_.head.toInt) == Seq(20, 10, 30))
+  }
+
+  test("openrouter embed: duplicate or missing index refuses loudly") {
+    val dup = new HttpTransport {
+      def request(method: String, url: String, body: Option[String],
+          timeoutMillis: Int, headers: Map[String, String]): String =
+        """{"data": [
+          {"index": 0, "embedding": [1.0, 0.0]},
+          {"index": 0, "embedding": [2.0, 0.0]}]}"""
+    }
+    val p = new OpenRouterEmbeddingProvider(dimension = 2, apiKey = "k", transport = dup)
+    val e = intercept[IllegalArgumentException] { p.embed(Seq("a", "b")) }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  /** Scripted qdrant transport: records every (method, url, body) and
+    * serves per-URL canned responses; GET existence probe throws when
+    * `collectionExists` is false (transports throw on 404).
+    */
+  private final class StubQdrantTransport(
+      collectionExists: Boolean,
+      searchResponse: String = """{"result": []}""") extends HttpTransport {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def request(method: String, url: String, body: Option[String],
+        timeoutMillis: Int, headers: Map[String, String]): String = {
+      calls += ((method, url, body.getOrElse("")))
+      if (method == "GET" && !collectionExists)
+        throw new java.io.IOException(s"GET $url returned HTTP 404: not found")
+      if (url.endsWith("/points/search")) searchResponse else """{"status": "ok"}"""
+    }
+  }
+
+  test("qdrant store: creates the collection only when missing, cosine+dim") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val missing = new StubQdrantTransport(collectionExists = false)
+    new QdrantVectorStore(collection = "c", baseUrl = "http://u",
+      transport = missing).ensureCollection(64)
+    assert(missing.calls.map(c => (c._1, c._2)) ==
+      Seq(("GET", "http://u/collections/c"), ("PUT", "http://u/collections/c")))
+    val create = mapper.readTree(missing.calls.last._3).get("vectors")
+    assert(create.get("size").asInt() == 64 && create.get("distance").asText() == "Cosine")
+    val present = new StubQdrantTransport(collectionExists = true)
+    new QdrantVectorStore(collection = "c", baseUrl = "http://u",
+      transport = present).ensureCollection(64)
+    assert(present.calls.map(_._1) == Seq("GET")) // no create
+  }
+
+  test("qdrant store: upsert batches points with id/vector/payload shape") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stub = new StubQdrantTransport(collectionExists = true)
+    val store = new QdrantVectorStore(collection = "c", baseUrl = "http://u",
+      batchSize = 2, transport = stub)
+    val pts = (0 until 5).map(i => VectorPoint(s"id$i", Array(i.toFloat, 0f),
+      Map("source_document" -> s"doc$i", "chunk_index" -> i.toString)))
+    store.upsert(pts)
+    assert(stub.calls.size == 3) // 2 + 2 + 1
+    assert(stub.calls.forall(c => c._1 == "PUT" && c._2 == "http://u/collections/c/points?wait=true"))
+    val first = mapper.readTree(stub.calls.head._3).get("points")
+    assert(first.size() == 2)
+    assert(first.get(0).get("id").asText() == "id0")
+    assert(first.get(0).get("vector").size() == 2)
+    assert(first.get(0).get("payload").get("source_document").asText() == "doc0")
+  }
+
+  test("qdrant store: search builds the reference's must-match filter and parses results") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stub = new StubQdrantTransport(collectionExists = true,
+      searchResponse = """{"result": [
+        {"id": "p1", "score": 0.9, "payload": {"source_document": "d1"}},
+        {"id": "p2", "score": 0.7}]}""")
+    val store = new QdrantVectorStore(collection = "c", baseUrl = "http://u",
+      transport = stub)
+    val out = store.search(Array(1f, 0f), limit = 2, mustMatch = Map("lang" -> "en"))
+    assert(out == Seq(("p1", 0.9, Map("source_document" -> "d1")), ("p2", 0.7, Map())))
+    val req = mapper.readTree(stub.calls.head._3)
+    assert(req.get("limit").asInt() == 2 && req.get("with_payload").asBoolean())
+    val cond = req.get("filter").get("must").get(0)
+    assert(cond.get("key").asText() == "lang")
+    assert(cond.get("match").get("value").asText() == "en")
+    // delete-by-document uses the same filter shape on the payload key
+    store.deleteByDocument("docX")
+    val del = mapper.readTree(stub.calls.last._3).get("filter").get("must").get(0)
+    assert(stub.calls.last._2.endsWith("/points/delete"))
+    assert(del.get("key").asText() == "source_document")
+    assert(del.get("match").get("value").asText() == "docX")
+  }
+
+  test("qdrant store: malformed search response refuses loudly") {
+    val bad = new StubQdrantTransport(collectionExists = true,
+      searchResponse = """{"status": "error"}""")
+    val store = new QdrantVectorStore(transport = bad)
+    val e = intercept[IllegalArgumentException] { store.search(Array(1f), 1) }
+    assert(e.getMessage.contains("result"))
   }
 
   test("pairwise reranker lifts to the batch seam with stable ties") {
