@@ -79,7 +79,11 @@ object BatchSink {
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     val swapComplete = fs.exists(swap) &&
       fs.exists(new org.apache.hadoop.fs.Path(s"$path.swap/$CommitSentinel"))
-    if (!fs.exists(p) && swapComplete) fs.rename(swap, p)
+    // rename returns FALSE on failure on HDFS-style filesystems — an
+    // unpromoted complete swap must be loud, not a silent missing table
+    if (!fs.exists(p) && swapComplete)
+      require(fs.rename(swap, p),
+        s"BatchSink.recoverSwap: failed to promote completed swap $swap to $path")
     if (fs.exists(p)) { // only clean up once a live table is in place
       if (fs.exists(old)) fs.delete(old, true)
       if (fs.exists(swap)) fs.delete(swap, true)
@@ -146,8 +150,14 @@ object BatchSink {
     fs.create(new org.apache.hadoop.fs.Path(s"$swapPath/$CommitSentinel"), true).close()
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(swap, p)
+    // rename returns FALSE on failure (HDFS semantics) — ignoring it
+    // would report success while the live table was never replaced
+    if (fs.exists(p))
+      require(fs.rename(p, old),
+        s"BatchSink.replaceTable: failed to move live table $path aside — table unchanged")
+    require(fs.rename(swap, p),
+      s"BatchSink.replaceTable: failed to promote swap $swapPath to $path — " +
+        "live table was moved to .old; recoverSwap will heal on the next read")
     fs.delete(old, true)
     spark.catalog.refreshByPath(path) // drop cached file listings of the old table
   }

@@ -82,11 +82,15 @@ object AnnLshIndex {
     require(df.columns.contains("np"),
       s"AnnLshIndex: $dir/$table predates tear detection (no np column) — " +
         "re-run AnnLshIndex.init to rebuild the index")
-    val storedNp = df.select("np").head().getInt(0)
-    require(storedNp == np,
-      s"AnnLshIndex: $dir/$table is signed with $storedNp planes but meta pins $np — " +
-        "a refine crashed between the table swap and the meta rewrite; " +
-        "re-run refine(newNumPlanes) to heal the index")
+    // take(1), not head(): an index init'd on an empty corpus has an
+    // empty (trivially consistent) table and must stay addable/searchable
+    df.select("np").take(1).foreach { row =>
+      val storedNp = row.getInt(0)
+      require(storedNp == np,
+        s"AnnLshIndex: $dir/$table is signed with $storedNp planes but meta pins $np — " +
+          "a refine crashed between the table swap and the meta rewrite; " +
+          "re-run refine(newNumPlanes) to heal the index")
+    }
     df
   }
 
@@ -135,6 +139,12 @@ object AnnLshIndex {
                batchId: Long): Unit = {
     graft.expressions.GraftFunctions.register(spark)
     val np = numPlanes(spark, dir)
+    // readSigned's tear check, BEFORE landing: on an index torn by a
+    // crashed refine (vectors already in the new plane space, meta
+    // still old) this batch would be signed in the OLD space and land
+    // into a MIXED table — which the one-row search-time check can
+    // then false-pass. Refuse here instead; re-running refine heals.
+    readSigned(spark, dir, "vectors", np)
     val signed = signedRows(newVectors, np).localCheckpoint()
     graft.BatchSink.writeBatch(signed, batchId, s"$dir/vectors",
       full = false, extraPartitionCols = Seq("sigp"))

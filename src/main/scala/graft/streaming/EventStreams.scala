@@ -271,8 +271,13 @@ object EventStreams {
           graft.BatchSink.compactBelow(spark, s"$dedupDir/fp", batchId)
           graft.BatchSink.compactBelow(spark, s"$dedupDir/bands", batchId)
           graft.BatchSink.compactBelow(spark, s"$annDir/cells", batchId, Seq("cell"))
-          lshDir.foreach(l =>
-            graft.BatchSink.compactBelow(spark, s"$l/vectors", batchId, Seq("sigp")))
+          lshDir.foreach { l =>
+            graft.BatchSink.compactBelow(spark, s"$l/vectors", batchId, Seq("sigp"))
+            // the per-batch bucket-stats table accumulates partitions
+            // at the same rate as vectors; stats() sums per-signature
+            // rows, so the fold is sum-invariant
+            graft.BatchSink.compactBelow(spark, s"$l/stats", batchId)
+          }
         }
         val survivors = graft.operators.DedupIndex
           .dedupBatch(spark, dedupDir, batch, batchId)

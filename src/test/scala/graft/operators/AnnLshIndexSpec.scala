@@ -168,6 +168,15 @@ class AnnLshIndexSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains(s"signed with $np planes but meta pins ${np + 2}"))
     assert(ex.getMessage.contains("re-run refine"))
+    // addBatch refuses the torn index too: signed against stale meta it
+    // would land OLD-space rows into the new-space table, and a mixed
+    // table can false-pass the one-row search-time check
+    val exAdd = intercept[IllegalArgumentException] {
+      AnnLshIndex.addBatch(spark,
+        e.limit(5).select(col("vec_id") + 100000, col("embedding"))
+          .toDF("vec_id", "embedding"), dir, batchId = 7L)
+    }
+    assert(exAdd.getMessage.contains("re-run refine"))
     // and the documented healing path clears the tear: re-running refine
     // to the meta-pinned count makes search work again
     Seq(np).toDF("num_planes").write.mode("overwrite").parquet(s"$dir/meta")
