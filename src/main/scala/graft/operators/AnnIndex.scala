@@ -304,13 +304,32 @@ object AnnIndex {
     * folds batch history into the high-water batch id, so run it only on a quiesced
     * index (no in-flight addBatch / streaming batch — same contract as
     * [[graft.BatchSink.compact]]).
+    *
+    * TRAINING SLICE: kmeans' scale contract (train on a hash-sampled
+    * slice, never the raw corpus — its `localCheckpoint` of the
+    * training input must be sample-sized at 100 TB) is applied HERE,
+    * where the lifecycle calls it: when the stored corpus exceeds
+    * `trainSampleTarget` rows, training reads the deterministic
+    * `pmod(xxhash64(vec_id), m) === 0` slice with m sized to land
+    * ~target rows. Deterministic given the same corpus (row-count m and
+    * hash filter — no rand()), so a crashed retrain still re-derives
+    * identical centroids on retry. ASSIGNMENT stays full-corpus — every
+    * vector must be re-bucketed; that pass is the linear work retrain
+    * exists to do.
     */
-  def retrain(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 5): Unit = {
+  def retrain(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 5,
+              trainSampleTarget: Long = 1000000L): Unit = {
+    require(trainSampleTarget >= 1, s"trainSampleTarget must be >= 1, got $trainSampleTarget")
     graft.expressions.GraftFunctions.register(spark)
     graft.BatchSink.recoverSwap(spark, s"$dir/cells")
     graft.BatchSink.recoverSwap(spark, s"$dir/centroids")
     val stored = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding")
-    val cents = kmeans(stored, k, iters) // localCheckpointed — survives the cells swap
+    val n = spark.read.parquet(s"$dir/cells").count() // parquet footers only
+    val m = math.max(1L, n / trainSampleTarget)
+    val slice =
+      if (m == 1L) stored
+      else stored.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+    val cents = kmeans(slice, k, iters) // localCheckpointed — survives the cells swap
     // fold into the high-water batch id, like compact: the relay's
     // stale-checkpoint guard reads max(batch_id) from the listing
     val highWater = graft.BatchSink.batchIds(spark, s"$dir/cells").foldLeft(0L)(math.max)

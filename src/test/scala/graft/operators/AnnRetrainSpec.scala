@@ -73,6 +73,31 @@ class AnnRetrainSpec extends AnyFunSuite {
     assert(AnnIndex.searchInt8(spark, dir, qs, nprobe = 2, k = 3).count() === 30L)
   }
 
+  test("retrain's hash-sampled training slice: deterministic, index stays consistent") {
+    val e = Tables.embeddings(spark, d)
+    val dir = tmp("graft-ann-sampled")
+    AnnIndex.init(e, dir)
+    // force the sampling path: 2000 stored rows, target 400 -> m = 5
+    AnnIndex.retrain(spark, dir, trainSampleTarget = 400L)
+    val qs = queries(e)
+    assert(AnnIndex.searchInt8(spark, dir, qs, nprobe = 2, k = 3).count() === 30L)
+    // deterministic: a second sampled retrain re-derives the same index
+    val cellsA = spark.read.parquet(s"$dir/cells").select("vec_id", "cell").localCheckpoint()
+    AnnIndex.retrain(spark, dir, trainSampleTarget = 400L)
+    assertSameTable(cellsA,
+      spark.read.parquet(s"$dir/cells").select("vec_id", "cell"),
+      "sampled retrain must be deterministic across runs")
+    // and the slice is the documented pmod(xxhash64) filter: training on
+    // the manually-sliced corpus from scratch yields the same centroids
+    val slice = e.filter(pmod(xxhash64(col("vec_id")), lit(5L)) === 0)
+    val freshDir = tmp("graft-ann-sampled-fresh")
+    AnnIndex.init(e, freshDir, quantizer = Some(AnnIndex.kmeans(slice)))
+    assertSameTable(
+      spark.read.parquet(s"$dir/cells").select("vec_id", "cell"),
+      spark.read.parquet(s"$freshDir/cells").select("vec_id", "cell"),
+      "sampled retrain == init with kmeans on the same hash slice")
+  }
+
   test("retrainIfDrifted triggers on the threshold and not below it") {
     val e = Tables.embeddings(spark, d)
     val dir = tmp("graft-ann-trigger")
