@@ -110,7 +110,12 @@ object SearchService {
     val outSchema = candidates.schema
       .add("rerank_rank", org.apache.spark.sql.types.LongType, nullable = false)
       .add("rerank_score", org.apache.spark.sql.types.DoubleType, nullable = true)
-    val ordered = candidates.coalesce(1).sortWithinPartitions(orderCols: _*)
+    // repartition(1), not coalesce(1): coalesce is a narrow dependency
+    // and would collapse the upstream scan's parallelism if the
+    // candidate plan lost its exchange boundary; an explicit one-row-
+    // weight shuffle of k·overFetch rows costs nothing and keeps the
+    // dense scan embarrassingly parallel under any plan shape
+    val ordered = candidates.repartition(1).sortWithinPartitions(orderCols: _*)
     val rdd = ordered.rdd.mapPartitions { rows =>
       val list = rows.toVector
       if (list.isEmpty) Iterator.empty
