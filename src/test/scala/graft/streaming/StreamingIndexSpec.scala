@@ -179,6 +179,10 @@ class StreamingIndexSpec extends AnyFunSuite {
     val hookedIds = graft.BatchSink.batchIds(s, s"$annHooked/cells").toSet
     assert(plainIds == Set(0L, 1L, 2L, 3L), s"plain ids: $plainIds")
     assert(hookedIds == Set(1L, 2L, 3L), s"hooked ids: $hookedIds")
+    // the LSH side folds BOTH its per-batch tables (vectors and the
+    // bucket-stats, which accumulate partitions at the same rate)
+    assert(graft.BatchSink.batchIds(s, s"$lshHooked/vectors").toSet == Set(1L, 2L, 3L))
+    assert(graft.BatchSink.batchIds(s, s"$lshHooked/stats").toSet == Set(1L, 2L, 3L))
 
     // the audit landed exactly at the cadence epoch, read-only + sane
     val audit = s.read.parquet(s"$tmp/audit-hooked")
