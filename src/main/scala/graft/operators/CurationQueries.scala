@@ -213,6 +213,26 @@ object CurationQueries {
             col("top_word_ratio") <= 0.2 && col("symbol_ratio") <= 0.1)
         .orderBy("doc_id")
     }),
+    // Per-source document quota (the C4/RefinedWeb-style domain cap):
+    // keep at most N docs per source so no single origin dominates the
+    // training mix — the RANK-based complement of corpus_mix's
+    // RATE-based resampling (a rate thins proportionally; a cap bounds
+    // absolutely). Rank = longest-first (the usual keep-the-substantive
+    // -docs heuristic), doc_id tiebreak for determinism. The rank-≤-N
+    // filter plans as WindowGroupLimit — the per-source top-N is cut
+    // inside the shuffle, map-side partial limit, no global sort
+    // (plan-asserted in PlanShapeSpec): quota enforcement at 100 TB is
+    // one bounded-output shuffle keyed by source.
+    "source_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("word_count").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), TextOps.wordCount(col("text")).as("word_count"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 15)
+        .select(col("doc_id"), col("source"), col("word_count"), col("rnk"))
+        .orderBy("source", "rnk")
+    }),
     // Deterministic mixture resampling ("data mixing"): given a target
     // language mixture (uniform here), each language gets an acceptance
     // rate r_l = min(1, target_share · N / n_l) and a doc survives iff
@@ -497,6 +517,12 @@ object CurationQueries {
         "SELECT doc_id, lang, split, toks, CAST(floor((cum - toks) / 2000) AS BIGINT) AS shard_id FROM (" +
         "SELECT *, sum(toks) OVER (PARTITION BY lang, split ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sp) " +
         "ORDER BY lang, split, doc_id"),
+    "source_cap" ->
+      ("SELECT doc_id, source, word_count, rnk FROM (" +
+        "SELECT doc_id, source, word_count, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY word_count DESC, doc_id) AS BIGINT) AS rnk " +
+        s"FROM (SELECT doc_id, source, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS word_count " +
+        "FROM documents)) WHERE rnk <= 15 ORDER BY source, rnk"),
     "corpus_mix" ->
       (s"WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang), " +
         "t AS (SELECT count(*) AS n_total FROM documents), " +

@@ -76,6 +76,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("source_cap: per-source quota cut inside the shuffle (WindowGroupLimit)") {
+    val p = finalPlan("source_cap")
+    // the rank<=N filter must push into the window shuffle as a partial
+    // group limit — quota enforcement never sorts or ranks the full
+    // corpus per source beyond the surviving N
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("dup_ngram_ratio: trigram explode stays map-side, no cartesian") {
     val p = finalPlan("dup_ngram_ratio")
     assert(!p.contains("CartesianProduct"), p.take(800))
