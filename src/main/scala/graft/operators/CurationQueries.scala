@@ -213,6 +213,41 @@ object CurationQueries {
             col("top_word_ratio") <= 0.2 && col("symbol_ratio") <= 0.1)
         .orderBy("doc_id")
     }),
+    // Unigram-LM quality score (the CCNet/KenLM signal in its
+    // deterministic, engine-replayable form): fit a unigram LM on the
+    // TRAIN split (same hash buckets as dataset_split — the scorer must
+    // never see what it scores, or memorized docs score perfectly) with
+    // add-one smoothing, then score every doc by mean token NLL
+    // -ln((c_t + 1)/(N + V)); unseen tokens cost -ln(1/(N + V)). Low
+    // NLL ≈ in-distribution text, high ≈ junk/outliers — the standard
+    // model-based quality gate, here with a closed-form model so the
+    // DuckDB oracle replays it exactly (ln-jitter is ~1 ulp, killed by
+    // the 6dp round — same argument as the cosine scores). Scale: one
+    // vocab agg over train tokens, two broadcast scalars (N, V), one
+    // token-keyed join (vocab-bounded), one per-doc avg — all linear,
+    // no all-pairs anywhere.
+    "lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"),
+          explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      val vocab = toks.filter(col("bucket") < 80)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val scalars = vocab.agg(sum(col("c")).as("n_train"),
+        count(lit(1)).as("v_size"))
+      // no broadcast hint on vocab: tiny here (auto-broadcast), but a
+      // 100 TB corpus's vocabulary belongs in a token-keyed shuffle
+      // join — let AQE pick per actual size
+      toks.join(vocab, Seq("tok"), "left")
+        .crossJoin(broadcast(scalars))
+        .select(col("doc_id"),
+          (-log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_train") + col("v_size")).cast("double"))).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_toks"),
+          round(avg(col("nll")), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
     // Per-source document quota (the C4/RefinedWeb-style domain cap):
     // keep at most N docs per source so no single origin dominates the
     // training mix — the RANK-based complement of corpus_mix's
@@ -517,6 +552,15 @@ object CurationQueries {
         "SELECT doc_id, lang, split, toks, CAST(floor((cum - toks) / 2000) AS BIGINT) AS shard_id FROM (" +
         "SELECT *, sum(toks) OVER (PARTITION BY lang, split ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sp) " +
         "ORDER BY lang, split, doc_id"),
+    "lm_score" ->
+      (s"WITH tk AS (SELECT doc_id, b, unnest(toks) AS tok FROM " +
+        s"(SELECT doc_id, $bucketSql AS b, ${graft.functions.TextSql.tokens("lower(text)")} AS toks FROM documents)), " +
+        "vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk WHERE b < 80 GROUP BY tok), " +
+        "sc AS (SELECT CAST(sum(c) AS BIGINT) AS n_train, CAST(count(*) AS BIGINT) AS v_size FROM vc) " +
+        "SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "round(avg(-ln(CAST(coalesce(vc.c, 0) + 1 AS DOUBLE) / (sc.n_train + sc.v_size))), 6) AS avg_nll " +
+        "FROM tk LEFT JOIN vc ON tk.tok = vc.tok CROSS JOIN sc " +
+        "GROUP BY tk.doc_id ORDER BY tk.doc_id"),
     "source_cap" ->
       ("SELECT doc_id, source, word_count, rnk FROM (" +
         "SELECT doc_id, source, word_count, " +
