@@ -291,6 +291,37 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // Temperature-sampled mixture (the mT5/XLM-R α=0.5 corpus-mixing
+    // rule): per-language keep-rate r_l = min(1, τ·sqrt(n_max/n_l)) with
+    // τ=0.5 — the largest language is thinned to τ while rarer ones are
+    // kept at rates growing as inverse-sqrt of their share, yielding a
+    // kept mixture ∝ n_l^0.5 (temperature α=0.5) without upsampling.
+    // The α=0.5 form is chosen over a general pow(p, α) deliberately:
+    // sqrt and division are CORRECTLY-ROUNDED IEEE ops (pow is not in
+    // every libm), and anchoring on max(n_l) avoids a cross-language
+    // float sum whose accumulation order differs between engines — so
+    // the keep DECISION (bucket < r·100) is bit-identical cross-engine,
+    // not just 6dp-close. Emits the per-language audit row (rate,
+    // before/after counts); membership itself is the same hash-bucket
+    // filter as corpus_mix. Scale: rate table is langs-sized broadcast,
+    // the corpus pays one map-side filter + one agg.
+    "corpus_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val mx = counts.agg(max(col("n_l")).as("n_max"))
+      val rates = counts.crossJoin(broadcast(mx))
+        .select(col("lang"), col("n_l"),
+          least(lit(1.0),
+            lit(0.5) * sqrt(col("n_max").cast("double") / col("n_l"))).as("rate"))
+      val kept = docs.join(broadcast(rates), Seq("lang"))
+        .filter(hashBucket(col("doc_id")) < col("rate") * 100)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_l").cast("long").as("n_docs"),
+          round(col("rate"), 6).as("rate"),
+          coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"))
+        .orderBy("lang")
+    }),
     // Corpus card: the per-language summary table a dataset release
     // ships — doc counts, token/char volume, corpus share. One partial
     // agg by lang; the global total is a broadcast scalar join.
@@ -575,6 +606,16 @@ object CurationQueries {
         "FROM c, t, nl) " +
         s"SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang " +
         s"WHERE $bucketSql < r.rate * 100 ORDER BY d.doc_id"),
+    "corpus_temperature" ->
+      (s"WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang), " +
+        "m AS (SELECT max(n_l) AS n_max FROM c), " +
+        "r AS (SELECT lang, n_l, least(1.0, 0.5 * sqrt(CAST(n_max AS DOUBLE) / n_l)) AS rate " +
+        "FROM c CROSS JOIN m), " +
+        s"k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept FROM documents d " +
+        s"JOIN r ON d.lang = r.lang WHERE $bucketSql < r.rate * 100 GROUP BY d.lang) " +
+        "SELECT r.lang, r.n_l AS n_docs, round(r.rate, 6) AS rate, " +
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
+        "FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang"),
     "corpus_stats" ->
       (s"SELECT lang, n_docs, n_tokens, n_chars, avg_doc_chars, " +
         "round(n_docs * 100.0 / sum(n_docs) OVER (), 6) AS corpus_pct FROM (" +

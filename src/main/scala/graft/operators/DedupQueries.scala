@@ -201,6 +201,43 @@ object DedupQueries {
         .distinct()
         .orderBy("doc_a", "doc_b")
     }),
+    // Canonicalization — the step AFTER duplicate detection that every
+    // training corpus actually ships: pick ONE representative per
+    // near-dup group, by quality (longest doc — the standard keep-best
+    // policy; n_chars is exact integer, so the choice is hash-exact
+    // cross-engine), tie-broken by min doc_id. Groups come from the
+    // LINEAR LSH-star labeling (label = min hub over a doc's band
+    // buckets; every doc labels itself in its own bucket, so singletons
+    // are their own representatives and the whole corpus is covered) —
+    // the 100 TB path, deliberately NOT the O(log d) connected-component
+    // loop: single-hop hub labels split a long duplication CHAIN into
+    // per-bucket groups (an acceptable over-retention that costs one
+    // window + two aggs, vs the CC loop's per-round join cadence;
+    // dedup_clusters remains the transitive adjudicator when chains
+    // matter). Representative selection is two keyed aggs on the
+    // labels sliver: per-group max quality, then min doc_id among the
+    // quality ties — no window over the corpus, no all-pairs anywhere.
+    "dedup_canonicalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bands = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+      val labels = bands
+        .withColumn("hub", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+        .groupBy(col("doc_id")).agg(min(col("hub")).as("cluster_id"))
+      val j = labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val g = j.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"), max(col("n_chars")).as("mx"))
+      g.join(j.withColumnRenamed("cluster_id", "cid"),
+          g("cluster_id") === col("cid") && col("n_chars") === g("mx"))
+        .groupBy(col("cluster_id"), col("n_members"), col("mx"))
+        .agg(min(col("doc_id")).as("rep_doc"))
+        .select(col("cluster_id"), col("rep_doc"), col("n_members"),
+          col("mx").cast("long").as("rep_chars"))
+        .orderBy("cluster_id")
+    }),
     // Skew-hardened Jaccard: ubiquitous shingles (document frequency >
     // cap) are excluded from CANDIDATE GENERATION only — a hot shingle
     // at 100 TB otherwise materializes O(df²) pairs on one key. The
@@ -431,6 +468,22 @@ object DedupQueries {
         "SELECT DISTINCT hub AS doc_a, doc_id AS doc_b FROM (" +
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS hub FROM bd) " +
         "WHERE doc_id <> hub ORDER BY doc_a, doc_b"),
+    "dedup_canonicalize" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shingleSqlRel)), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM sh, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4), " +
+        "hb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS hub FROM bd), " +
+        "lb AS (SELECT doc_id, CAST(min(hub) AS BIGINT) AS cluster_id FROM hb GROUP BY doc_id), " +
+        "j AS (SELECT lb.cluster_id, d.doc_id, d.n_chars FROM lb JOIN documents d ON lb.doc_id = d.doc_id), " +
+        "g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members, max(n_chars) AS mx " +
+        "FROM j GROUP BY cluster_id) " +
+        "SELECT g.cluster_id, CAST(min(j.doc_id) AS BIGINT) AS rep_doc, " +
+        "any_value(g.n_members) AS n_members, CAST(any_value(g.mx) AS BIGINT) AS rep_chars " +
+        "FROM g JOIN j ON j.cluster_id = g.cluster_id AND j.n_chars = g.mx " +
+        "GROUP BY g.cluster_id ORDER BY g.cluster_id"),
     "dedup_jaccard_capped" ->
       (s"WITH sh AS ($shingleSqlRel), " +
         "rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 10), " +
