@@ -18,11 +18,16 @@ object Bench {
   /** A whole-suite total this far above the denoised best-known total
     * means the RUN landed in a contended window the per-query rerun
     * budget couldn't flatten (r3–r6 artifacts were 1.6–1.9× off clean
-    * reruns of the same code); one full second pass, minuted per query
-    * against the first, lands outside most contention windows at a
-    * bounded cost.
+    * reruns of the same code); a full extra pass, minuted per query
+    * against the earlier ones, lands outside most contention windows at
+    * a bounded cost. 1.2 (was 1.3 through r7): a 62.1s run on a 48s
+    * best_known — 1.29×, visibly contended, 138 reruns — sailed under
+    * the 1.3 trigger by 0.3s; 1.2 is also the artifact-vs-best_known
+    * agreement the round gate actually wants. Up to [[MaxExtraPasses]]
+    * escapes, so the worst case stays bounded at ~3 suite passes.
     */
-  private val SecondPassFactor = 1.3
+  private val SecondPassFactor = 1.2
+  private val MaxExtraPasses = 2
 
   /** Parse per-query medians out of bench_history.jsonl. The file is written
     * only by this object, so a targeted regex over `"name":value` pairs inside
@@ -105,20 +110,22 @@ object Bench {
       case (k, v) if v >= 0 => medians.get(k).fold(v)(math.min(v, _))
     }.sum
     // Whole-suite contention escape (VERDICT r6 #1): per-query retries
-    // can't flatten a contended window that outlasts them. When this
-    // run's total blows past the denoised best-known total, run ONE
-    // full second pass and keep per-query minima across passes.
+    // can't flatten a contended window that outlasts them. While this
+    // run's total blows past the denoised best-known total, run a full
+    // extra pass (bounded) and keep per-query minima across passes.
     var passes = 1
-    val bk1 = bestKnownOf(results)
-    if (bk1 > 0 && totalOf(results) > SecondPassFactor * bk1) {
-      passes = 2
+    var bk = bestKnownOf(results)
+    while (passes <= MaxExtraPasses && bk > 0 &&
+           totalOf(results) > SecondPassFactor * bk) {
+      passes += 1
       System.err.println(f"[bench] total ${totalOf(results)}%.1fs > " +
-        f"$SecondPassFactor%.1f x best_known ${bk1}%.1fs — running a second full pass")
+        f"$SecondPassFactor%.1f x best_known ${bk}%.1fs — running full pass $passes")
       results = results.map { case (name, prev) =>
         reruns += 1
         val t = timeOnce(spark, sfDir, SparkEntry.queries(name), name)
         name -> (if (t >= 0 && (prev < 0 || t < prev)) t else prev)
       }
+      bk = bestKnownOf(results)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
