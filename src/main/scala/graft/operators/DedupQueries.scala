@@ -214,9 +214,15 @@ object DedupQueries {
     // per-bucket groups (an acceptable over-retention that costs one
     // window + two aggs, vs the CC loop's per-round join cadence;
     // dedup_clusters remains the transitive adjudicator when chains
-    // matter). Representative selection is two keyed aggs on the
-    // labels sliver: per-group max quality, then min doc_id among the
-    // quality ties — no window over the corpus, no all-pairs anywhere.
+    // matter). Representative selection is ONE cluster-keyed pass:
+    // group stats (count, max length) as full-frame windows over the
+    // labels sliver, filter to the quality ties, min doc_id among them
+    // on the SAME key (no re-shuffle). A group-stats/join-back form
+    // would recompute the whole minhash+window labeling subtree on both
+    // sides of the self-join — Spark plans each branch independently —
+    // doubling the only expensive stage; the window form computes it
+    // once. Groups are bucket-sized (the star cap bounds them), so the
+    // full-frame windows never see a giant partition.
     "dedup_canonicalize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bands = docs
@@ -227,11 +233,11 @@ object DedupQueries {
         .withColumn("hub", min(col("doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
         .groupBy(col("doc_id")).agg(min(col("hub")).as("cluster_id"))
-      val j = labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      val g = j.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).cast("long").as("n_members"), max(col("n_chars")).as("mx"))
-      g.join(j.withColumnRenamed("cluster_id", "cid"),
-          g("cluster_id") === col("cid") && col("n_chars") === g("mx"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+        .withColumn("mx", max(col("n_chars")).over(w))
+        .filter(col("n_chars") === col("mx"))
         .groupBy(col("cluster_id"), col("n_members"), col("mx"))
         .agg(min(col("doc_id")).as("rep_doc"))
         .select(col("cluster_id"), col("rep_doc"), col("n_members"),
