@@ -22,10 +22,17 @@ object GraftFunctions {
     CosineSimilarity(args.head, args(1))
   }
 
-  /** Idempotent; cheap enough to call on every table load. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName, cosineBuilder, "built-in")
+  /** Idempotent; cheap enough to call on every table load. Guarded on
+    * existence so repeated calls (one per query in a bench run) neither
+    * retake the registry write lock nor emit the SimpleFunctionRegistry
+    * "replaced a previously registered function" WARN per call.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(CosineName))) {
+      reg.createOrReplaceTempFunction(CosineName, cosineBuilder, "built-in")
+    }
+  }
 
   private[expressions] val info =
     new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName)

@@ -23,16 +23,27 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Widen a NARROW scan so the CPU-heavy hashing map stages that follow
+    * use every core — and do nothing at all when the scan is already
+    * wide. An unconditional `repartition` round-robin-shuffles the full
+    * corpus TEXT before every shingle/minhash stage; at 100 TB (a scan
+    * with ~800k splits at 128 MB `maxPartitionBytes`) that is a
+    * 100 TB exchange bought for zero extra parallelism. The gate keeps
+    * the local-mode win (a tiny parquet file is 1 split, hashing on 1
+    * core without it) and makes the production path exchange-free.
+    * `rdd.getNumPartitions` only plans the scan — no job runs.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** (doc_id, n_sh, sh) exploded distinct shingle relation (compiled
     * shingle UDF — see [[TextOps.shingles3Udf]] for why not a Catalyst
     * higher-order function).
     */
   private def shingleRel(docs: DataFrame): DataFrame = {
-    // A small parquet scan is one partition; fan out before the
-    // CPU-heavy hashing map stage so it uses every core. At real scale
-    // the scan has many splits and this is a cheap no-op-ish rebalance.
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    widen(docs)
       .select(col("doc_id"), TextOps.shingles3Udf(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
   }
@@ -165,8 +176,7 @@ object DedupQueries {
     // shuffle; the only shuffle left is the LSH bucket self-join. At
     // 100 TB the signature stage is embarrassingly parallel map work.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val bands = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism) // spread md5 work
+      val bands = widen(Tables.documents(s, d)) // spread md5 work
         .select(col("doc_id"),
           posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
@@ -189,8 +199,7 @@ object DedupQueries {
     // downstream cluster step loses nothing; StarEquivalenceSpec proves
     // it on the test corpus.
     "dedup_minhash_star" -> ((s, d) => {
-      val bands = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism) // spread md5 work
+      val bands = widen(Tables.documents(s, d)) // spread md5 work
         .select(col("doc_id"),
           posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       bands
@@ -225,8 +234,7 @@ object DedupQueries {
     // full-frame windows never see a giant partition.
     "dedup_canonicalize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bands = docs
-        .repartition(s.sparkContext.defaultParallelism)
+      val bands = widen(docs)
         .select(col("doc_id"),
           posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       val labels = bands

@@ -83,6 +83,19 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    // F7: RLS admin bypass (permissions.py:19-21, 53-55) — an
+    // Administrator / System Manager caller gets the UNFILTERED relation
+    // through the same role dispatch the non-admin semi-join path uses
+    // (graft.search.SearchService.rlsFilter); the semi-join is absent
+    // from the plan, not merely vacuous.
+    "j2_rls_admin" -> ((s, d) => {
+      val owned = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      graft.search.SearchService.rlsFilter(
+          Tables.orders(s, d), owned, idCol = "o_custkey", roles = Seq("System Manager"))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     // J1/J5: chunk→file metadata enrichment via broadcast lookup join
     // (process_embedding.py:379-384).
     "j1_enrich_broadcast" -> ((s, d) => {
@@ -364,6 +377,9 @@ object RelationalQueries {
       ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
         "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
         "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 8000) ORDER BY o_orderkey"),
+    "j2_rls_admin" ->
+      ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
+        "ORDER BY o_orderkey"),
     "j1_enrich_broadcast" ->
       ("SELECT l_orderkey, l_linenumber, o_orderdate, o_orderpriority FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey ORDER BY l_orderkey, l_linenumber"),

@@ -55,11 +55,31 @@ object SearchService {
       .limit(k)
   }
 
+  /** Roles that bypass RLS entirely (reference permissions.py:19-21 and
+    * :53-55 — `frappe.get_roles(user)` containing either grants an empty
+    * query condition, i.e. the unfiltered relation).
+    */
+  val AdminRoles: Set[String] = Set("Administrator", "System Manager")
+
+  def isAdmin(roles: Seq[String]): Boolean = roles.exists(AdminRoles.contains)
+
   /** RLS gate: semi-join the scan against the accessible-id set
     * (owned ∪ shared, reference permissions.py:66-77 / SURVEY F8+J2).
+    * `roles` models the reference's admin bypass (permissions.py:53-55):
+    * an Administrator / System Manager caller gets the relation back
+    * UNFILTERED — and, as important at 100 TB, with the semi-join
+    * REMOVED FROM THE PLAN, not merely made vacuous; a vacuous
+    * semi-join would still shuffle/broadcast the accessible-id set on
+    * every admin list view, the reference's hottest query shape.
     */
-  def rlsFilter(vectors: DataFrame, accessibleIds: DataFrame, idCol: String = "vec_id"): DataFrame =
-    vectors.join(accessibleIds, vectors(idCol) === accessibleIds.col(accessibleIds.columns.head), "left_semi")
+  def rlsFilter(
+      vectors: DataFrame,
+      accessibleIds: DataFrame,
+      idCol: String = "vec_id",
+      roles: Seq[String] = Nil): DataFrame =
+    if (isAdmin(roles)) vectors
+    else vectors.join(
+      accessibleIds, vectors(idCol) === accessibleIds.col(accessibleIds.columns.head), "left_semi")
 
   /** Full read path: RLS → dense over-fetch (k·overFetch, reference
     * search_service.py:83) → lexical rerank over candidate text → top-k.
@@ -71,8 +91,9 @@ object SearchService {
       query: DataFrame,       // one row: (qv array<float>, q_text string)
       k: Int = 10,
       overFetch: Int = 5,
-      excludeId: Option[Long] = None): DataFrame = {
-    val gated = rlsFilter(vectors, accessibleIds)
+      excludeId: Option[Long] = None,
+      roles: Seq[String] = Nil): DataFrame = {
+    val gated = rlsFilter(vectors, accessibleIds, roles = roles)
     val candidates = denseTopK(gated, query, k * overFetch, excludeId)
     candidates
       .withColumn("rerank_score", round(lexicalOverlap(col("q_text"), col("text")), 6))
@@ -155,8 +176,10 @@ object SearchService {
       reranker: graft.pipeline.BatchReranker,
       k: Int = 10,
       overFetch: Int = 5,
-      excludeId: Option[Long] = None): DataFrame = {
-    val candidates = denseTopK(rlsFilter(vectors, accessibleIds), query, k * overFetch, excludeId)
+      excludeId: Option[Long] = None,
+      roles: Seq[String] = Nil): DataFrame = {
+    val candidates =
+      denseTopK(rlsFilter(vectors, accessibleIds, roles = roles), query, k * overFetch, excludeId)
     rerankStage(candidates, queryText, reranker, k,
       orderCols = Seq(col("score").desc, col("vec_id")))
       .orderBy(col("rerank_rank"))

@@ -35,6 +35,41 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(ids.contains(1L))
   }
 
+  test("RLS admin bypass: Administrator / System Manager see the unfiltered relation") {
+    val s = spark
+    import s.implicits._
+    val v = fixture()
+    val accessible = Seq(0L, 1L, 2L).toDF("id") // 3 is hidden for non-admins
+    // permissions.py:19-21 / 53-55 — either role gets the empty condition
+    for (role <- Seq("Administrator", "System Manager")) {
+      val gated = SearchService.rlsFilter(v, accessible, roles = Seq(role, "Desk User"))
+      assert(gated.count() === 4L, s"$role should bypass RLS entirely")
+      // the bypass must REMOVE the semi-join from the plan, not just widen the id set
+      assert(!gated.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"),
+        s"$role path still plans the semi-join")
+    }
+    // a non-admin role list still takes the semi-join
+    val nonAdmin = SearchService.rlsFilter(v, accessible, roles = Seq("Desk User"))
+    assert(nonAdmin.count() === 3L)
+    assert(nonAdmin.select("vec_id").as[Long].collect().toSet === Set(0L, 1L, 2L))
+  }
+
+  test("search with admin role surfaces the RLS-hidden high-scorer") {
+    val s = spark
+    import s.implicits._
+    val v = fixture()
+    val accessible = Seq(0L, 1L, 2L).toDF("id")
+    val query = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("text").as("q_text"))
+    val admin = SearchService.search(v, accessible, query, k = 3, excludeId = Some(0L),
+      roles = Seq("System Manager")).collect()
+    assert(admin.map(_.getAs[Long]("vec_id")).toSet.contains(3L),
+      "admin search should see the doc non-admins cannot")
+    val user = SearchService.search(v, accessible, query, k = 3, excludeId = Some(0L),
+      roles = Seq("Desk User")).collect()
+    assert(!user.map(_.getAs[Long]("vec_id")).toSet.contains(3L))
+  }
+
   test("denseTopK orders by cosine desc with id tiebreak") {
     val s = spark
     import s.implicits._
