@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -39,16 +39,24 @@ object Tables {
       df.createOrReplaceTempView(name)
     }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp directly; read nanos as long (legacy conf) and truncate to
-    * microseconds — the same truncation DuckDB applies, so oracle parity
-    * holds.
+  /** `events.ts` has drifted across driver generations of the parquet:
+    * TIMESTAMP(NANOS) (readable only as long under the legacy conf),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=0) (reads as TIMESTAMP_NTZ), and
+    * plain TIMESTAMP. Normalize all three to one canonical TimestampType
+    * column so downstream `unix_micros`/window consumers always analyze.
+    * The session zone is pinned UTC (GraftSession), so the NTZ→LTZ cast
+    * preserves the stored micros value exactly — the same value DuckDB
+    * reads — and oracle parity holds for every shape.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to micros (as DuckDB does)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // wall-clock micros: reinterpret under UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -17,7 +17,8 @@ class DeterminismSpec extends AnyFunSuite {
     "v1_cosine_topk", "v2_filtered_topk", "v3_rerank", "search_e2e",
     "sim_knn_join", "ann_lsh_topk", "window_topn", "v6_sort_limit",
     "hybrid_bm25_rrf", "sessionize", "asof_join", "dedup_clusters",
-    "dedup_incremental", "shard_packing2", "ann_int8_topk")
+    "dedup_incremental", "shard_packing2", "ann_int8_topk",
+    "corpus_temperature", "source_cap", "lm_score", "dedup_canonicalize")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
