@@ -79,12 +79,15 @@ object AnnIndex {
     // above, so the checkpoint is sample-sized, not corpus-sized.
     val base = embeddings.select(col("vec_id"), col("embedding")).localCheckpoint()
     def seedKey = md5(concat(lit("seed:"), col("vec_id").cast("string")).cast("binary"))
-    val hashOrd = Window.orderBy(seedKey, col("vec_id"))
-    var cents = base
-      .filter(VectorOps.norm2(col("embedding")) > 0)
-      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
-      .orderBy(seedKey, col("vec_id")).limit(k)
-      .select((row_number().over(hashOrd) - 1).cast("long").as("c_id"),
+    // centroid ids via BoundedRank's broadcast rank-join over the
+    // post-limit ≤k rows — no empty-partition WindowExec (or its WARN)
+    var cents = BoundedRank.withRank(
+        base
+          .filter(VectorOps.norm2(col("embedding")) > 0)
+          .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+          .orderBy(seedKey, col("vec_id")).limit(k),
+        "c_rank", struct(seedKey, col("vec_id")))
+      .select((col("c_rank") - 1).cast("long").as("c_id"),
         col("embedding").as("cv"))
       .localCheckpoint()
     for (r <- 1 to iters) {

@@ -246,16 +246,19 @@ object AnnQueries {
           VectorOps.cosineScore(col("embedding"), col("qv")).as("cos"))
       // Scale-correct RRF: each ranking first reduces to its top-100 via
       // orderBy+limit (TakeOrderedAndProject — parallel partial top-k),
-      // and ONLY the ≤100 candidates get a window rank. A doc outside a
-      // list contributes 0 for that list (standard rank-list RRF); no
-      // full-corpus single-partition window anywhere.
-      val topSparse = scored.orderBy(col("bm25").desc, col("doc_id")).limit(100)
-        .withColumn("r_sparse",
-          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      // and ONLY the ≤100 candidates get ranked — via BoundedRank's
+      // broadcast rank-join (descending score encoded by negation),
+      // which avoids the empty-partition WindowExec (and its per-run
+      // WARN) entirely. A doc outside a list contributes 0 for that
+      // list (standard rank-list RRF); no full-corpus single-partition
+      // operator anywhere.
+      val topSparse = BoundedRank.withRank(
+          scored.orderBy(col("bm25").desc, col("doc_id")).limit(100),
+          "r_sparse", struct(negate(col("bm25")), col("doc_id")))
         .select(col("doc_id"), col("r_sparse"))
-      val topDense = dense.orderBy(col("cos").desc, col("doc_id")).limit(100)
-        .withColumn("r_dense",
-          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      val topDense = BoundedRank.withRank(
+          dense.orderBy(col("cos").desc, col("doc_id")).limit(100),
+          "r_dense", struct(negate(col("cos")), col("doc_id")))
         .select(col("doc_id").as("d_doc_id"), col("r_dense"))
       topSparse.join(topDense, col("doc_id") === col("d_doc_id"), "full_outer")
         .select(
