@@ -301,6 +301,12 @@ object DedupQueries {
     // same job instead of a second join+isEmpty pass per round. Labels
     // seed at min(id, direct neighbors), which folds what used to be the
     // first propagation round into the (already required) seed groupBy.
+    // Hub-label seeding (canonicalize's band-hub labels as seeds) was
+    // measured and rejected twice — see PLANS.md round 10: convergence
+    // is already 1 round on this graph (star-shaped components), the
+    // hub pass costs an extra full-corpus minhash, and band-graph seeds
+    // are unsound for jaccard-graph components (an LSH false positive
+    // would propagate a foreign label min-propagation cannot retract).
     "dedup_clusters" -> ((s, d) => {
       val pairs = cappedPairScores(Tables.documents(s, d))
         .select(col("doc_a"), col("doc_b"))
