@@ -25,7 +25,10 @@ object GraftFunctions {
   /** Idempotent; cheap enough to call on every table load. Guarded on
     * existence so repeated calls (one per query in a bench run) neither
     * retake the registry write lock nor emit the SimpleFunctionRegistry
-    * "replaced a previously registered function" WARN per call.
+    * "replaced a previously registered function" WARN per call. The
+    * guard assumes no OTHER registrant uses the (namespaced)
+    * "graft_cosine" name: an existing registration is trusted, not
+    * repaired — a foreign builder squatting on the name would win.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -31,7 +31,12 @@ object DedupQueries {
     * 100 TB exchange bought for zero extra parallelism. The gate keeps
     * the local-mode win (a tiny parquet file is 1 split, hashing on 1
     * core without it) and makes the production path exchange-free.
-    * `rdd.getNumPartitions` only plans the scan — no job runs.
+    *
+    * PRECONDITION: pass a plain SCAN (every call site here does).
+    * `rdd.getNumPartitions` is job-free only for exchange-free plans —
+    * under AQE, `toRdd` on a DataFrame containing a shuffle eagerly
+    * materializes its query stages (real jobs run at probe time), so a
+    * post-shuffle input would silently execute here instead of planning.
     */
   private def widen(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
