@@ -38,6 +38,26 @@ object TextOps {
       when(text.rlike(AsciiAlphaRe), lit("en")),
       when(text.rlike(CjkRe), lit("zh")))
 
+  /** Closed-class (stopword) profiles for the probabilistic language
+    * refinement (reference: services/ocr_service.py:208-226 — after the
+    * Unicode-block flags, an optional langdetect pass appends codes
+    * whose probability exceeds 0.3). langdetect is a trained Python
+    * artifact that cannot be reproduced bit-for-bit; the public-
+    * knowledge equivalent implemented here is a stopword-profile
+    * scorer — P(lang) = distinct profile hits / total hits across all
+    * profiles — which is deterministic, pure `array_intersect`
+    * arithmetic (codegen, no UDF), and exactly mirrorable in the
+    * oracle engine. Profiles are the highest-frequency closed-class
+    * words of each language; keys sorted ascending = the deterministic
+    * argmax tiebreak order.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "los", "las", "y", "que", "en", "un", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "du", "est", "dans", "au"),
+    "it" -> Seq("il", "lo", "gli", "e", "di", "che", "per", "non", "del", "si"))
+
   /** Distinct word 3-gram shingles (first-occurrence order, matching
     * `array_distinct` / DuckDB `list_distinct` semantics).
     *

@@ -16,6 +16,47 @@ import org.apache.spark.sql.expressions.Window
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** P4 probability path (ocr_service.py:213-224): the heuristic block
+    * flags first, then the probabilistic refinement appends codes with
+    * P(lang) > 0.3 that the flags missed; 'unknown' when nothing at all
+    * matched. The scorer is the stopword-profile equivalent of
+    * langdetect (see [[TextOps.StopwordProfiles]]): distinct profile
+    * hits normalized across profiles — native array_intersect
+    * arithmetic, whole-stage codegen, exact oracle parity. 'en' is
+    * never appended: en hits > 0 implies ASCII letters exist, so the
+    * block heuristic already flagged it. Takes the docs relation as a
+    * parameter so specs can drive the append/unknown branches with
+    * crafted inputs the corpus never produces.
+    */
+  def langProbabilities(docs: DataFrame): DataFrame = {
+    val profs = TextOps.StopwordProfiles
+    def h(l: String) = col(s"h_$l")
+    val hits = profs.map { case (l, ws) =>
+      size(array_intersect(col("toks"), array(ws.map(lit): _*))).as(s"h_$l")
+    }
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .select(col("doc_id") +: col("text") +: hits: _*)
+      .withColumn("total", profs.map { case (l, _) => h(l) }.reduce(_ + _))
+      .withColumn("mx", greatest(profs.map { case (l, _) => h(l) }: _*))
+    val topLang = when(col("total") === 0, lit("unknown")).otherwise(
+      profs.foldRight(lit("unknown")) { case ((l, _), acc) =>
+        when(h(l) === col("mx"), lit(l)).otherwise(acc)
+      })
+    val topProb = when(col("total") === 0, lit(0.0))
+      .otherwise(round(col("mx").cast("double") / col("total"), 6))
+    val appended = profs.collect { case (l, _) if l != "en" =>
+      when(col("total") > 0 && h(l).cast("double") / col("total") > 0.3, lit(l))
+    }
+    val base = TextOps.detectedLanguagesCsv(col("text"))
+    val full = concat_ws(",",
+      when(base === "", lit(null)).otherwise(base) +: appended: _*)
+    scored.select(col("doc_id"),
+      when(full === "", lit("unknown")).otherwise(full).as("detected_languages"),
+      topLang.as("top_lang"), topProb.as("top_prob"))
+  }
+
   /** Fixed-size chunking (G1 contract form): chunks of `size` chars every
     * `size - overlap` chars. chunk_index is carried explicitly (never row
     * order — SURVEY §7.4.2).
@@ -210,6 +251,9 @@ object TextQueries {
           concat_ws("\n\n", ctx, substring(col("text"), 1, 120)).as("embedded_text"))
         .orderBy("doc_id")
     }),
+    // P4 probability path — see langProbabilities above.
+    "p4_lang_prob" -> ((s, d) =>
+      langProbabilities(Tables.documents(s, d)).orderBy("doc_id")),
     // P4/P17: unicode-block language flags, CSV-encoded (ocr_service.py:189-226).
     "p4_lang_flags" -> ((s, d) => {
       Tables.documents(s, d)
@@ -459,6 +503,37 @@ object TextQueries {
         "CASE WHEN regexp_matches(text, '[A-Za-z]') THEN 'en' END, " +
         "CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END) AS detected_languages " +
         "FROM documents ORDER BY doc_id"),
+    "p4_lang_prob" -> {
+      // mirror built from the SAME profile constant so the two engines
+      // can never drift on the word lists
+      val profs = TextOps.StopwordProfiles
+      val hitsSql = profs.map { case (l, ws) =>
+        s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
+      }.mkString(", ")
+      val hcols = profs.map { case (l, _) => s"h_$l" }
+      val total = hcols.mkString(" + ")
+      val mx = s"greatest(${hcols.mkString(", ")})"
+      val topLang = "CASE WHEN total = 0 THEN 'unknown' " +
+        profs.map { case (l, _) => s"WHEN h_$l = mx THEN '$l' " }.mkString + "END"
+      val appended = profs.collect { case (l, _) if l != "en" =>
+        s"CASE WHEN total > 0 AND h_$l * 1.0 / total > 0.3 THEN '$l' END"
+      }.mkString(", ")
+      val baseCsv = "concat_ws(',', " +
+        "CASE WHEN regexp_matches(text, '[\\x{0600}-\\x{06FF}]') THEN 'ar' END, " +
+        "CASE WHEN regexp_matches(text, '[A-Za-z]') THEN 'en' END, " +
+        "CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END)"
+      "SELECT doc_id, CASE WHEN full0 = '' THEN 'unknown' ELSE full0 END AS detected_languages, " +
+        "top_lang, top_prob FROM (" +
+        "SELECT doc_id, concat_ws(',', CASE WHEN base = '' THEN NULL ELSE base END, " +
+        s"$appended) AS full0, " +
+        s"$topLang AS top_lang, " +
+        "CASE WHEN total = 0 THEN 0.0 ELSE round(mx * 1.0 / total, 6) END AS top_prob FROM (" +
+        s"SELECT doc_id, text, $baseCsv AS base, $total AS total, $mx AS mx, " +
+        hcols.mkString(", ") + " FROM (" +
+        s"SELECT doc_id, text, $hitsSql FROM (" +
+        s"SELECT doc_id, text, list_distinct(${graft.functions.TextSql.tokens("text")}) AS toks " +
+        "FROM documents)))) ORDER BY doc_id"
+    },
     "p1_strategy_classify" ->
       ("SELECT doc_id, " +
         "CASE WHEN lang = 'zh' THEN 'structured' WHEN lang = 'ar' THEN 'visual' " +
