@@ -92,4 +92,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // explode), not an RDD round-trip or UDF stage
     assert(p.contains("Generate"), p.take(800))
   }
+
+  test("f2_size_filter: predicate reaches the parquet scan as a pushed filter") {
+    val p = finalPlan("f2_size_filter")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(n_chars,300)"),
+      p.take(1200))
+  }
+
+  test("range_join_1h: interval join decomposes to an equi-join, never a theta join") {
+    // the bucketized decomposition's whole point is that the range
+    // predicate evaluates INSIDE (user, hour-bucket) equi-join groups —
+    // a nested-loop or cartesian here is the O(n^2) naive form
+    val p = finalPlan("range_join_1h")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("hybrid_bm25_rrf: no single-partition window; ranks come from the bounded join") {
+    val p = finalPlan("hybrid_bm25_rrf")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("sessionize: gap windows partition by user, never a global window") {
+    val p = finalPlan("sessionize")
+    // every window spec carries the user_id partition key; an empty
+    // partition spec would collapse the corpus onto one task
+    assert(p.contains("windowspecdefinition(user_id"), p.take(1200))
+    assert(!p.contains("windowspecdefinition(CAST(0"), p.take(1200))
+  }
 }
