@@ -24,7 +24,14 @@ object BoundedRank {
     * unique id, which is also what makes the rank deterministic.
     */
   def withRank(df: DataFrame, rankName: String, key: Column): DataFrame = {
-    val keyed = df.withColumn("__brk", key)
+    // Pin the bounded list first: both sides of the rank self-join read
+    // it, and without materialization Catalyst plans the (potentially
+    // corpus-sized) upstream subtree once PER SIDE — measured +0.4 s on
+    // hybrid_bm25_rrf's BM25 scoring at sf0.1. Checkpointing ≤k rows is
+    // microseconds and makes the self-join read the tiny relation twice
+    // instead of recomputing its lineage twice.
+    val pinned = df.localCheckpoint()
+    val keyed = pinned.withColumn("__brk", key)
     val keys = keyed.select(col("__brk").as("__brk_other"))
     keyed
       .join(broadcast(keys), col("__brk_other") <= col("__brk"))
