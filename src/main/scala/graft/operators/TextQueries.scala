@@ -516,7 +516,10 @@ object TextQueries {
       val topLang = "CASE WHEN total = 0 THEN 'unknown' " +
         profs.map { case (l, _) => s"WHEN h_$l = mx THEN '$l' " }.mkString + "END"
       val appended = profs.collect { case (l, _) if l != "en" =>
-        s"CASE WHEN total > 0 AND h_$l * 1.0 / total > 0.3 THEN '$l' END"
+        // CAST AS DOUBLE (not * 1.0): DuckDB's literal 1.0 is DECIMAL,
+        // and decimal division diverges from Spark's double at the 6th
+        // decimal on fractional probabilities
+        s"CASE WHEN total > 0 AND CAST(h_$l AS DOUBLE) / total > 0.3 THEN '$l' END"
       }.mkString(", ")
       val baseCsv = "concat_ws(',', " +
         "CASE WHEN regexp_matches(text, '[\\x{0600}-\\x{06FF}]') THEN 'ar' END, " +
@@ -527,7 +530,7 @@ object TextQueries {
         "SELECT doc_id, concat_ws(',', CASE WHEN base = '' THEN NULL ELSE base END, " +
         s"$appended) AS full0, " +
         s"$topLang AS top_lang, " +
-        "CASE WHEN total = 0 THEN 0.0 ELSE round(mx * 1.0 / total, 6) END AS top_prob FROM (" +
+        "CASE WHEN total = 0 THEN 0.0 ELSE round(CAST(mx AS DOUBLE) / total, 6) END AS top_prob FROM (" +
         s"SELECT doc_id, text, $baseCsv AS base, $total AS total, $mx AS mx, " +
         hcols.mkString(", ") + " FROM (" +
         s"SELECT doc_id, text, $hitsSql FROM (" +
