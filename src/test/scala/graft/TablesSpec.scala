@@ -48,4 +48,28 @@ class TablesSpec extends AnyFunSuite {
       assert(fields.nonEmpty, s"$name produced an empty schema")
     }
   }
+
+  // The same drift class for the other two driver-generated tables the
+  // engine leans on hardest: pin the columns the query surface consumes
+  // (names + type family, not exact physical types — a benign width
+  // change shouldn't fail, a rename or kind change should).
+  test("documents and embeddings carry the columns the query surface consumes") {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Set[DataType] = Set(FloatType, DoubleType)
+    sfDirs.foreach { d =>
+      val doc = Tables.documents(spark, d).schema
+      assert(integral(doc("doc_id").dataType), s"$d doc_id: ${doc("doc_id").dataType}")
+      assert(doc("text").dataType == StringType)
+      assert(doc("lang").dataType == StringType)
+      assert(doc("source").dataType == StringType)
+      assert(integral(doc("n_chars").dataType), s"$d n_chars: ${doc("n_chars").dataType}")
+      val emb = Tables.embeddings(spark, d).schema
+      assert(integral(emb("vec_id").dataType), s"$d vec_id: ${emb("vec_id").dataType}")
+      emb("embedding").dataType match {
+        case ArrayType(et, _) => assert(fractional(et), s"$d embedding element: $et")
+        case other => fail(s"$d embedding: expected array, got $other")
+      }
+    }
+  }
 }
