@@ -264,6 +264,45 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // Sketch path for distinct cardinality — at 100 TB exact
+    // count-distinct shuffles every distinct key; HyperLogLog++ is a
+    // constant-memory partial aggregate (register-max merge, order-
+    // insensitive, so the result is deterministic under any partition
+    // schedule). The oracle gates a PROPERTY, not the sketch value:
+    // the exact count (hash-exact cross-engine) plus the sketch
+    // landing within 5% of it (rsd 0.02 → the margin is wide; DuckDB
+    // asserts the literal) — an honest gate for an operator whose
+    // value is approximate by design.
+    "approx_distinct_audit" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact"))
+            <= col("n_exact").cast("double") * 0.05).as("approx_ok"))
+        .orderBy("event_type")
+    }),
+    // Sketch path for quantiles — same shape: exact interpolated
+    // percentiles (oracled exactly against quantile_cont) plus the
+    // approx_percentile sketch within 5% relative tolerance. The
+    // sketch VALUE never reaches the output (quantile-summary merge
+    // order could jitter the last ulp; the tolerance verdict cannot).
+    "approx_quantile_audit" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("e50"),
+          expr("percentile(value, 0.95)").as("e95"),
+          expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(value, 0.95, 10000)").as("a95"))
+        .select(col("event_type"),
+          round(col("e50"), 6).as("p50_exact"),
+          round(col("e95"), 6).as("p95_exact"),
+          ((abs(col("a50") - col("e50")) / (abs(col("e50")) + 1.0) < 0.05) &&
+            (abs(col("a95") - col("e95")) / (abs(col("e95")) + 1.0) < 0.05)).as("approx_ok"))
+        .orderBy("event_type")
+    }),
     // Interpolated quantiles per group (p50/p95 over event values).
     "quantiles_value" -> ((s, d) => {
       Tables.events(s, d)
@@ -439,6 +478,13 @@ object RelationalQueries {
     "count_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users FROM events " +
         "GROUP BY event_type ORDER BY event_type"),
+    "approx_distinct_audit" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "approx_quantile_audit" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact, " +
+        "round(quantile_cont(value, 0.95), 6) AS p95_exact, TRUE AS approx_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "quantiles_value" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
         "round(quantile_cont(value, 0.95), 6) AS p95 FROM events " +
