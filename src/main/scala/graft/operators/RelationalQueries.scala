@@ -272,7 +272,10 @@ object RelationalQueries {
     // the exact count (hash-exact cross-engine) plus the sketch
     // landing within 5% of it (rsd 0.02 → the margin is wide; DuckDB
     // asserts the literal) — an honest gate for an operator whose
-    // value is approximate by design.
+    // value is approximate by design. The plan's (event_type, user_id)
+    // distinct expansion comes from the EXACT side of the audit; a
+    // production approx-only query is a single partial-HLL aggregate
+    // with no distinct shuffle at all, which is the whole point.
     "approx_distinct_audit" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
