@@ -31,6 +31,25 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
   }
 
+  /** Tumbling 1-hour approximate distinct users — the sketch form of
+    * [[windowedCounts]] (batch twin: `t1_window_distinct`). At 100 TB a
+    * windowed EXACT distinct keeps every user id in state per open
+    * window; the HLL sketch keeps a constant few KB per (window, type).
+    * HLL registers merge by max, so the result is identical under any
+    * partial/merge order — batch and streaming agree bit-for-bit
+    * (EventStreamsSpec proves it on the same input).
+    */
+  def windowedDistinctUsers(events: DataFrame,
+                            watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_users_approx"))
+  }
+
   final case class EventIn(user_id: Long, event_id: Long, tsMicros: Long)
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
   final case class SessionState(start: Long, last: Long, n: Long)

@@ -40,6 +40,39 @@ class EventStreamsSpec extends AnyFunSuite {
   private def timestampFromHours(h: Int, m: Int): java.sql.Timestamp =
     new java.sql.Timestamp(((h * 60L + m) * 60L) * 1000L)
 
+  test("windowedDistinctUsers: batch and streaming agree bit-for-bit (HLL merge order-free)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (timestampFromHours(0, 10), "view", 1L),
+      (timestampFromHours(0, 20), "view", 1L),  // repeat user in-window
+      (timestampFromHours(0, 50), "view", 2L),
+      (timestampFromHours(1, 5), "click", 1L),
+      (timestampFromHours(1, 30), "view", 3L))
+    val batchDf = rows.toDF("ts", "event_type", "user_id")
+    val batchOut = EventStreams.windowedDistinctUsers(batchDf)
+      .orderBy("w_start", "event_type").collect().map(_.toSeq)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "user_id")
+    val q = EventStreams.windowedDistinctUsers(streamDf)
+      .writeStream.format("memory").queryName("wdu").outputMode("complete").start()
+    try {
+      // two adds → two micro-batches → the state-merge path runs
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamOut = s.sql("SELECT * FROM wdu ORDER BY w_start, event_type")
+        .collect().map(_.toSeq)
+      assert(streamOut.toSeq == batchOut.toSeq)
+      // tiny exact cardinalities: the sketch is exact at this scale
+      assert(batchOut.map(r => (r(1), r(2))).toSeq ==
+        Seq(("view", 2L), ("click", 1L), ("view", 1L)))
+    } finally q.stop()
+  }
+
   test("session_window: batch and streaming agree on the same input") {
     // locks batch/stream parity for the session_window_agg query shape
     // (SURVEY §7.2 step 6): the SAME gap-merge aggregation runs as a
