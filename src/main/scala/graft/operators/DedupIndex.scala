@@ -134,4 +134,41 @@ object DedupIndex {
     graft.BatchSink.compact(spark, s"$dir/fp")
     graft.BatchSink.compact(spark, s"$dir/bands")
   }
+
+  /** BUCKETED index layout — the far-scale variant of the parquet-dir
+    * index (PLANS.md round 10, prof24): the plain layout's per-batch
+    * anti/semi joins shuffle the INDEX side every increment (a
+    * left-anti/semi probe cannot broadcast its stream side), which is
+    * the linear term once the index dwarfs the batch. Storing `fp` and
+    * `bands` as catalog tables bucketed on their join keys satisfies
+    * the join's distribution requirement from the files themselves, so
+    * each increment exchanges only the (tiny) incoming batch — the
+    * index-side shuffle disappears from the plan
+    * (DedupIndexBucketedSpec asserts the exchange count drops vs the
+    * unbucketed plan, with output parity).
+    *
+    * Batches land with `mode(Append)` into the bucketed tables; the
+    * crash-retry idempotency story stays with the partitioned parquet
+    * layout (`accept`/`dedupBatch(batchId)`) — this layout is the
+    * co-location optimization for the steady-state corpus, reached via
+    * periodic promotion (e.g. at `compact` time), not the hot
+    * retry-window sink.
+    */
+  def acceptBucketed(accepted: DataFrame, fpTable: String, bandsTable: String,
+                     buckets: Int = 8): Unit = {
+    fingerprints(accepted).write.mode("append")
+      .bucketBy(buckets, "fp").sortBy("fp").format("parquet")
+      .saveAsTable(fpTable)
+    bandRows(accepted).write.mode("append")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig").format("parquet")
+      .saveAsTable(bandsTable)
+  }
+
+  /** Dedup `incoming` against the bucketed index tables — identical
+    * join pipeline ([[dedupAgainst]], single source of truth), the
+    * bucketed scans just satisfy its distribution requirements for free.
+    */
+  def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
+                         incoming: DataFrame): DataFrame =
+    dedupAgainst(incoming, spark.table(fpTable), spark.table(bandsTable))
 }
