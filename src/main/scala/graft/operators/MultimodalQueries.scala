@@ -17,6 +17,67 @@ object MultimodalQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
 
+  import graft.sources.ImageCodec
+
+  /** Real-codec resize stage: doc-derived gradient PNG → decode raster →
+    * nearest-neighbor resize (longest side → 16) → re-encode → decode.
+    * Emits resized dims plus the top-left and bottom-right pixels of the
+    * FINAL decoded raster, so the oracle (which replays the NN source
+    * mapping arithmetically) catches any deviation in the pixel path,
+    * not just the geometry. Per-row map work, no shuffle — the shape a
+    * thumbnailing pass over 100 TB of images needs.
+    */
+  val resizeRoundtripUdf = udf { (docId: Long, nChars: Long) =>
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + (nChars % 16).toInt
+    val g = (docId % 256).toInt
+    val m = math.max(w, h)
+    val rw = math.max(1, w * 16 / m)
+    val rh = math.max(1, h * 16 / m)
+    ImageCodec.decodeImage(ImageCodec.writeGradientPng(w, h, g)) match {
+      case Some(src) =>
+        val resized = ImageCodec.resizeNearest(src, rw, rh)
+        ImageCodec.decodeImage(ImageCodec.encodePng(resized)) match {
+          case Some(back) =>
+            ("png", w.toLong, h.toLong, back.getWidth.toLong, back.getHeight.toLong,
+              (back.getRGB(0, 0) & 0xff).toLong,
+              (back.getRGB(back.getWidth - 1, back.getHeight - 1) & 0xff).toLong)
+          case None => ("unknown", -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      case None => ("unknown", -1L, -1L, -1L, -1L, -1L, -1L)
+    }
+  }
+
+  /** Real-codec feature extraction: decode the gradient PNG raster and
+    * reduce it to an 8-bucket gray histogram + mean gray — the
+    * embedding-ish per-image feature vector a curation pass computes
+    * before any model sees the pixels. All per-row compute.
+    */
+  val grayHistUdf = udf { (docId: Long, nChars: Long) =>
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + (nChars % 16).toInt
+    val g = (docId % 256).toInt
+    ImageCodec.decodeImage(ImageCodec.writeGradientPng(w, h, g)) match {
+      case Some(img) =>
+        val hist = new Array[Long](8)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val gr = img.getRGB(x, y) & 0xff
+            hist(gr / 32) += 1
+            sum += gr
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        (n, sum.toDouble / n, hist.toSeq)
+      case None => (-1L, -1.0, Seq.fill(8)(0L))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Opaque-binary handling: size, content hash, base64 head — the
     // metadata columns any media table carries.
@@ -77,8 +138,39 @@ object MultimodalQueries {
           (col("has_images") && col("avg_images") > 1)).as("requires_vision"),
         (col("avg_text") > 500).as("has_tables"))
         .orderBy("doc_id")
+    }),
+    // Real-codec nearest-neighbor resize (longest side → 16): the
+    // sampled corner pixels of the decoded RESIZED raster must match
+    // the oracle's integer replay of the NN source mapping.
+    "mm_resize" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), resizeRoundtripUdf(col("doc_id"), col("n_chars")).as("m"))
+        .select(col("doc_id"), col("m._1").as("format"),
+          col("m._2").as("src_w"), col("m._3").as("src_h"),
+          col("m._4").as("dst_w"), col("m._5").as("dst_h"),
+          col("m._6").as("tl_gray"), col("m._7").as("br_gray"))
+        .orderBy("doc_id")
+    }),
+    // Real-codec feature extraction: 8-bucket gray histogram + mean
+    // over the decoded raster, replayed pixel-for-pixel by the oracle.
+    "mm_gray_hist" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), grayHistUdf(col("doc_id"), col("n_chars")).as("m"))
+      val histCols = (0 until 8).map(i =>
+        element_at(col("m._3"), i + 1).as(s"h$i"))
+      base.select(
+        Seq(col("doc_id"), col("m._1").as("n_px"),
+          round(col("m._2"), 6).as("mean_gray")) ++ histCols: _*)
+        .orderBy("doc_id")
     })
   )
+
+  /** Shared arithmetic base for the real-codec image queries: the
+    * doc-determined gradient image (same derivation as SourceQueries'
+    * `ocrBase`).
+    */
+  private val imgBase =
+    "SELECT doc_id, 8 + doc_id % 16 AS w, 8 + n_chars % 16 AS h, doc_id % 256 AS g FROM documents"
 
   private val metaSql =
     "SELECT doc_id, " +
@@ -101,6 +193,28 @@ object MultimodalQueries {
       (s"WITH m AS ($metaSql) " +
         "SELECT doc_id, format, CAST(f.i AS INT) AS frame_idx " +
         "FROM m, unnest(range(m.n_frames)) AS f(i) ORDER BY doc_id, frame_idx"),
+    // NN mapping replay: resized pixel (x,y) = source (x*w//rw, y*h//rh);
+    // gradient source pixel (x,y) = (g+x+y) % 256.
+    "mm_resize" ->
+      (s"WITH b AS ($imgBase), " +
+        "s AS (SELECT doc_id, w, h, g, " +
+        "greatest(1, (w*16)//greatest(w,h)) AS rw, " +
+        "greatest(1, (h*16)//greatest(w,h)) AS rh FROM b) " +
+        "SELECT doc_id, 'png' AS format, " +
+        "CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h, " +
+        "CAST(rw AS BIGINT) AS dst_w, CAST(rh AS BIGINT) AS dst_h, " +
+        "CAST(g AS BIGINT) AS tl_gray, " +
+        "CAST((g + ((rw-1)*w)//rw + ((rh-1)*h)//rh) % 256 AS BIGINT) AS br_gray " +
+        "FROM s ORDER BY doc_id"),
+    "mm_gray_hist" ->
+      (s"WITH b AS ($imgBase), " +
+        "px AS (SELECT b.doc_id, (b.g + x.i + y.i) % 256 AS gr " +
+        "FROM b, unnest(range(b.w)) AS x(i), unnest(range(b.h)) AS y(i)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px, " +
+        "round(avg(gr), 6) AS mean_gray, " +
+        (0 until 8).map(i =>
+          s"CAST(count(*) FILTER (WHERE gr // 32 = $i) AS BIGINT) AS h$i").mkString(", ") +
+        " FROM px GROUP BY doc_id ORDER BY doc_id"),
     "p2_pdf_analyze" ->
       ("WITH pages AS (" +
         "SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS page_text_len, " +

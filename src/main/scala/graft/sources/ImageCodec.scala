@@ -33,6 +33,77 @@ object ImageCodec extends Serializable {
     bos.toByteArray
   }
 
+  /** Encode a real grayscale gradient PNG: pixel (x,y) has gray level
+    * `(base + x + y) % 256`. Unlike the uniform [[writePng]], every
+    * pixel is distinct-ish, so resize/feature operators downstream are
+    * verified against actual raster content, not just dimensions.
+    */
+  def writeGradientPng(width: Int, height: Int, base: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = (base + x + y) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode an in-memory raster as PNG bytes. */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbor resize: destination pixel (x,y) samples source
+    * pixel (x*srcW/dstW, y*srcH/dstH) (floor — the standard NN mapping,
+    * integer arithmetic so an external oracle can replay any sampled
+    * pixel exactly). Pure per-row compute: at scale this runs inside one
+    * narrow map stage, no shuffle.
+    */
+  def resizeNearest(src: BufferedImage, dstW: Int, dstH: Int): BufferedImage = {
+    val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * src.getHeight / dstH
+      var x = 0
+      while (x < dstW) {
+        out.setRGB(x, y, src.getRGB(x * src.getWidth / dstW, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode to the full raster (None on unrecognized/corrupt bytes —
+    * same row-local degradation contract as [[decode]]).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        reader.setInput(iis)
+        Some(reader.read(0))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[image-codec] decodeImage degraded to sentinel: ${e.getClass.getName}: ${e.getMessage}")
+        None
+    } finally iis.close()
+  }
+
   /** Decode real image bytes: format from the registered reader, size
     * and the (0,0) gray level from the decoded raster.
     *
