@@ -121,4 +121,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(user_id"), p.take(1200))
     assert(!p.contains("windowspecdefinition(CAST(0"), p.take(1200))
   }
+
+  test("mm_resize / mm_gray_hist: codec passes are shuffle-free map stages") {
+    // the whole point of reducing inside the UDF is that no pixel rows
+    // (or any rows besides the per-doc output) ever cross an exchange —
+    // the only Exchange allowed is the presentation sort's range
+    // partitioning; a hashpartitioning exchange means a join/agg crept
+    // into the per-row codec path
+    for (q <- Seq("mm_resize", "mm_gray_hist")) {
+      val p = finalPlan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+        s"$q: ${p.take(1200)}")
+    }
+  }
 }
