@@ -216,6 +216,20 @@ object AnnQueries {
     // reads the STORED quantizer via [[AnnIndex.recallAudit]] (now on
     // the relay's auditEvery cadence), never retraining per query.
     "ann_recall_trained" -> ((s, d) => annRecallTrained(s, d)),
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    // over the embedding space: k-means-cluster the corpus, then inside
+    // each cluster drop every member that has a near-twin (rounded
+    // cosine ≥ tau) that outranks it. The paper keeps the member with
+    // the LOWEST similarity to its cluster centroid (retaining the
+    // outliers preserves diversity); ties break toward the smaller
+    // vec_id so the decision is total and hash-exact. Clustering makes
+    // the pair space per-cell instead of corpus²: with the IVF k ≈ √N
+    // sizing rule the expected cell is √N rows, so within-cell pairwise
+    // work stays ~N·√N-bounded and the shuffle key is the cell id — the
+    // published method IS the blocking scheme. Reuses the oracled
+    // k-means loop (same 16×TrainedAuditIters training as
+    // ann_recall_trained, replayed in DuckDB via kmeansCtes).
+    "semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     // Hybrid retrieval: BM25(k1=1.2, b=0.75) over fixed query terms +
     // dense cosine, fused by RRF (1/(60+rank)).
     "hybrid_bm25_rrf" -> ((s, d) => {
@@ -344,6 +358,41 @@ object AnnQueries {
     val approx = AnnIndex.searchAssigned(
       AnnIndex.assign(e, cents), AnnIndex.probe(q, cents, nprobe = 2), k = 3)
     recallRows("ivf_trained", approx, exactTop3(q, e), q).orderBy("method", "q_id")
+  }
+
+  /** SemDeDup's cluster + within-cluster prune (see the `semdedup` query
+    * comment). Emits every vector with its cell, centroid cosine and
+    * keep decision — (vec_id, cell, c_cos, kept) — so the hash gate
+    * covers the assignment, the ranking signal and the decision at
+    * once. `kept = false` iff some same-cell member with
+    * (c_cos, vec_id) lexicographically smaller is within tau cosine.
+    */
+  def semDedup(e: DataFrame, k: Int = 16, iters: Int = TrainedAuditIters,
+               tau: Double = 0.3): DataFrame = {
+    val cents = AnnIndex.kmeans(e, k, iters)
+    // assign() collapses the argmax cosine away; re-derive the winning
+    // cell's centroid cosine with one broadcast join on the tiny table
+    val withC = AnnIndex.assign(e, cents)
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))), Seq("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        VectorOps.cosineScore(col("embedding"), col("cv")).as("c_cos"))
+      // both the pair join and the final projection read this relation;
+      // without the checkpoint the k-means lineage (iters jobs) re-runs
+      // once per consumer
+      .localCheckpoint()
+    val a = withC.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("c_cos").as("cc_a"))
+    val b = withC.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("c_cos").as("cc_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(struct(col("cc_a"), col("id_a")) < struct(col("cc_b"), col("id_b")))
+      .filter(VectorOps.cosineScore(col("ea"), col("eb")) >= lit(tau))
+      .select(col("id_b").as("vec_id")).distinct()
+    withC.join(dropped.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("c_cos"),
+        coalesce(col("_d"), lit(false)) === false)
+      .toDF("vec_id", "cell", "c_cos", "kept")
+      .orderBy("vec_id")
   }
 
   /** Per-signature bucket histogram of a signed relation — computed ONCE
@@ -694,6 +743,21 @@ object AnnQueries {
         "SELECT 'ivf_trained' AS method, q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, " +
         "round(coalesce(h.hits, 0) / 3.0, 6) AS recall3 " +
         "FROM qs q LEFT JOIN h ON q.q_id = h.q_id ORDER BY method, q.q_id")
+    },
+    "semdedup" -> {
+      val (ctes, cents) = kmeansCtes(16, TrainedAuditIters)
+      (s"WITH $ctes, " +
+        "asg AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+        "SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        s"FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1), " +
+        s"wc AS (SELECT a.vec_id, a.embedding, a.cell, ${cos("a.embedding", "c.cv")} AS c_cos " +
+        s"FROM asg a JOIN $cents c ON a.cell = c.c_id), " +
+        "drp AS (SELECT DISTINCT b.vec_id FROM wc a JOIN wc b ON a.cell = b.cell " +
+        "AND (a.c_cos < b.c_cos OR (a.c_cos = b.c_cos AND a.vec_id < b.vec_id)) " +
+        s"WHERE ${cos("a.embedding", "b.embedding")} >= 0.3) " +
+        "SELECT w.vec_id, w.cell, w.c_cos, (d.vec_id IS NULL) AS kept " +
+        "FROM wc w LEFT JOIN drp d ON w.vec_id = d.vec_id ORDER BY w.vec_id")
     },
     "hybrid_bm25_rrf" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), " +

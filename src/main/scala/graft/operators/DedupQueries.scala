@@ -450,8 +450,69 @@ object DedupQueries {
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 3)
         .orderBy("doc_a", "doc_b")
-    })
+    }),
+    // Exact-substring dedup REWRITE (the C4 "repeated span" rule /
+    // Lee et al. 2021 "Deduplicating Training Data Makes Language
+    // Models Better", approximated with fixed-length span hashing
+    // instead of a suffix array — the standard distributed form): any
+    // SpanK-token run that appears verbatim in ≥ 2 distinct documents
+    // is boilerplate; every token covered by such a run is removed and
+    // the document is re-emitted without it. Where fingerprint_winnow /
+    // dedup_winnow_pairs DETECT substring-level overlap, this operator
+    // performs the corpus rewrite a training pipeline actually ships.
+    // Scale shape: span hashing is a per-doc map stage (n-SpanK+1
+    // overlapping md5s per doc — at 100 TB swap md5 for a rolling
+    // Rabin-Karp kernel, same plan); the df≥2 span table is a two-stage
+    // count-distinct agg on the span-hash key; ONLY affected documents
+    // (the sliver that shares a span) are exploded to tokens and
+    // rebuilt — untouched docs pass through as a metadata-only
+    // projection with no token explosion and no shuffle.
+    "substring_dedup" -> ((s, d) =>
+      substringDedup(widen(Tables.documents(s, d))))
   )
+
+  /** The substring-dedup rewrite over any (doc_id, text) relation —
+    * see the `substring_dedup` query comment for the algorithm and the
+    * scale analysis. K is the span length in tokens (the rewrite
+    * granularity; Lee et al. use 50 BPE tokens on full-size corpora).
+    */
+  def substringDedup(docsIn: DataFrame, K: Int = 15): DataFrame = {
+      val docs = docsIn
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+      val spans = docs.filter(col("n") >= K)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1L), col("n") - (K - 1))).as("start"))
+        .select(col("doc_id"), col("start"),
+          md5(concat_ws(" ", slice(col("ts"), col("start").cast("int"), lit(K)))
+            .cast("binary")).as("h"))
+      val dup = spans.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("h"))
+      // positions covered by a duplicated span — K rows per dup span,
+      // sliver-sized (only the shared runs explode, never the corpus)
+      val cov = spans.join(dup, Seq("h"))
+        .select(col("doc_id"), explode(sequence(col("start"), col("start") + (K - 1))).as("pos"))
+        .distinct()
+      val affected = cov.select(col("doc_id")).distinct()
+      val rebuilt = docs.join(affected, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+        .join(cov.withColumn("covered", lit(1L)), Seq("doc_id", "pos"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          coalesce(sum(col("covered")), lit(0L)).as("n_removed"),
+          // kept tokens in position order; collect_list drops the null
+          // (covered) slots, array_sort restores document order
+          array_join(transform(
+            array_sort(collect_list(when(col("covered").isNull,
+              struct(col("pos"), col("tok"))))),
+            e => e.getField("tok")), " ").as("new_text"))
+      val untouched = docs.join(affected, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          lit(0L).as("n_removed"), col("text").as("new_text"))
+      rebuilt.unionByName(untouched).orderBy("doc_id")
+  }
 
   private val hexToLong =
     "list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
@@ -607,6 +668,31 @@ object DedupQueries {
         "b AS (SELECT doc_id, r.j AS j, sum(CASE WHEN (hv >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
         "FROM h, unnest(range(60)) AS r(j) GROUP BY doc_id, r.j) " +
         "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash60 " +
-        "FROM b GROUP BY doc_id ORDER BY doc_id")
+        "FROM b GROUP BY doc_id ORDER BY doc_id"),
+    // mirrors the affected/untouched plan split: untouched docs emit the
+    // ORIGINAL text (not a token re-join), exactly like the Spark side
+    "substring_dedup" ->
+      ("WITH tn AS (SELECT doc_id, text, string_split(text, ' ') AS ts, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
+        "spans AS (SELECT doc_id, CAST(i AS BIGINT) AS s, " +
+        "md5(array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+14], ' ')) AS h " +
+        "FROM tn, unnest(range(1, n - 13)) t(i) WHERE n >= 15), " +
+        "dup AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT s.doc_id, s.s + o AS pos FROM spans s JOIN dup USING (h), " +
+        "unnest(range(0, 15)) u(o)), " +
+        "aff AS (SELECT DISTINCT doc_id FROM cov), " +
+        "tok AS (SELECT t.doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INT)] AS tok " +
+        "FROM tn t JOIN aff USING (doc_id), unnest(range(1, n + 1)) r(i)), " +
+        "m AS (SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS covered " +
+        "FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos), " +
+        "rb AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos), '') AS new_text " +
+        "FROM m GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, n_removed, new_text FROM rb " +
+        "UNION ALL " +
+        "SELECT t.doc_id, t.n, CAST(0 AS BIGINT), t.text FROM tn t " +
+        "ANTI JOIN aff a ON t.doc_id = a.doc_id " +
+        "ORDER BY doc_id")
   )
 }
