@@ -248,6 +248,56 @@ object CurationQueries {
           round(avg(col("nll")), 6).as("avg_nll"))
         .orderBy("doc_id")
     }),
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every raw document by how much more
+    // likely its hashed-n-gram features are under a TARGET domain's
+    // bag-of-words model than under the raw corpus's, then keep the
+    // top-N by importance weight. Features are hashed unigram buckets
+    // (B=256, md5 — the paper hashes n-grams to 10k buckets; same
+    // collision-tolerant shape), both models add-one smoothed, and
+    // log w(doc) = Σ_tok [ln p_target(b) − ln p_raw(b)]. The target
+    // here is the English slice (the quality-proxy stand-in for the
+    // paper's Wikipedia/books target). Selection is deterministic
+    // top-N by (logw, doc_id) — the paper's Gumbel-top-k needs rand(),
+    // which can never pass a cross-engine hash gate; rank-selection is
+    // its zero-temperature limit. Scale shape: the bucket log-ratio
+    // table is B rows (broadcast), scoring is one map-side join + one
+    // doc-keyed partial agg, and the top-N lowers to
+    // TakeOrderedAndProject — no global sort, no corpus shuffle beyond
+    // the per-doc aggregate.
+    "dsir_select" -> ((s, d) => {
+      val B = 256
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(lower(col("text")))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10) % B)
+            .cast("int").as("b"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val all = toks.groupBy(col("b")).agg(count(lit(1)).as("ca"))
+      val totals = all.agg(sum(col("ca")).as("n_a")).crossJoin(
+        tgt.agg(sum(col("ct")).as("n_t")))
+      // B-row bucket log-ratio table; buckets absent from `all` cannot
+      // appear in any document, so the left join loses nothing
+      val ratio = all.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("n_t") + B).cast("double")) -
+            log((col("ca") + 1).cast("double") /
+              (col("n_a") + B).cast("double"))).as("lr"))
+      val scored = toks.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_toks"),
+          round(sum(col("lr")), 6).as("logw"))
+      val top = scored.orderBy(col("logw").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), lit(true).as("_s"))
+      scored.join(broadcast(top), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"), col("logw"),
+          coalesce(col("_s"), lit(false)).as("selected"))
+        .orderBy("doc_id")
+    }),
     // Per-source document quota (the C4/RefinedWeb-style domain cap):
     // keep at most N docs per source so no single origin dominates the
     // training mix — the RANK-based complement of corpus_mix's
@@ -592,6 +642,23 @@ object CurationQueries {
         "round(avg(-ln(CAST(coalesce(vc.c, 0) + 1 AS DOUBLE) / (sc.n_train + sc.v_size))), 6) AS avg_nll " +
         "FROM tk LEFT JOIN vc ON tk.tok = vc.tok CROSS JOIN sc " +
         "GROUP BY tk.doc_id ORDER BY tk.doc_id"),
+    "dsir_select" ->
+      ("WITH tk AS (SELECT doc_id, lang, " +
+        "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
+        "regexp_extract_all(substr(md5(tok), 1, 4), '.')], (a,b) -> a*16 + b) % 256 AS INT) AS b " +
+        s"FROM (SELECT doc_id, lang, unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents)), " +
+        "tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tk WHERE lang = 'en' GROUP BY b), " +
+        "ac AS (SELECT b, CAST(count(*) AS BIGINT) AS ca FROM tk GROUP BY b), " +
+        "tt AS (SELECT CAST(sum(ct) AS BIGINT) AS n_t FROM tc), " +
+        "at AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a FROM ac), " +
+        "r AS (SELECT ac.b, ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (tt.n_t + 256)) - " +
+        "ln(CAST(ac.ca + 1 AS DOUBLE) / (at.n_a + 256)) AS lr " +
+        "FROM ac LEFT JOIN tc ON ac.b = tc.b CROSS JOIN tt CROSS JOIN at), " +
+        "sc2 AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks, round(sum(r.lr), 6) AS logw " +
+        "FROM tk JOIN r ON tk.b = r.b GROUP BY tk.doc_id), " +
+        "top AS (SELECT doc_id FROM sc2 ORDER BY logw DESC, doc_id LIMIT 100) " +
+        "SELECT sc2.doc_id, sc2.n_toks, sc2.logw, (t.doc_id IS NOT NULL) AS selected " +
+        "FROM sc2 LEFT JOIN top t ON sc2.doc_id = t.doc_id ORDER BY sc2.doc_id"),
     "source_cap" ->
       ("SELECT doc_id, source, word_count, rnk FROM (" +
         "SELECT doc_id, source, word_count, " +
