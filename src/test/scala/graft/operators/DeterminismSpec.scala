@@ -18,7 +18,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_knn_join", "ann_lsh_topk", "window_topn", "v6_sort_limit",
     "hybrid_bm25_rrf", "sessionize", "asof_join", "dedup_clusters",
     "dedup_incremental", "shard_packing2", "ann_int8_topk",
-    "corpus_temperature", "source_cap", "lm_score", "dedup_canonicalize")
+    "corpus_temperature", "source_cap", "lm_score", "dedup_canonicalize",
+    "dsir_select", "semdedup", "substring_dedup")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries

@@ -135,4 +135,26 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q: ${p.take(1200)}")
     }
   }
+
+  test("dsir_select: bounded top-N, ratio table broadcast, no corpus sort") {
+    val p = finalPlan("dsir_select")
+    // selection must lower to a per-partition top-N heap; the B-row
+    // log-ratio table and the 100-row selected set broadcast onto the
+    // scored relation
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("substring_dedup: span/coverage joins never degenerate to a cartesian") {
+    val p = finalPlan("substring_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("semdedup: the pair space is a cell-keyed equi-join, never a cartesian") {
+    // the only nested-loop allowed is the k-row centroid broadcast from
+    // the k-means assignment — the member×member join must key on cell
+    val p = finalPlan("semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
