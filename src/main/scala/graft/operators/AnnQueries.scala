@@ -230,6 +230,32 @@ object AnnQueries {
     // k-means loop (same 16×TrainedAuditIters training as
     // ann_recall_trained, replayed in DuckDB via kmeansCtes).
     "semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
+    // Incremental SemDeDup — the 100 TB ingestion shape (the semantic
+    // counterpart of dedup_incremental): an incoming batch is pruned
+    // against the STORED kept-set only — batch × index cell-keyed
+    // joins, never corpus × corpus. Arrival order is the rank: a
+    // stored member always outranks an incoming one, so incoming v is
+    // dropped iff some kept index member in v's cell is within tau.
+    // The coarse quantizer is the stored stand-in table (trained once,
+    // persisted — same seam as AnnIndex); the kept-set is derived
+    // inline from one table so the oracle can replay it, exactly like
+    // dedup_incremental derives its stored index.
+    "semdedup_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = AnnIndex.centroids(e)
+      val tau = 0.3
+      val keptX = semDedupWithCents(e.filter(col("vec_id") % 5 =!= 0), cents, tau)
+        .filter(col("kept"))
+        .select(col("cell"), col("embedding").as("ex"))
+      val inc = AnnIndex.assign(e.filter(col("vec_id") % 5 === 0), cents)
+      val dropped = inc.join(keptX, Seq("cell"))
+        .filter(VectorOps.cosineScore(col("embedding"), col("ex")) >= lit(tau))
+        .select(col("vec_id")).distinct()
+      inc.join(dropped.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          (coalesce(col("_d"), lit(false)) === false).as("kept"))
+        .orderBy("vec_id")
+    }),
     // Hybrid retrieval: BM25(k1=1.2, b=0.75) over fixed query terms +
     // dense cosine, fused by RRF (1/(60+rank)).
     "hybrid_bm25_rrf" -> ((s, d) => {
@@ -368,8 +394,19 @@ object AnnQueries {
     * (c_cos, vec_id) lexicographically smaller is within tau cosine.
     */
   def semDedup(e: DataFrame, k: Int = 16, iters: Int = TrainedAuditIters,
-               tau: Double = 0.3): DataFrame = {
-    val cents = AnnIndex.kmeans(e, k, iters)
+               tau: Double = 0.3): DataFrame =
+    semDedupWithCents(e, AnnIndex.kmeans(e, k, iters), tau)
+      .select(col("vec_id"), col("cell"), col("c_cos"), col("kept"))
+      .orderBy("vec_id")
+
+  /** The cluster + prune core against an EXTERNALLY-supplied (c_id, cv)
+    * quantizer table — the form the stored-index lifecycle uses (the
+    * quantizer is trained once and persisted; pruning runs per batch).
+    * Returns (vec_id, cell, c_cos, kept, embedding) — embedding rides
+    * along so a caller can use the kept rows as an index side without
+    * re-reading the corpus.
+    */
+  def semDedupWithCents(e: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
     // assign() collapses the argmax cosine away; re-derive the winning
     // cell's centroid cosine with one broadcast join on the tiny table
     val withC = AnnIndex.assign(e, cents)
@@ -390,9 +427,8 @@ object AnnQueries {
       .select(col("id_b").as("vec_id")).distinct()
     withC.join(dropped.withColumn("_d", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("c_cos"),
-        coalesce(col("_d"), lit(false)) === false)
-      .toDF("vec_id", "cell", "c_cos", "kept")
-      .orderBy("vec_id")
+        (coalesce(col("_d"), lit(false)) === false).as("kept"),
+        col("embedding"))
   }
 
   /** Per-signature bucket histogram of a signed relation — computed ONCE
@@ -759,6 +795,27 @@ object AnnQueries {
         "SELECT w.vec_id, w.cell, w.c_cos, (d.vec_id IS NULL) AS kept " +
         "FROM wc w LEFT JOIN drp d ON w.vec_id = d.vec_id ORDER BY w.vec_id")
     },
+    "semdedup_incremental" ->
+      ("WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
+        "axe AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+        "SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 5 <> 0) WHERE rn = 1), " +
+        s"wce AS (SELECT a.vec_id, a.embedding, a.cell, ${cos("a.embedding", "c.cv")} AS c_cos " +
+        "FROM axe a JOIN cents c ON a.cell = c.c_id), " +
+        "drpx AS (SELECT DISTINCT b.vec_id FROM wce a JOIN wce b ON a.cell = b.cell " +
+        "AND (a.c_cos < b.c_cos OR (a.c_cos = b.c_cos AND a.vec_id < b.vec_id)) " +
+        s"WHERE ${cos("a.embedding", "b.embedding")} >= 0.3), " +
+        "keptx AS (SELECT w.cell, w.embedding AS ex FROM wce w " +
+        "LEFT JOIN drpx d ON w.vec_id = d.vec_id WHERE d.vec_id IS NULL), " +
+        "axi AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+        "SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 5 = 0) WHERE rn = 1), " +
+        "drpi AS (SELECT DISTINCT i.vec_id FROM axi i JOIN keptx k ON i.cell = k.cell " +
+        s"WHERE ${cos("i.embedding", "k.ex")} >= 0.3) " +
+        "SELECT i.vec_id, i.cell, (d.vec_id IS NULL) AS kept " +
+        "FROM axi i LEFT JOIN drpi d ON i.vec_id = d.vec_id ORDER BY i.vec_id"),
     "hybrid_bm25_rrf" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), " +
         "tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, " +

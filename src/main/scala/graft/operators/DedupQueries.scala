@@ -468,7 +468,49 @@ object DedupQueries {
     // rebuilt — untouched docs pass through as a metadata-only
     // projection with no token explosion and no shuffle.
     "substring_dedup" -> ((s, d) =>
-      substringDedup(widen(Tables.documents(s, d))))
+      substringDedup(widen(Tables.documents(s, d)))),
+    // MinHash calibration audit — "measure, don't guess" for the sketch
+    // driving LSH dedup (the dedup-side sibling of ann_recall and the
+    // approx_*_audit rows): for every LSH candidate pair, the signature
+    // ESTIMATE of Jaccard (matching permutation minima / 16) lands next
+    // to the EXACT Jaccard over the full distinct-shingle sets, with a
+    // 3-sigma verdict (sigma = sqrt(j(1-j)/16) <= 0.125 at 16 perms, so
+    // bound 0.375). A drifting estimate is the signal to raise the
+    // permutation count, exactly as recall drift triggers quantizer
+    // retraining. The exact side re-shingles ONLY candidate docs (the
+    // near-dup sliver), mirroring dedup_jaccard_capped's verify shape.
+    "minhash_jaccard_audit" -> ((s, d) => {
+      val pairs = queries("dedup_minhash_lsh")(s, d)
+      val docs = Tables.documents(s, d)
+      // the 16 per-perm minima, recovered from the fused band UDF's
+      // output (4 bands x 4 "_"-joined minima, band-major == perm order)
+      val sigs = widen(docs).select(col("doc_id"),
+        flatten(transform(TextOps.minhashBandsUdf(col("text")),
+          bnd => split(bnd, "_"))).as("sg"))
+      val est = pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sg").as("sa")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sg").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+            (acc, v) => acc + v).cast("double") / 16.0, 6).as("est_jaccard"))
+      val sh = shingleRel(docs)
+      val candDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      val exact = shC.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+        .join(shC.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh")), Seq("sh"))
+        .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      est.join(exact, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+          (abs(col("est_jaccard") - col("jaccard")) <= 0.375).as("calib_ok"))
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   /** The substring-dedup rewrite over any (doc_id, text) relation —
@@ -693,6 +735,30 @@ object DedupQueries {
         "UNION ALL " +
         "SELECT t.doc_id, t.n, CAST(0 AS BIGINT), t.text FROM tn t " +
         "ANTI JOIN aff a ON t.doc_id = a.doc_id " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+    "minhash_jaccard_audit" ->
+      (s"WITH sh AS ($shingleSqlRel), " +
+        "shd AS (SELECT DISTINCT doc_id, sh FROM sh), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM shd, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a " +
+        "JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        "est AS (SELECT p.doc_a, p.doc_b, " +
+        "round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard " +
+        "FROM pairs p JOIN mh ma ON ma.doc_id = p.doc_a " +
+        "JOIN mh mb ON mb.doc_id = p.doc_b AND mb.perm = ma.perm " +
+        "GROUP BY p.doc_a, p.doc_b), " +
+        "ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "JOIN pairs c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard, " +
+        "(abs(e.est_jaccard - x.jaccard) <= 0.375) AS calib_ok " +
+        "FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b " +
+        "ORDER BY e.doc_a, e.doc_b")
   )
 }

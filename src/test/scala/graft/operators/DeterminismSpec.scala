@@ -19,7 +19,8 @@ class DeterminismSpec extends AnyFunSuite {
     "hybrid_bm25_rrf", "sessionize", "asof_join", "dedup_clusters",
     "dedup_incremental", "shard_packing2", "ann_int8_topk",
     "corpus_temperature", "source_cap", "lm_score", "dedup_canonicalize",
-    "dsir_select", "semdedup", "substring_dedup")
+    "dsir_select", "semdedup", "substring_dedup",
+    "semdedup_incremental", "minhash_jaccard_audit")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries

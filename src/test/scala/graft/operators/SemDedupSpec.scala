@@ -68,4 +68,41 @@ class SemDedupSpec extends AnyFunSuite {
     // the corpus ships planted near-dups — the prune must actually fire
     assert(droppedTotal > 0, "no vector was dropped at tau=0.3")
   }
+
+  test("incremental decisions match batch-vs-kept-index brute force") {
+    val e = Tables.embeddings(spark, d)
+    val cents = AnnIndex.centroids(e)
+    // the stored index side: kept existing members with their cells
+    val keptX = AnnQueries.semDedupWithCents(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0), cents, 0.3)
+      .collect()
+      .filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Seq[Float]]("embedding").toArray))
+    val inc = graft.SparkEntry.queries("semdedup_incremental")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(inc.length == 100) // vec_id % 5 == 0 slice of the 500-row corpus
+    val emb = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var dropped = 0
+    inc.foreach { case (id, cell, kept) =>
+      val hasWitness = keptX.exists { case (xc, xe) =>
+        xc == cell && cos6(xe, emb(id)) >= 0.3
+      }
+      assert(kept == !hasWitness, s"incoming $id: kept=$kept, witness=$hasWitness")
+      if (!kept) dropped += 1
+    }
+    assert(dropped > 0, "no incoming vector was pruned against the index")
+  }
 }
