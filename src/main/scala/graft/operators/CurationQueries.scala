@@ -100,6 +100,47 @@ object CurationQueries {
           (col("offset") + col("local_shard")).cast("long").as("shard_id"))
         .orderBy("lang", "b", "doc_id")
     }),
+    // Context-window sequence packing — the pack manifest a pretraining
+    // pipeline derives before tokenizing shards: documents are
+    // concatenated in canonical (doc_id) order and chopped into fixed
+    // W=256-token windows; each output row is one (doc, window) piece
+    // with its offset inside the window, so a doc spanning a boundary
+    // emits one row per window it touches. Unlike shard_packing (bin
+    // by budget, docs never split), this is the concat-and-chop
+    // semantics of packed training sequences. Scale shape: the global
+    // token offset is a TWO-LEVEL scan — within-bucket running sums
+    // (bucket = doc_id div B, contiguous so order is preserved) plus
+    // per-bucket prefix offsets from a broadcast triangle join over the
+    // N/B-row bucket-totals relation (warning-free: no single-partition
+    // window anywhere; choose B ≈ √N so both levels stay √N-sized — at
+    // extreme scale add a third level, same shape). All-integer, so the
+    // whole manifest is hash-exact cross-engine.
+    "sequence_pack" -> ((s, d) => {
+      val W = 256L
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wordCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket", expr("doc_id div 64"))
+      val w1 = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = base.withColumn("cum", sum(col("n_tok")).over(w1))
+      val bt = base.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btot"))
+      val bo = bt.join(broadcast(bt.select(col("bucket").as("b2"), col("btot").as("t2"))),
+          col("b2") < col("bucket"), "left")
+        .groupBy(col("bucket")).agg(coalesce(sum(col("t2")), lit(0L)).as("boff"))
+      cum.join(broadcast(bo), Seq("bucket"))
+        .filter(col("n_tok") > 0)
+        .withColumn("off", col("boff") + col("cum") - col("n_tok"))
+        .withColumn("s0", expr(s"off div $W"))
+        .withColumn("s1", expr(s"(off + n_tok - 1) div $W"))
+        .select(col("doc_id"), col("n_tok"), col("off"),
+          explode(sequence(col("s0"), col("s1"))).as("seq_id"))
+        .withColumn("seq_off", greatest(col("off"), col("seq_id") * W) - col("seq_id") * W)
+        .withColumn("n_in_seq",
+          least((col("seq_id") + 1) * W, col("off") + col("n_tok")) -
+            greatest(col("off"), col("seq_id") * W))
+        .select(col("doc_id"), col("seq_id"), col("seq_off"), col("n_in_seq"))
+        .orderBy("doc_id", "seq_id")
+    }),
     // Eval-contamination check: test-split documents sharing ≥5 3-gram
     // shingles with any train-split document — the overlap audit run
     // before a benchmark score is trusted. Shingle is the join key, so
@@ -552,6 +593,20 @@ object CurationQueries {
         "SELECT lang, b, max(local_shard) + 1 AS n_shards FROM ls GROUP BY lang, b)) " +
         "SELECT ls.doc_id, ls.lang, ls.b, ls.toks, CAST(off.o + ls.local_shard AS BIGINT) AS shard_id " +
         "FROM ls JOIN off ON ls.lang = off.lang AND ls.b = off.b ORDER BY ls.lang, ls.b, ls.doc_id"),
+    "sequence_pack" ->
+      (s"WITH base AS (SELECT doc_id, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS n_tok, " +
+        "doc_id // 64 AS bucket FROM documents), " +
+        "c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM base), " +
+        "bt AS (SELECT bucket, CAST(sum(n_tok) AS BIGINT) AS btot FROM base GROUP BY bucket), " +
+        "bo AS (SELECT a.bucket, CAST(coalesce(sum(b.btot), 0) AS BIGINT) AS boff " +
+        "FROM bt a LEFT JOIN bt b ON b.bucket < a.bucket GROUP BY a.bucket), " +
+        "o AS (SELECT c.doc_id, c.n_tok, bo.boff + c.cum - c.n_tok AS off " +
+        "FROM c JOIN bo ON c.bucket = bo.bucket WHERE c.n_tok > 0), " +
+        "e AS (SELECT doc_id, n_tok, off, off // 256 AS s0, (off + n_tok - 1) // 256 AS s1 FROM o) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS seq_id, " +
+        "CAST(greatest(off, i * 256) - i * 256 AS BIGINT) AS seq_off, " +
+        "CAST(least((i + 1) * 256, off + n_tok) - greatest(off, i * 256) AS BIGINT) AS n_in_seq " +
+        "FROM e, unnest(range(s0, s1 + 1)) t(i) ORDER BY doc_id, seq_id"),
     "contamination_check" ->
       (s"WITH sh AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
         "unnest(shs) AS sh FROM (SELECT doc_id, " +

@@ -20,7 +20,7 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_incremental", "shard_packing2", "ann_int8_topk",
     "corpus_temperature", "source_cap", "lm_score", "dedup_canonicalize",
     "dsir_select", "semdedup", "substring_dedup",
-    "semdedup_incremental", "minhash_jaccard_audit")
+    "semdedup_incremental", "minhash_jaccard_audit", "sequence_pack")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
