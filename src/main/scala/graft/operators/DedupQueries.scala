@@ -480,13 +480,26 @@ object DedupQueries {
     // retraining. The exact side re-shingles ONLY candidate docs (the
     // near-dup sliver), mirroring dedup_jaccard_capped's verify shape.
     "minhash_jaccard_audit" -> ((s, d) => {
-      val pairs = queries("dedup_minhash_lsh")(s, d)
       val docs = Tables.documents(s, d)
-      // the 16 per-perm minima, recovered from the fused band UDF's
-      // output (4 bands x 4 "_"-joined minima, band-major == perm order)
-      val sigs = widen(docs).select(col("doc_id"),
-        flatten(transform(TextOps.minhashBandsUdf(col("text")),
-          bnd => split(bnd, "_"))).as("sg"))
+      // ONE fused-UDF pass feeds both the pair generation and the
+      // estimate: band signatures stay as the UDF emits them, and the
+      // 16 per-perm minima are recovered by splitting (4 bands x 4
+      // "_"-joined minima, band-major == perm order). Re-running the
+      // UDF via the dedup_minhash_lsh entry would double the md5 work —
+      // the dominant per-row cost.
+      val sigBands = widen(docs).select(col("doc_id"),
+        TextOps.minhashBandsUdf(col("text")).as("bands"))
+        .localCheckpoint() // both consumers read this; don't re-hash
+      val bands = sigBands.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "sig")))
+      val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val sigs = sigBands.select(col("doc_id"),
+        flatten(transform(col("bands"), bnd => split(bnd, "_"))).as("sg"))
       val est = pairs
         .join(sigs.select(col("doc_id").as("doc_a"), col("sg").as("sa")), Seq("doc_a"))
         .join(sigs.select(col("doc_id").as("doc_b"), col("sg").as("sb")), Seq("doc_b"))
