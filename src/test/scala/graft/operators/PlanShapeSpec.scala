@@ -157,4 +157,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = finalPlan("semdedup")
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("quality_classifier: 64-row model broadcast onto the scoring scan") {
+    // training is two aggregates; scoring must be a broadcast-model map
+    // join + per-doc agg — a sort-merge join on the bucket id would
+    // shuffle the full token relation against a KB-sized model
+    val p = finalPlan("quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
