@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 import graft.functions.TextOps
 
 /** Persisted incremental-dedup index: the 100 TB ingestion pattern that
@@ -93,6 +94,133 @@ object DedupIndex {
   def dedupBatch(spark: SparkSession, dir: String, incoming: DataFrame): DataFrame =
     dedupAgainst(incoming,
       spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands"))
+
+  /** Bloom prefilters over the index keys — the increment accelerator
+    * that removes the plain layout's remaining linear term (PLANS.md
+    * prof24 caveat: the per-batch anti/semi joins shuffle the INDEX side
+    * because a left-anti/semi probe cannot broadcast its stream side).
+    * Built DISTRIBUTED (Spark's sketch aggregate: per-partition blooms
+    * OR-merged treewise — one scan, no collect of keys); the driver
+    * holds only the final bitset (~1.2 MB per 1M keys at 1% fpp).
+    *
+    * Bloom semantics keep the operator EXACT: no false negatives, so a
+    * bloom-miss row is PROVABLY absent from the index and skips the
+    * confirm join; false positives are re-checked by a real equi-join
+    * against the index. The filter changes the plan, never the output
+    * ([[dedupAgainstBloom]] ≡ [[dedupAgainst]], DedupBloomSpec).
+    *
+    * `expectedItems` is a capacity CONTRACT, not a measurement — sizing
+    * from a count would cost an extra index scan per build. Past
+    * capacity the fpp degrades gracefully (more confirm-join traffic,
+    * same output); at 10^11 keys a single bloom is ~150 GB, so the
+    * far-scale form keeps one bloom PER COMPACTED SEGMENT (build rides
+    * `compact`'s existing full read) and a batch probes the OR-merge —
+    * the fallback is always the plain [[dedupAgainst]]/bucketed path.
+    */
+  def buildBlooms(existingFp: DataFrame, existingBands: DataFrame,
+                  expectedItems: Long = 1L << 20,
+                  fpp: Double = 0.01): (BloomFilter, BloomFilter) = {
+    val fpBloom = existingFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bandBloom = existingBands
+      .select(concat_ws("|", col("band"), col("sig")).as("bs"))
+      .stat.bloomFilter("bs", expectedItems, fpp)
+    (fpBloom, bandBloom)
+  }
+
+  /** [[dedupAgainst]] with bloom prefilters: the batch-increment shape
+    * where the stored index is SCANNED but never EXCHANGED.
+    *
+    * Exact rung: only the bloom-HIT sliver of the incoming batch can
+    * possibly collide, so the index confirm flips the join direction —
+    * `existingFp LEFT SEMI broadcast(hit fps)` scans the index with a
+    * broadcast probe (zero index-side shuffle) and yields the confirmed
+    * collisions (≤ batch-sized), which then broadcast back into the
+    * batch-side anti-join. Near-dup rung: same flip over the band index
+    * with the bloom dropping non-colliding band rows before the scan.
+    * Every exchange left in the plan moves BATCH-sized data; the spec
+    * pins the hashpartitioning-exchange count to the one window shuffle
+    * of the survivors (vs 5+ index-side exchanges in the plain form).
+    *
+    * Null `text` ⇒ null `fp`: mightContain(null)=false routes the row
+    * around the confirm join — the same outcome the plain form's
+    * equi-anti-join gives null keys (never matched, always kept).
+    */
+  def dedupAgainstBloom(incoming: DataFrame, existingFp: DataFrame,
+                        existingBands: DataFrame,
+                        fpBloom: BloomFilter, bandBloom: BloomFilter): DataFrame = {
+    val sc = incoming.sparkSession.sparkContext
+    val fpB = sc.broadcast(fpBloom)
+    val bandB = sc.broadcast(bandBloom)
+    val mightFp = udf((s: String) => s != null && fpB.value.mightContain(s))
+    val mightBand = udf((s: String) => s != null && bandB.value.mightContain(s))
+
+    val withFp = incoming.withColumn("fp", md5(col("text").cast("binary")))
+    val hitFps = withFp.filter(mightFp(col("fp"))).select("fp").distinct()
+    val confirmedFps = existingFp.select("fp")
+      .join(broadcast(hitFps), Seq("fp"), "left_semi").distinct()
+    val exactNew = withFp.join(broadcast(confirmedFps), Seq("fp"), "left_anti")
+
+    val batchBands = exactNew
+      .select(col("doc_id"), posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+      .filter(mightBand(concat_ws("|", col("band"), col("sig"))))
+    val confirmedBands = existingBands.select("band", "sig")
+      .join(broadcast(batchBands.select("band", "sig").distinct()),
+        Seq("band", "sig"), "left_semi").distinct()
+    val nearDupIds = batchBands
+      .join(broadcast(confirmedBands), Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val survivors = exactNew.join(broadcast(nearDupIds), Seq("doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    survivors
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Persist / restore the blooms next to the index tables (one opaque
+    * sketch file each, Hadoop FS so the layout follows the index to any
+    * cluster filesystem). Rebuild rides `compact` in production; the
+    * reader treats a missing file as "no bloom yet" via the Option.
+    */
+  def writeBlooms(spark: SparkSession, dir: String,
+                  blooms: (BloomFilter, BloomFilter)): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def put(name: String, b: BloomFilter): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+      try b.writeTo(out) finally out.close()
+    }
+    put("fp.bloom", blooms._1)
+    put("bands.bloom", blooms._2)
+  }
+
+  def readBlooms(spark: SparkSession, dir: String): Option[(BloomFilter, BloomFilter)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def get(name: String): Option[BloomFilter] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(BloomFilter.readFrom(in)) finally in.close()
+      }
+    }
+    for (f <- get("fp.bloom"); b <- get("bands.bloom")) yield (f, b)
+  }
+
+  /** Stored-index increment through the stored blooms (falls back to the
+    * plain join pipeline when no bloom has been built yet).
+    */
+  def dedupBatchBloom(spark: SparkSession, dir: String, incoming: DataFrame): DataFrame = {
+    val fp = spark.read.parquet(s"$dir/fp")
+    val bands = spark.read.parquet(s"$dir/bands")
+    readBlooms(spark, dir) match {
+      case Some((fpBloom, bandBloom)) =>
+        dedupAgainstBloom(incoming, fp, bands, fpBloom, bandBloom)
+      case None => dedupAgainst(incoming, fp, bands)
+    }
+  }
 
   /** Dedup `incoming` against the index as it stood BEFORE `batchId`:
     * the read is pinned to earlier batch partitions (a partition-pruned

@@ -523,6 +523,29 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
           (abs(col("est_jaccard") - col("jaccard")) <= 0.375).as("calib_ok"))
         .orderBy("doc_a", "doc_b")
+    }),
+    // Bloom-prefiltered increment — the SAME contract as
+    // dedup_incremental (identical split, identical output, the oracle
+    // SQL is literally shared) with the far-scale PLAN: blooms over the
+    // index keys route the provably-new bulk of the batch around the
+    // confirm joins, and the joins that remain scan the index with
+    // BROADCAST probes, so the index side is never exchanged
+    // (DedupIndex.dedupAgainstBloom — parity + exchange-count pinned in
+    // DedupBloomSpec). The localCheckpoints are an artifact of the
+    // inline derivation only: the oracle needs fp/bands derived from
+    // `documents` in-query, and the bloom build plus the confirm joins
+    // would otherwise re-minhash the existing corpus; the production
+    // path (dedupBatchBloom) reads them from the stored parquet index.
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val fp = DedupIndex.fingerprints(existing).localCheckpoint()
+      val bands = DedupIndex.bandRows(existing).localCheckpoint()
+      val (fpBloom, bandBloom) = DedupIndex.buildBlooms(fp, bands)
+      DedupIndex.dedupAgainstBloom(incoming, fp, bands, fpBloom, bandBloom)
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -572,6 +595,32 @@ object DedupQueries {
   private val hexToLong =
     "list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
       "regexp_extract_all(substr(md5(tok), 1, 15), '.')], (a,b) -> a*16 + b)"
+
+  /** Shared by `dedup_incremental` and `dedup_bloom_prefilter`: the two
+    * queries are the same RELATION (incoming batch deduped against the
+    * existing corpus), differing only in physical plan.
+    */
+  private def incrementalSql: String =
+    s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shingleSqlRel)), " +
+      "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+      "FROM sh, unnest(range(16)) AS r(i)), " +
+      "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+      "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+      "FROM mh GROUP BY doc_id, perm // 4), " +
+      // NOT EXISTS (not NOT IN): anti-join semantics — a NULL text's
+      // NULL fingerprint must not empty the whole survivor set
+      "surv AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 5 = 0 " +
+      "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 5 <> 0 " +
+      "AND md5(e.text) = md5(d.text))), " +
+      "nd AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
+      "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
+      "WHERE i.doc_id IN (SELECT doc_id FROM surv)) " +
+      "SELECT s.doc_id, s.fp FROM surv s WHERE NOT EXISTS " +
+      "(SELECT 1 FROM nd WHERE nd.doc_id = s.doc_id) " +
+      // within-batch exact dups collapse to the smallest doc_id
+      // (mirrors DedupIndex.dedupAgainst's window dedupe)
+      "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1 " +
+      "ORDER BY s.doc_id"
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -658,27 +707,10 @@ object DedupQueries {
         "reach AS (SELECT src AS id, src AS lab FROM edges " +
         "UNION SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id) " +
         "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
-    "dedup_incremental" ->
-      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shingleSqlRel)), " +
-        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
-        "FROM sh, unnest(range(16)) AS r(i)), " +
-        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
-        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
-        "FROM mh GROUP BY doc_id, perm // 4), " +
-        // NOT EXISTS (not NOT IN): anti-join semantics — a NULL text's
-        // NULL fingerprint must not empty the whole survivor set
-        "surv AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 5 = 0 " +
-        "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 5 <> 0 " +
-        "AND md5(e.text) = md5(d.text))), " +
-        "nd AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
-        "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
-        "WHERE i.doc_id IN (SELECT doc_id FROM surv)) " +
-        "SELECT s.doc_id, s.fp FROM surv s WHERE NOT EXISTS " +
-        "(SELECT 1 FROM nd WHERE nd.doc_id = s.doc_id) " +
-        // within-batch exact dups collapse to the smallest doc_id
-        // (mirrors DedupIndex.dedupAgainst's window dedupe)
-        "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1 " +
-        "ORDER BY s.doc_id"),
+    "dedup_incremental" -> incrementalSql,
+    // bloom prefilter is plan-only: exact same relation as the plain
+    // incremental form, so the oracle is the same SQL
+    "dedup_bloom_prefilter" -> incrementalSql,
     "dedup_simhash_pairs" ->
       (s"WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextSql.tokens("text")}) AS tok FROM documents), " +
         s"h AS (SELECT doc_id, $hexToLong AS hv FROM tok), " +
