@@ -310,6 +310,36 @@ object AnnQueries {
             when(col("r_dense") > 0, lit(1.0) / (lit(60) + col("r_dense"))).otherwise(0.0), 9))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    }),
+    // Product-quantization ADC top-k (AnnPq — Jégou et al. 2011): M=4
+    // one-byte codes per vector, candidates ranked by integer table
+    // lookups without ever reading the embedding column. The third
+    // compression lever next to IVF (ann_ivf_topk) and int8
+    // (ann_int8_topk); composes with IVF exactly like int8 does.
+    "ann_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      AnnPq.search(e, queries, k = 3).orderBy("q_id", "rnk")
+    }),
+    // Recall@3 audit of the PQ path against the exact cosine top-3 —
+    // the same drift alarm ann_recall runs for IVF/LSH, over the ADC
+    // ranking. PQ is lossy BY DESIGN (4 bytes/vector); the audit is
+    // what tells you when M/K need raising, instead of guessing.
+    "ann_pq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val approx = AnnPq.search(e, queries, k = 3)
+        .select(col("q_id"), col("vec_id"))
+      val exact = exactTop3(queries,
+        e.select(col("vec_id"), col("embedding")))
+      approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        .join(queries.select(col("q_id")), Seq("q_id"), "right")
+        .select(col("q_id"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 6).as("recall_at_3"))
+        .orderBy("q_id")
     })
   )
 
@@ -844,6 +874,66 @@ object AnnQueries {
         "SELECT doc_id, r_sparse, r_dense, " +
         "round(CASE WHEN r_sparse > 0 THEN 1.0 / (60 + r_sparse) ELSE 0.0 END + " +
         "CASE WHEN r_dense > 0 THEN 1.0 / (60 + r_dense) ELSE 0.0 END, 9) AS rrf " +
-        "FROM fused ORDER BY rrf DESC, doc_id LIMIT 20")
+        "FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"),
+    "ann_pq_topk" ->
+      (s"WITH $pqCtes, " +
+        "sc AS (SELECT l.q_id, c.vec_id, " +
+        "(l.ws0[c.c0+1] + l.ws1[c.c1+1] + l.ws2[c.c2+1] + l.ws3[c.c3+1]) AS adc " +
+        "FROM cw c CROSS JOIN lutw l WHERE c.vec_id <> l.q_id) " +
+        "SELECT q_id, vec_id, rnk, adc FROM (" +
+        "SELECT q_id, vec_id, adc, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adc DESC, vec_id) AS INT) AS rnk FROM sc) " +
+        "WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "ann_pq_recall" ->
+      (s"WITH $pqCtes, " +
+        "sc AS (SELECT l.q_id, c.vec_id, " +
+        "(l.ws0[c.c0+1] + l.ws1[c.c1+1] + l.ws2[c.c2+1] + l.ws3[c.c3+1]) AS adc " +
+        "FROM cw c CROSS JOIN lutw l WHERE c.vec_id <> l.q_id), " +
+        "pq3 AS (SELECT q_id, vec_id FROM (" +
+        "SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rn FROM sc) WHERE rn <= 3), " +
+        "ex AS (SELECT q_id, vec_id FROM (SELECT q.q_id, e.vec_id, " +
+        s"row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos("e.embedding", "q.qv")} DESC, e.vec_id) AS rn " +
+        "FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) WHERE rn <= 3), " +
+        "hits AS (SELECT p.q_id, count(*) AS h FROM pq3 p " +
+        "JOIN ex ON p.q_id = ex.q_id AND p.vec_id = ex.vec_id GROUP BY p.q_id) " +
+        "SELECT q.q_id, round(CAST(coalesce(h, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3 " +
+        "FROM qs q LEFT JOIN hits ON q.q_id = hits.q_id ORDER BY q.q_id")
   )
+
+  /** Shared PQ CTEs: codebooks from the stand-in slice, per-vector codes
+    * (argmin subspace L2 over RAW sequential-fold doubles — bit-identical
+    * to Spark's aggregate, so no rounding is needed for the comparison),
+    * wide code/LUT tables with INTEGER ADC weights (floor(dot·1e6+0.5) —
+    * exact BIGINT scoring in both engines, the rankInt8 discipline).
+    */
+  private def pqCtes: String = {
+    val sd = AnnPq.SubDim
+    def l2 (a: String, b: String) =
+      s"list_reduce([(CAST($a[i+1] AS DOUBLE)-CAST($b[i+1] AS DOUBLE))*" +
+        s"(CAST($a[i+1] AS DOUBLE)-CAST($b[i+1] AS DOUBLE)) for i in range($sd)], (x,y)->x+y)"
+    def dotI(a: String, b: String) =
+      s"CAST(floor(${VectorSql.dot(a, b, sd)} * 1e6 + 0.5) AS BIGINT)"
+    s"cb AS (SELECT t.m AS m, CAST(vec_id - 100 AS INT) AS j, " +
+      s"embedding[t.m*$sd+1 : t.m*$sd+$sd] AS cbv " +
+      s"FROM embeddings CROSS JOIN range(${AnnPq.M}) t(m) WHERE vec_id BETWEEN 100 AND ${100 + AnnPq.K - 1}), " +
+      s"sub AS (SELECT vec_id, t.m AS m, embedding[t.m*$sd+1 : t.m*$sd+$sd] AS sv " +
+      s"FROM embeddings CROSS JOIN range(${AnnPq.M}) t(m)), " +
+      s"dist AS (SELECT s.vec_id, s.m, c.j, ${l2("s.sv", "c.cbv")} AS d2 " +
+      "FROM sub s JOIN cb c ON s.m = c.m), " +
+      "codes AS (SELECT vec_id, m, j AS code FROM (SELECT vec_id, m, j, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM dist) WHERE rn = 1), " +
+      "cw AS (SELECT vec_id, " +
+      (0 until AnnPq.M).map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ") +
+      " FROM codes GROUP BY vec_id), " +
+      "qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+      s"qsub AS (SELECT q_id, t.m AS m, qv[t.m*$sd+1 : t.m*$sd+$sd] AS qsv " +
+      s"FROM qs CROSS JOIN range(${AnnPq.M}) t(m)), " +
+      s"lw AS (SELECT q.q_id, q.m, c.j, ${dotI("q.qsv", "c.cbv")} AS wq " +
+      "FROM qsub q JOIN cb c ON q.m = c.m), " +
+      "lut AS (SELECT q_id, m, list(wq ORDER BY j) AS ws FROM lw GROUP BY q_id, m), " +
+      "lutw AS (SELECT q_id, " +
+      (0 until AnnPq.M).map(m => s"max(CASE WHEN m = $m THEN ws END) AS ws$m").mkString(", ") +
+      " FROM lut GROUP BY q_id)"
+  }
 }

@@ -20,7 +20,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_incremental", "shard_packing2", "ann_int8_topk",
     "corpus_temperature", "source_cap", "lm_score", "dedup_canonicalize",
     "dsir_select", "semdedup", "substring_dedup",
-    "semdedup_incremental", "minhash_jaccard_audit", "sequence_pack")
+    "semdedup_incremental", "minhash_jaccard_audit", "sequence_pack",
+    "ann_pq_topk", "ann_pq_recall", "dedup_bloom_prefilter")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
