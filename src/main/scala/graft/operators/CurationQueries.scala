@@ -670,8 +670,60 @@ object CurationQueries {
               / col("n_grams"), 6)))
         .withColumn("flagged", col("dup_ratio") > 0.05)
         .orderBy("doc_id")
+    }),
+    // Real BPE subword tokenizer (graft.text.BpeTokenizer, Sennrich et
+    // al. 2016) — the trained-merges upgrade of token_count's ceil(n/4)
+    // heuristic. The `.collect()` here is NOT a corpus collect: it
+    // pulls the top-V=64 row word-frequency aggregate (the tokenizer
+    // training sufficient statistic — HF/SentencePiece train from
+    // exactly this table), produced by a partial-agg wordcount +
+    // TakeOrdered; the merge loop then runs on those 64 rows on the
+    // driver, like every real tokenizer trainer. The oracle replays
+    // training round by round in SQL (bpeCtes): pair counts with
+    // overlaps, argmax by (count desc, pair asc), one left-to-right
+    // non-overlapping merge pass per round via a per-word recursive
+    // scan. All-integer/string — zero float-parity surface.
+    "bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      trainBpe(s, d).zipWithIndex
+        .map { case ((p1, p2), i) => (i + 1, p1, p2) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy("merge_rank")
+    }),
+    // Per-doc BPE token accounting: the merge cascade runs once per
+    // DISTINCT word (vocab-sized work — the 100 TB shape), then doc
+    // counts are an integer join+sum over the exploded corpus. A real
+    // context-budget planner (sequence_pack, G3's token budget) would
+    // consume n_bpe_tokens instead of the per-word heuristic.
+    "bpe_token_count" -> ((s, d) => {
+      val merges = trainBpe(s, d)
+      val bpeLen = udf((w: String) =>
+        graft.text.BpeTokenizer.encodeWord(w, merges).length.toLong)
+      val tok = bpeTokRel(s, d)
+      val wl = tok.select(col("word")).distinct()
+        .withColumn("bpe_len", bpeLen(col("word")))
+      tok.join(wl, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("bpe_len")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
     })
   )
+
+  /** The exploded (doc_id, word) relation both BPE stages read. */
+  private def bpeTokRel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("word"))
+
+  /** Word-frequency top-V + driver-side merge loop (see bpe_merges). */
+  private def trainBpe(s: SparkSession, d: String): Seq[(String, String)] = {
+    val counts = bpeTokRel(s, d)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(graft.text.BpeTokenizer.VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.text.BpeTokenizer.train(counts)
+  }
 
   private val bucketSql =
     "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
@@ -910,6 +962,54 @@ object CurationQueries {
         "ELSE round(CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams, 6) END AS dup_ratio, " +
         "CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN FALSE " +
         "ELSE round(CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams, 6) > 0.05 END AS flagged " +
-        "FROM tk LEFT JOIN a ON tk.doc_id = a.doc_id ORDER BY tk.doc_id")
+        "FROM tk LEFT JOIN a ON tk.doc_id = a.doc_id ORDER BY tk.doc_id"),
+    "bpe_merges" ->
+      (bpeCtes + " " +
+        (1 to graft.text.BpeTokenizer.NumMerges)
+          .map(r => s"SELECT $r AS merge_rank, p1 AS lhs, p2 AS rhs FROM m$r")
+          .mkString(" UNION ALL ") +
+        " ORDER BY merge_rank"),
+    "bpe_token_count" ->
+      (bpeCtes +
+        s", tok AS (SELECT doc_id, unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS word FROM documents), " +
+        s"wl AS (SELECT word, CAST(len(s) AS BIGINT) AS bpe_len FROM s${graft.text.BpeTokenizer.NumMerges}) " +
+        "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(w.bpe_len) AS BIGINT) AS n_bpe_tokens " +
+        "FROM tok t JOIN wl w ON t.word = w.word GROUP BY t.doc_id ORDER BY t.doc_id")
   )
+
+  /** BPE training replay (tools/proto_bpe.py prototypes this against a
+    * Python port — the proto_g1 discipline): wordcount → top-V training
+    * slice → per-round {pair counts with overlaps over the CURRENT
+    * symbolization, argmax by (count desc, pair asc), one left-to-right
+    * non-overlapping merge pass as a per-word recursive position scan}.
+    * The apply chain runs over ALL distinct words (s0..sR); training
+    * pair counts restrict to the top-V join. Every per-round CTE is
+    * MATERIALIZED — without it DuckDB re-inlines the chain at each
+    * reference and the query goes exponential in the round count.
+    */
+  private def bpeCtes: String = {
+    val toks = graft.functions.TextSql.tokens("lower(text)")
+    val head = Seq(
+      "w AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt " +
+        s"FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY tok)",
+      s"topv AS MATERIALIZED (SELECT word, cnt FROM w ORDER BY cnt DESC, word LIMIT ${graft.text.BpeTokenizer.VocabCap})",
+      "s0 AS MATERIALIZED (SELECT word, regexp_extract_all(word, '.') AS s FROM w)")
+    val rounds = (1 to graft.text.BpeTokenizer.NumMerges).flatMap { r =>
+      val p = s"s${r - 1}"
+      Seq(
+        s"pc$r AS MATERIALIZED (SELECT pr[1] AS p1, pr[2] AS p2, CAST(sum(cnt) AS BIGINT) AS n FROM (" +
+          "SELECT t.cnt, unnest([[x.s[i+1], x.s[i+2]] for i in range(len(x.s)-1)]) AS pr " +
+          s"FROM $p x JOIN topv t ON x.word = t.word) GROUP BY 1, 2)",
+        s"m$r AS MATERIALIZED (SELECT p1, p2, p1 || p2 AS mg FROM pc$r ORDER BY n DESC, p1, p2 LIMIT 1)",
+        s"a$r AS (SELECT word, s, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM $p " +
+          "UNION ALL " +
+          "SELECT a.word, a.s, " +
+          "CASE WHEN a.pos < len(a.s) AND a.s[a.pos] = m.p1 AND a.s[a.pos+1] = m.p2 THEN a.pos+2 ELSE a.pos+1 END, " +
+          "CASE WHEN a.pos < len(a.s) AND a.s[a.pos] = m.p1 AND a.s[a.pos+1] = m.p2 THEN list_append(a.out, m.mg) ELSE list_append(a.out, a.s[a.pos]) END " +
+          s"FROM a$r a, m$r m WHERE a.pos <= len(a.s))",
+        s"s$r AS MATERIALIZED (SELECT word, out AS s FROM a$r WHERE pos = len(s)+1)")
+    }
+    "WITH RECURSIVE " + (head ++ rounds).mkString(", ")
+  }
 }
