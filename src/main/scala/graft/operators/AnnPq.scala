@@ -99,6 +99,9 @@ object AnnPq {
     w.groupBy(col("q_id")).agg(wsCols.head, wsCols.tail: _*)
   }
 
+  private def adcExpr: Column =
+    (0 until M).map(m => element_at(col(s"ws$m"), col(s"c$m") + 1)).reduce(_ + _)
+
   /** ADC top-k: every (query, candidate) pair scored by M integer table
     * lookups summed in fixed order — exact BIGINT, hash-stable. The
     * codes table stands in for the persisted index; the LUT side is
@@ -108,12 +111,28 @@ object AnnPq {
     val cbs = codebooks(e)
     val codes = encode(e, cbs)
     val luts = lut(queries, cbs)
-    val adc = (0 until M).map(m =>
-      element_at(col(s"ws$m"), col(s"c$m") + 1)).reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
     codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", adc.cast("long"))
+      .withColumn("adc", adcExpr.cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("adc"))
+  }
+
+  /** IVF × PQ (the FAISS IVFADC composition): `codesWithCell` carries
+    * (vec_id, cell, c0..c{M-1}) — the persisted inverted file with PQ
+    * codes instead of raw vectors; `probeLuts` carries (q_id, cell,
+    * ws0..ws{M-1}) — each query's LUT replicated over its nprobe probed
+    * cells (queries × nprobe rows, always broadcastable). The cell
+    * equi-join IS the pruning: only candidates in probed cells are ADC-
+    * scored, and the scan side never exchanges.
+    */
+  def searchInCells(codesWithCell: DataFrame, probeLuts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    codesWithCell.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcExpr.cast("long"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk"), col("adc"))

@@ -340,6 +340,26 @@ object AnnQueries {
         .select(col("q_id"),
           round(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 6).as("recall_at_3"))
         .orderBy("q_id")
+    }),
+    // IVF × PQ — the FAISS IVFADC shape, and the strongest compression
+    // composition in the suite: the coarse quantizer prunes the scan to
+    // nprobe cells (I/O lever, as ann_ivf_topk) and inside the
+    // surviving cells candidates are ranked by 4-byte PQ codes via
+    // integer ADC (bandwidth lever, as ann_pq_topk) — at no point is a
+    // raw embedding read on the scan side. All-integer ranking,
+    // hash-exact cross-engine.
+    "ann_ivf_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = AnnIndex.centroids(e)
+      val queries0 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val cbs = AnnPq.codebooks(e)
+      val codesWithCell = AnnPq.encode(e, cbs)
+        .join(AnnIndex.assign(e, cents).select(col("vec_id"), col("cell")), Seq("vec_id"))
+      val probeLuts = AnnIndex.probe(queries0, cents, nprobe = 2)
+        .select(col("q_id"), col("cell"))
+        .join(AnnPq.lut(queries0, cbs), Seq("q_id"))
+      AnnPq.searchInCells(codesWithCell, probeLuts, k = 3).orderBy("q_id", "rnk")
     })
   )
 
@@ -898,7 +918,27 @@ object AnnQueries {
         "hits AS (SELECT p.q_id, count(*) AS h FROM pq3 p " +
         "JOIN ex ON p.q_id = ex.q_id AND p.vec_id = ex.vec_id GROUP BY p.q_id) " +
         "SELECT q.q_id, round(CAST(coalesce(h, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3 " +
-        "FROM qs q LEFT JOIN hits ON q.q_id = hits.q_id ORDER BY q.q_id")
+        "FROM qs q LEFT JOIN hits ON q.q_id = hits.q_id ORDER BY q.q_id"),
+    "ann_ivf_pq" ->
+      (s"WITH $pqCtes, " +
+        "cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
+        "asg AS (SELECT vec_id, c_id AS cell FROM (" +
+        s"SELECT e.vec_id, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+        "probes AS (SELECT q_id, c_id AS cell FROM (" +
+        s"SELECT q.q_id, c.c_id, CAST(row_number() OVER (PARTITION BY q.q_id " +
+        s"ORDER BY ${cos("q.qv", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM qs q CROSS JOIN cents c) WHERE rn <= 2), " +
+        "sc AS (SELECT p.q_id, c.vec_id, " +
+        "(l.ws0[c.c0+1] + l.ws1[c.c1+1] + l.ws2[c.c2+1] + l.ws3[c.c3+1]) AS adc " +
+        "FROM cw c JOIN asg a ON c.vec_id = a.vec_id " +
+        "JOIN probes p ON a.cell = p.cell " +
+        "JOIN lutw l ON l.q_id = p.q_id WHERE c.vec_id <> p.q_id) " +
+        "SELECT q_id, vec_id, rnk, adc FROM (" +
+        "SELECT q_id, vec_id, adc, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adc DESC, vec_id) AS INT) AS rnk FROM sc) " +
+        "WHERE rnk <= 3 ORDER BY q_id, rnk")
   )
 
   /** Shared PQ CTEs: codebooks from the stand-in slice, per-vector codes

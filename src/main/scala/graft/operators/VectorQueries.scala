@@ -149,7 +149,76 @@ object VectorQueries {
     // block size by construction. The block-size guard below makes the
     // bound LOUD: reuse at a scale where any label block exceeds it
     // fails the job instead of silently going quadratic.
-    "embed_neardup" -> ((s, d) => embedNearDupDemo(emb(s, d)))
+    "embed_neardup" -> ((s, d) => embedNearDupDemo(emb(s, d))),
+    // Hard-negative mining for contrastive training (the data side of
+    // embedding-model training: each anchor needs its most-similar
+    // OTHER-class neighbors as negatives — random negatives are too
+    // easy and the gradient signal collapses). Anchors broadcast, one
+    // streaming pass over the corpus, per-anchor top-3 by rounded
+    // cosine among vectors with a DIFFERENT label; the q_id-partitioned
+    // rank window runs on the anchor-keyed sliver. Same plan family as
+    // sim_knn_join — at 100 TB this composes with the ANN index the
+    // same way (probe cells first, mine within).
+    "hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("label"), col("rnk"), col("score"))
+        .orderBy("q_id", "rnk")
+    }),
+    // Leading principal component by DETERMINISTIC power iteration —
+    // the dimensionality-reduction primitive an embedding pipeline runs
+    // before whitening/quantization (and the 1-D shadow of a full PCA:
+    // top-k components = the same loop under deflation, same plan).
+    // Each round is one corpus map (w_i = xc_i·v, a sequential per-row
+    // fold) plus a per-position partial-agg sum (s_j = Σ_i w_i·xc_ij)
+    // — k·dim rows shuffle per round, independent of corpus size,
+    // exactly the kmeans update shape. Determinism: all per-row folds
+    // are sequential (bit-identical to list_reduce); the ONLY cross-row
+    // double sums (μ and s) are cast to FLOAT, which absorbs the
+    // summation-order noise (the kmeansCtes precedent — analysis in
+    // PLANS.md round-6); everything downstream of those floats is
+    // bit-identical again. Init v0 = 1/√dim = 0.125 exactly.
+    "embedding_pca" -> ((s, d) => {
+      val e = emb(s, d)
+      val muRow = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(avg(col("x").cast("double")).cast("float").as("mu"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(transform(col("pm"), p => p.getField("mu")).as("mu"))
+      val cent = e.select(col("vec_id"), col("label"), col("embedding"))
+        .crossJoin(broadcast(muRow))
+        .select(col("vec_id"), col("label"),
+          zip_with(col("embedding"), col("mu"),
+            (x, m) => x.cast("double") - m.cast("double")).as("xc"))
+        .localCheckpoint() // read every round + for the final projection
+      def dotSeq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      var vRow = muRow.select(transform(col("mu"), _ => lit(0.125)).as("v"))
+      for (_ <- 1 to 3) {
+        val sRow = cent.crossJoin(broadcast(vRow))
+          .select(col("xc"), dotSeq(col("xc"), col("v")).as("w"))
+          .select(col("w"), posexplode(col("xc")).as(Seq("pos", "xcj")))
+          .groupBy(col("pos")).agg(sum(col("xcj") * col("w")).cast("float").as("sj"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("sj")))).as("ps"))
+          .select(transform(col("ps"), p => p.getField("sj").cast("double")).as("sv"))
+        vRow = sRow.select(
+          transform(col("sv"),
+            x => x / sqrt(aggregate(col("sv"), lit(0.0), (acc, v) => acc + v * v))).as("v"))
+      }
+      cent.crossJoin(broadcast(vRow))
+        .select(col("vec_id"), col("label"),
+          round(dotSeq(col("xc"), col("v")), 6).as("pc1"))
+        .orderBy("vec_id")
+    })
   )
 
   /** The embed_neardup demo body with its guard exposed for testing.
@@ -244,6 +313,49 @@ object VectorQueries {
         s"${cos("a.embedding", "b.embedding")} AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
         s"WHERE ${cos("a.embedding", "b.embedding")} >= 0.3 " +
-        "ORDER BY id_a, id_b")
+        "ORDER BY id_a, id_b"),
+    "hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "scored AS (SELECT q.q_id, e.vec_id, e.label, " +
+        s"${cos("e.embedding", "q.qv")} AS score " +
+        "FROM embeddings e CROSS JOIN q " +
+        "WHERE e.vec_id <> q.q_id AND e.label <> q.q_label), " +
+        "ranked AS (SELECT q_id, vec_id, label, score, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rnk FROM scored) " +
+        "SELECT q_id, vec_id, label, rnk, score FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "embedding_pca" -> pcaSql
   )
+
+  /** Power-iteration replay (see the embedding_pca query comment): per
+    * round, w is a sequential per-row fold (list_reduce ≡ aggregate for
+    * sums) and s is the per-position cross-row sum cast to FLOAT — the
+    * only summation-order-sensitive stage, absorbed by the cast exactly
+    * as in kmeansCtes. v0 = 0.125 (1/√64, exactly representable).
+    */
+  private def pcaSql: String = {
+    val dim = 64
+    def dotSeq(a: String, b: String) =
+      s"list_reduce([$a[i+1] * $b[i+1] for i in range($dim)], (x,y) -> x+y)"
+    val head = Seq(
+      s"mu AS (SELECT i, CAST(avg(CAST(embedding[i+1] AS DOUBLE)) AS FLOAT) AS mu " +
+        s"FROM embeddings CROSS JOIN range($dim) t(i) GROUP BY i)",
+      "muv AS (SELECT list(CAST(mu AS DOUBLE) ORDER BY i) AS mu FROM mu)",
+      "cent AS MATERIALIZED (SELECT vec_id, label, " +
+        s"[CAST(embedding[i+1] AS DOUBLE) - muv.mu[i+1] for i in range($dim)] AS xc " +
+        "FROM embeddings, muv)",
+      s"v0 AS (SELECT [0.125 for i in range($dim)] AS v)")
+    val rounds = (1 to 3).flatMap { r =>
+      Seq(
+        s"w$r AS (SELECT vec_id, xc, ${dotSeq("xc", "v")} AS w FROM cent, v${r - 1})",
+        s"s$r AS (SELECT i, CAST(sum(xc[i+1] * w) AS FLOAT) AS sj " +
+          s"FROM w$r CROSS JOIN range($dim) t(i) GROUP BY i)",
+        s"sv$r AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY i) AS sv FROM s$r)",
+        s"v$r AS MATERIALIZED (SELECT [sv[i+1] / sqrt(${dotSeq("sv", "sv")}) " +
+          s"for i in range($dim)] AS v FROM sv$r)")
+    }
+    "WITH " + (head ++ rounds).mkString(", ") +
+      s" SELECT vec_id, label, round(${dotSeq("xc", "v")}, 6) AS pc1 " +
+      "FROM cent, v3 ORDER BY vec_id"
+  }
 }

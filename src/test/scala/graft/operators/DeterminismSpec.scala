@@ -21,7 +21,8 @@ class DeterminismSpec extends AnyFunSuite {
     "corpus_temperature", "source_cap", "lm_score", "dedup_canonicalize",
     "dsir_select", "semdedup", "substring_dedup",
     "semdedup_incremental", "minhash_jaccard_audit", "sequence_pack",
-    "ann_pq_topk", "ann_pq_recall", "dedup_bloom_prefilter")
+    "ann_pq_topk", "ann_pq_recall", "dedup_bloom_prefilter",
+    "ann_ivf_pq", "hard_negatives", "embedding_pca")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries

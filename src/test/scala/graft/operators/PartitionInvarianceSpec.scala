@@ -22,7 +22,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "ann_int8_topk",      // int8 ranking with float rescale
     "hybrid_bm25_rrf",    // BM25 doubles from integer stats
     "dedup_jaccard_capped", // multi-shuffle join pipeline
-    "corpus_stats")       // avg + pct doubles
+    "corpus_stats",       // avg + pct doubles
+    "embedding_pca")      // cross-row double sums, float-cast absorbed
 
   test("results identical under a different shuffle-partition count") {
     val alt = spark.newSession()
