@@ -671,6 +671,17 @@ object CurationQueries {
         .withColumn("flagged", col("dup_ratio") > 0.05)
         .orderBy("doc_id")
     }),
+    // The Gopher CHARACTER-fraction repetition rules (Rae et al. 2021
+    // §A1.1) that dup_ngram_ratio's count-ratio doesn't capture:
+    // frac_top2 = chars inside the most frequent 2-gram (count × gram
+    // char mass / alpha char mass, threshold 0.20) and frac_dup5 =
+    // chars covered by any 5-gram occurring ≥2× WITHIN the doc
+    // (position-coverage union, so overlapping repeats aren't double
+    // counted; threshold 0.15). The paper's full n=2..4 / n=5..10
+    // ladder is this same plan at other n. All masses are exact
+    // integers; only the final ratios divide. Per-doc map + doc-keyed
+    // aggs — embarrassingly parallel, no cross-doc state.
+    "gopher_repetition" -> ((s, d) => gopherRepetition(Tables.documents(s, d))),
     // Real BPE subword tokenizer (graft.text.BpeTokenizer, Sennrich et
     // al. 2016) — the trained-merges upgrade of token_count's ceil(n/4)
     // heuristic. The `.collect()` here is NOT a corpus collect: it
@@ -709,6 +720,57 @@ object CurationQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** The Gopher repetition body over any (doc_id, text) relation — see
+    * the `gopher_repetition` query comment for rules and thresholds.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+      val base = docs
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0L),
+            (a, x) => a + x.cast("long")).as("alpha"))
+      val g2 = base.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(col("toks"), col("i") + 1),
+            element_at(col("toks"), col("i") + 2)).as("gram"),
+          (length(element_at(col("toks"), col("i") + 1)) +
+            length(element_at(col("toks"), col("i") + 2))).cast("long").as("glen"))
+      val top2 = g2.groupBy(col("doc_id"), col("gram"), col("glen"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("gram").desc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), (col("cnt") * col("glen")).as("topchars"))
+      val g5 = base.filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 5)).as("i"))
+        .select(col("doc_id"), col("toks"), col("i"),
+          concat_ws(" ", (0 until 5).map(k =>
+            element_at(col("toks"), col("i") + k + 1)): _*).as("gram"))
+      val dup5 = g5.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("doc_id"), col("gram"))
+      val cov = g5.join(dup5, Seq("doc_id", "gram"), "left_semi")
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(col("i"), col("i") + 4)).as("p"))
+        .select(col("doc_id"), col("p"),
+          length(element_at(col("toks"), col("p") + 1)).cast("long").as("clen"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(sum(col("clen")).as("dupchars"))
+      base.select(col("doc_id"), col("alpha"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("alpha") > 0, round(coalesce(col("topchars"), lit(0L))
+            .cast("double") / col("alpha"), 6)).otherwise(0.0).as("frac_top2"),
+          when(col("alpha") > 0, round(coalesce(col("dupchars"), lit(0L))
+            .cast("double") / col("alpha"), 6)).otherwise(0.0).as("frac_dup5"))
+        .withColumn("flagged", col("frac_top2") > 0.20 || col("frac_dup5") > 0.15)
+        .orderBy("doc_id")
+  }
 
   /** The exploded (doc_id, word) relation both BPE stages read. */
   private def bpeTokRel(s: SparkSession, d: String): DataFrame =
@@ -963,6 +1025,37 @@ object CurationQueries {
         "CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN FALSE " +
         "ELSE round(CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams, 6) > 0.05 END AS flagged " +
         "FROM tk LEFT JOIN a ON tk.doc_id = a.doc_id ORDER BY tk.doc_id"),
+    "gopher_repetition" -> {
+      val toks = graft.functions.TextSql.tokens("lower(text)")
+      s"WITH base AS (SELECT doc_id, $toks AS toks, " +
+        s"CAST(list_sum([length(x) for x in $toks]) AS BIGINT) AS alpha FROM documents), " +
+        "g2 AS (SELECT doc_id, " +
+        "unnest([toks[i+1] || ' ' || toks[i+2] for i in range(len(toks)-1)]) AS gram, " +
+        "unnest([CAST(length(toks[i+1]) + length(toks[i+2]) AS BIGINT) for i in range(len(toks)-1)]) AS glen " +
+        "FROM base WHERE len(toks) >= 2), " +
+        "t2 AS (SELECT doc_id, CAST(cnt * glen AS BIGINT) AS topchars FROM (" +
+        "SELECT doc_id, glen, cnt, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, gram DESC) AS rn FROM (" +
+        "SELECT doc_id, gram, glen, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3)) WHERE rn = 1), " +
+        "g5 AS (SELECT doc_id, toks, unnest([i for i in range(len(toks)-4)]) AS i " +
+        "FROM base WHERE len(toks) >= 5), " +
+        "g5g AS (SELECT doc_id, toks, i, " +
+        "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] AS gram FROM g5), " +
+        "d5 AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, count(*) AS c " +
+        "FROM g5g GROUP BY 1, 2) WHERE c >= 2), " +
+        "cov AS (SELECT DISTINCT g.doc_id, p.p AS p, " +
+        "CAST(length(g.toks[p.p+1]) AS BIGINT) AS clen " +
+        "FROM (SELECT g5g.* FROM g5g JOIN d5 ON g5g.doc_id = d5.doc_id AND g5g.gram = d5.gram) g, " +
+        "unnest([g.i, g.i+1, g.i+2, g.i+3, g.i+4]) AS p(p)), " +
+        "dc AS (SELECT doc_id, CAST(sum(clen) AS BIGINT) AS dupchars FROM cov GROUP BY doc_id) " +
+        "SELECT b.doc_id, " +
+        "CASE WHEN b.alpha > 0 THEN round(CAST(coalesce(t2.topchars, 0) AS DOUBLE) / b.alpha, 6) ELSE 0.0 END AS frac_top2, " +
+        "CASE WHEN b.alpha > 0 THEN round(CAST(coalesce(dc.dupchars, 0) AS DOUBLE) / b.alpha, 6) ELSE 0.0 END AS frac_dup5, " +
+        "(CASE WHEN b.alpha > 0 THEN round(CAST(coalesce(t2.topchars, 0) AS DOUBLE) / b.alpha, 6) ELSE 0.0 END) > 0.20 OR " +
+        "(CASE WHEN b.alpha > 0 THEN round(CAST(coalesce(dc.dupchars, 0) AS DOUBLE) / b.alpha, 6) ELSE 0.0 END) > 0.15 AS flagged " +
+        "FROM base b LEFT JOIN t2 ON b.doc_id = t2.doc_id " +
+        "LEFT JOIN dc ON b.doc_id = dc.doc_id ORDER BY b.doc_id"
+    },
     "bpe_merges" ->
       (bpeCtes + " " +
         (1 to graft.text.BpeTokenizer.NumMerges)
