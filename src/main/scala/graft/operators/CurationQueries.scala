@@ -682,6 +682,68 @@ object CurationQueries {
     // integers; only the final ratios divide. Per-doc map + doc-keyed
     // aggs — embarrassingly parallel, no cross-doc state.
     "gopher_repetition" -> ((s, d) => gopherRepetition(Tables.documents(s, d))),
+    // Deterministic pre-training global shuffle: training wants the
+    // corpus decorrelated (adjacent docs from one source/crawl bias the
+    // gradient), and at 100 TB "shuffle" cannot mean rand() — it means
+    // a HASH order that any rerun reproduces. Shard = md5 bucket of
+    // the doc id (well-mixed by construction), position = rank of the
+    // full md5 within the shard — so the windows are shard-partitioned
+    // (corpus/S rows each, S ≈ output file count), never global.
+    // Composes with shard_packing/sequence_pack as the order they
+    // consume.
+    "corpus_shuffle" -> ((s, d) => {
+      val S = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("shard", (conv(substring(col("h"), 1, 4), 16, 10) % S).cast("int"))
+      docs.withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+    // Decontamination REWRITE — contamination_check detects, this ships
+    // the decision a pipeline acts on: per TRAIN doc, drop it when it
+    // shares ≥5 rare shingles with any test doc (the check's rule) OR
+    // its content fingerprint appears verbatim in the test split (the
+    // mass-dup blind spot contamination_mass measures — an fp hit at
+    // ANY duplication level, immune to the df cap). Same df≤20-capped
+    // join discipline; the exact rung is one fp equi-join. Output is
+    // the per-train-doc decision table (the manifest diff a versioned
+    // corpus records), not just the clean slice.
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", hashBucket(col("doc_id")))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      val sh = docs.select(col("doc_id"), col("split"),
+        explode(TextOps.shingles3Udf(col("text"))).as("sh"))
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContaminationDfCap).select(col("sh"))
+      val shR = sh.join(rare, Seq("sh"))
+      val contaminated = shR.filter(col("split") === "test")
+        .select(col("doc_id").as("test_doc"), col("sh"))
+        .join(shR.filter(col("split") === "train")
+          .select(col("doc_id").as("train_doc"), col("sh")), Seq("sh"))
+        .groupBy(col("test_doc"), col("train_doc"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .select(col("train_doc").as("doc_id")).distinct()
+        .withColumn("sh_hit", lit(true))
+      val testFps = docs.filter(col("split") === "test")
+        .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      val exactHits = docs.filter(col("split") === "train")
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .join(testFps, Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("fp_hit", lit(true))
+      docs.filter(col("split") === "train").select(col("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .join(exactHits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sh_hit"), lit(false)).as("shingle_hit"),
+          coalesce(col("fp_hit"), lit(false)).as("exact_hit"))
+        .withColumn("kept", !col("shingle_hit") && !col("exact_hit"))
+        .orderBy("doc_id")
+    }),
     // Real BPE subword tokenizer (graft.text.BpeTokenizer, Sennrich et
     // al. 2016) — the trained-merges upgrade of token_count's ceil(n/4)
     // heuristic. The `.collect()` here is NOT a corpus collect: it
@@ -1025,6 +1087,38 @@ object CurationQueries {
         "CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN FALSE " +
         "ELSE round(CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams, 6) > 0.05 END AS flagged " +
         "FROM tk LEFT JOIN a ON tk.doc_id = a.doc_id ORDER BY tk.doc_id"),
+    "corpus_shuffle" -> {
+      val shardSql = "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
+        "regexp_extract_all(substr(md5(doc_id::VARCHAR), 1, 4), '.')], (a,b) -> a*16 + b) % 8 AS INT)"
+      "SELECT doc_id, shard, pos FROM (SELECT doc_id, shard, " +
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos " +
+        s"FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS h, $shardSql AS shard FROM documents)) " +
+        "ORDER BY shard, pos"
+    },
+    "decontaminate" -> {
+      val toks = graft.functions.TextSql.tokens("text")
+      s"WITH d AS (SELECT doc_id, text, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+        s"FROM (SELECT doc_id, text, $bucketSql AS b FROM documents)), " +
+        "sh AS (SELECT doc_id, split, unnest(shs) AS sh FROM (SELECT doc_id, split, " +
+        s"${graft.functions.TextSql.shingles("toks")} AS shs FROM " +
+        s"(SELECT doc_id, split, $toks AS toks FROM d))), " +
+        s"rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $ContaminationDfCap), " +
+        "shr AS (SELECT s.doc_id, s.split, s.sh FROM sh s JOIN rare r ON s.sh = r.sh), " +
+        "cont AS (SELECT DISTINCT train_doc AS doc_id FROM (" +
+        "SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, count(*) AS shared " +
+        "FROM (SELECT doc_id, sh FROM shr WHERE split = 'test') te " +
+        "JOIN (SELECT doc_id, sh FROM shr WHERE split = 'train') tr ON te.sh = tr.sh " +
+        "GROUP BY 1, 2) WHERE shared >= 5), " +
+        "fps AS (SELECT DISTINCT md5(text) AS fp FROM d WHERE split = 'test'), " +
+        "ex AS (SELECT t.doc_id FROM (SELECT doc_id, md5(text) AS fp FROM d WHERE split = 'train') t " +
+        "WHERE EXISTS (SELECT 1 FROM fps WHERE fps.fp = t.fp)) " +
+        "SELECT t.doc_id, " +
+        "EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = t.doc_id) AS shingle_hit, " +
+        "EXISTS (SELECT 1 FROM ex WHERE ex.doc_id = t.doc_id) AS exact_hit, " +
+        "NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = t.doc_id) AND " +
+        "NOT EXISTS (SELECT 1 FROM ex WHERE ex.doc_id = t.doc_id) AS kept " +
+        "FROM d t WHERE t.split = 'train' ORDER BY t.doc_id"
+    },
     "gopher_repetition" -> {
       val toks = graft.functions.TextSql.tokens("lower(text)")
       s"WITH base AS (SELECT doc_id, $toks AS toks, " +

@@ -22,7 +22,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dsir_select", "semdedup", "substring_dedup",
     "semdedup_incremental", "minhash_jaccard_audit", "sequence_pack",
     "ann_pq_topk", "ann_pq_recall", "dedup_bloom_prefilter",
-    "ann_ivf_pq", "hard_negatives", "embedding_pca")
+    "ann_ivf_pq", "hard_negatives", "embedding_pca", "corpus_shuffle",
+    "gopher_repetition")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
