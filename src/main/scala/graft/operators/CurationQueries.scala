@@ -86,6 +86,34 @@ object CurationQueries {
     (lb, sc)
   }
 
+  /** Shared unigram-LM scorer (the lm_score body, factored so the CCNet
+    * bucketing can ride the same subtree): per-doc token count and
+    * 6dp-rounded mean add-one NLL under the train-split model, with
+    * `lang` and the split `bucket` carried through for downstream
+    * consumers. Grouping by (doc_id, lang, bucket) is key-equivalent to
+    * doc_id alone (both are functions of it) — same agg, wider row.
+    */
+  private def lmNll(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashBucket(col("doc_id")).as("bucket"),
+        explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    val vocab = toks.filter(col("bucket") < 80)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val scalars = vocab.agg(sum(col("c")).as("n_train"),
+      count(lit(1)).as("v_size"))
+    // no broadcast hint on vocab: tiny here (auto-broadcast), but a
+    // 100 TB corpus's vocabulary belongs in a token-keyed shuffle
+    // join — let AQE pick per actual size
+    toks.join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        (-log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_train") + col("v_size")).cast("double"))).as("nll"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Deterministic train/val/test assignment (80/10/10 by id hash):
     // membership is a pure function of doc_id — stable across reruns,
@@ -326,25 +354,155 @@ object CurationQueries {
     // token-keyed join (vocab-bounded), one per-doc avg — all linear,
     // no all-pairs anywhere.
     "lm_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs
+      lmNll(s, d)
+        .select(col("doc_id"), col("n_toks"), col("avg_nll"))
+        .orderBy("doc_id")
+    }),
+    // Interpolated bigram LM quality score (the KenLM fidelity step up
+    // from lm_score's unigram model — CCNet scores with a 5-gram KenLM;
+    // the bigram interpolated form is the same model family in its
+    // engine-replayable closed form): fit bigram + unigram counts on the
+    // TRAIN split, score every doc by mean NLL of
+    //   -ln(0.5·p_bi + 0.5·p_uni),   p_bi = (c(w1,w2)+1)/(c(w1)+V),
+    //                                p_uni = (c(w2)+1)/(N+V)
+    // — add-one smoothed conditional interpolated with the unigram
+    // marginal (Jelinek-Mercer, λ=0.5; λ is a power of two so both
+    // scaled terms are EXACT and the one rounded add is identical
+    // cross-engine; the ln jitter dies in the 6dp round like lm_score).
+    // Bigrams come from a native array transform over the token array —
+    // a per-row map, NO self-join to form pairs. Scale: two train aggs
+    // (bigram-keyed, unigram-keyed), three vocab-bounded token-keyed
+    // joins, one per-doc avg — all linear; at 100 TB the bigram table is
+    // the big one and shuffles on its own key, never the corpus.
+    "lm_score_bigram" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"),
-          explode(TextOps.tokens(lower(col("text")))).as("tok"))
-      val vocab = toks.filter(col("bucket") < 80)
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val scalars = vocab.agg(sum(col("c")).as("n_train"),
+          TextOps.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2) // a 1-token doc has no bigram
+      val bi = toks.select(col("doc_id"), col("bucket"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bucket"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = toks.filter(col("bucket") < 80)
+        .select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val big = bi.filter(col("bucket") < 80)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val scalars = uni.agg(sum(col("cu")).as("n_train"),
         count(lit(1)).as("v_size"))
-      // no broadcast hint on vocab: tiny here (auto-broadcast), but a
-      // 100 TB corpus's vocabulary belongs in a token-keyed shuffle
-      // join — let AQE pick per actual size
-      toks.join(vocab, Seq("tok"), "left")
+      bi.join(big, Seq("w1", "w2"), "left")
+        .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+        .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
         .crossJoin(broadcast(scalars))
         .select(col("doc_id"),
-          (-log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
-            (col("n_train") + col("v_size")).cast("double"))).as("nll"))
+          (-log(
+            (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("cu1"), lit(0L)) + col("v_size")).cast("double") * lit(0.5) +
+              (coalesce(col("cu2"), lit(0L)) + lit(1L)).cast("double") /
+                (col("n_train") + col("v_size")).cast("double") * lit(0.5))).as("nll"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_toks"),
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
           round(avg(col("nll")), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+    // CCNet perplexity bucketing (Wenzek et al. 2019, arXiv:1911.00359
+    // §4.3): per language, docs are binned head/middle/tail by LM
+    // perplexity tertiles, and downstream training keeps head(+middle).
+    // The production architecture is exactly what's implemented here:
+    // cutoffs are computed ON A SAMPLE (the train split — CCNet derives
+    // its cutoffs from a fraction of each language, not the corpus), then
+    // every doc is assigned by a broadcast cutoff-table comparison — the
+    // corpus itself is never sorted. The sample rank window is
+    // sample-sized and per-lang; the cutoff table is |langs| rows. Head
+    // boundary docs that TIE the cutoff value all land in the better
+    // bucket (threshold semantics — deterministic under ties by
+    // construction, no rank in the output).
+    "ccnet_buckets" -> ((s, d) => {
+      val scored = lmNll(s, d)
+      val sample = scored.filter(col("bucket") < 80)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))))
+        .withColumn("n_l", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val cuts = sample.groupBy(col("lang"))
+        .agg(max(when(col("rnk") * 3 <= col("n_l"), col("avg_nll"))).as("c1"),
+          max(when(col("rnk") * 3 <= col("n_l") * 2, col("avg_nll"))).as("c2"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("avg_nll"),
+          when(col("avg_nll") <= col("c1"), "head")
+            .when(col("avg_nll") <= col("c2"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+    // Epoch/repetition manifest (the sampling-with-replacement data mix
+    // of GPT-3/LLaMA: sources are weighted, so at a fixed token budget
+    // some sources repeat >1 epoch while others are subsampled —
+    // LLaMA's Wikipedia/Books run ~2.4 epochs, CommonCrawl <1). Target
+    // here: a UNIFORM share per source at a 2-epoch total budget, so
+    // r_s = 2N/(S·n_s); each doc is emitted floor(r_s) times plus one
+    // more when its stable hash bucket falls under the fractional part
+    // — the deterministic equivalent of bernoulli(frac), same bucket
+    // family as every sampler in this file. Output is the (doc, epoch)
+    // manifest a training loader consumes. Scale: counts are one tiny
+    // agg, the rate table is |sources| rows broadcast, and the explode
+    // fans out ≤⌈r_s⌉ rows per doc — map-side, no shuffle.
+    "epoch_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val t = docs.agg(count(lit(1)).as("n"))
+      val sct = c.agg(count(lit(1)).as("s"))
+      val rates = c.crossJoin(broadcast(t)).crossJoin(broadcast(sct))
+        .select(col("source"),
+          (lit(2.0) * col("n") / (col("s") * col("n_s"))).as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          (floor(col("rate")).cast("int") +
+            when(hashBucket(col("doc_id")) <
+              (col("rate") - floor(col("rate"))) * 100, 1).otherwise(0)).as("copies"))
+        .select(col("doc_id"), col("source"), col("copies"),
+          explode(when(col("copies") >= 1, sequence(lit(1), col("copies")))
+            .otherwise(array().cast("array<int>"))).as("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+    // Composed quality decision (the FineWeb/RefinedWeb shape: a corpus
+    // ships ONE keep/drop decision per doc, derived from the whole
+    // filter stack, with the rejecting rule recorded so filter rates are
+    // auditable per rule). Rules in precedence order: Gopher shape gates
+    // (same 6dp-rounded ratios as gopher_quality), the trained NB
+    // classifier (same model as quality_classifier), exact-dup
+    // canonicalization (keep the min-id copy). Every subtree is linear
+    // and already exists; the composition is three doc-keyed joins.
+    "quality_ensemble" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = docs
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextOps.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("n_chars"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(sum(col("cnt")).as("n_toks"), max(col("cnt")).as("top_cnt"),
+          sum(length(col("tok")) * col("cnt")).as("alpha"))
+        .select(col("doc_id"),
+          round(col("alpha").cast("double") / col("n_toks"), 6).as("mwl"),
+          round(col("top_cnt").cast("double") / col("n_toks"), 6).as("twr"),
+          round((col("n_chars") - col("alpha") - (col("n_toks") - 1)).cast("double")
+            / col("n_chars"), 6).as("sr"))
+        .select(col("doc_id"),
+          (col("mwl").between(3.0, 10.0) && col("twr") <= 0.2 &&
+            col("sr") <= 0.1).as("gopher_pass"))
+      val (_, sc) = nbClassifier(s, d)
+      val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val dup = fp.join(canon, Seq("fp"))
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_canonical"))
+      g.join(sc, Seq("doc_id")).join(dup, Seq("doc_id"))
+        .select(col("doc_id"), col("gopher_pass"),
+          (col("score") >= 0.0).as("clf_pass"), col("is_canonical"),
+          (col("gopher_pass") && col("score") >= 0.0 && col("is_canonical")).as("keep"),
+          when(!col("gopher_pass"), "gopher")
+            .when(col("score") < 0.0, "classifier")
+            .when(!col("is_canonical"), "duplicate")
+            .otherwise("kept").as("reason"))
         .orderBy("doc_id")
     }),
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -1004,6 +1162,65 @@ object CurationQueries {
         "round(avg(-ln(CAST(coalesce(vc.c, 0) + 1 AS DOUBLE) / (sc.n_train + sc.v_size))), 6) AS avg_nll " +
         "FROM tk LEFT JOIN vc ON tk.tok = vc.tok CROSS JOIN sc " +
         "GROUP BY tk.doc_id ORDER BY tk.doc_id"),
+    "lm_score_bigram" ->
+      (s"WITH t0 AS (SELECT doc_id, $bucketSql AS b, ${graft.functions.TextSql.tokens("lower(text)")} AS toks FROM documents), " +
+        "t AS (SELECT * FROM t0 WHERE len(toks) >= 2), " +
+        "bg0 AS (SELECT doc_id, b, toks, unnest(range(1, len(toks))) AS i FROM t), " +
+        "bg AS (SELECT doc_id, b, toks[i] AS w1, toks[i+1] AS w2 FROM bg0), " +
+        "vu AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM " +
+        "(SELECT b, unnest(toks) AS tok FROM t) WHERE b < 80 GROUP BY tok), " +
+        "vb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg WHERE b < 80 GROUP BY 1, 2), " +
+        "sc AS (SELECT CAST(sum(cu) AS BIGINT) AS n_train, CAST(count(*) AS BIGINT) AS v_size FROM vu) " +
+        "SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(avg(-ln(CAST(coalesce(vb.cb, 0) + 1 AS DOUBLE) / (coalesce(u1.cu, 0) + sc.v_size) * 0.5 + " +
+        "CAST(coalesce(u2.cu, 0) + 1 AS DOUBLE) / (sc.n_train + sc.v_size) * 0.5)), 6) AS avg_nll " +
+        "FROM bg LEFT JOIN vb ON bg.w1 = vb.w1 AND bg.w2 = vb.w2 " +
+        "LEFT JOIN vu u1 ON bg.w1 = u1.tok LEFT JOIN vu u2 ON bg.w2 = u2.tok " +
+        "CROSS JOIN sc GROUP BY bg.doc_id ORDER BY bg.doc_id"),
+    "ccnet_buckets" ->
+      (s"WITH tk AS (SELECT doc_id, lang, b, unnest(toks) AS tok FROM " +
+        s"(SELECT doc_id, lang, $bucketSql AS b, ${graft.functions.TextSql.tokens("lower(text)")} AS toks FROM documents)), " +
+        "vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk WHERE b < 80 GROUP BY tok), " +
+        "sc AS (SELECT CAST(sum(c) AS BIGINT) AS n_train, CAST(count(*) AS BIGINT) AS v_size FROM vc), " +
+        "s2 AS (SELECT tk.doc_id, tk.lang, tk.b, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "round(avg(-ln(CAST(coalesce(vc.c, 0) + 1 AS DOUBLE) / (sc.n_train + sc.v_size))), 6) AS avg_nll " +
+        "FROM tk LEFT JOIN vc ON tk.tok = vc.tok CROSS JOIN sc GROUP BY tk.doc_id, tk.lang, tk.b), " +
+        "smp AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rnk, " +
+        "count(*) OVER (PARTITION BY lang) AS n_l FROM s2 WHERE b < 80), " +
+        "cut AS (SELECT lang, max(avg_nll) FILTER (rnk * 3 <= n_l) AS c1, " +
+        "max(avg_nll) FILTER (rnk * 3 <= n_l * 2) AS c2 FROM smp GROUP BY lang) " +
+        "SELECT s2.doc_id, s2.lang, s2.n_toks, s2.avg_nll, " +
+        "CASE WHEN s2.avg_nll <= cut.c1 THEN 'head' WHEN s2.avg_nll <= cut.c2 THEN 'middle' " +
+        "ELSE 'tail' END AS ppl_bucket " +
+        "FROM s2 JOIN cut USING (lang) ORDER BY s2.doc_id"),
+    "epoch_mix" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "sct AS (SELECT CAST(count(*) AS BIGINT) AS s FROM c), " +
+        "r AS (SELECT source, 2.0 * t.n / (sct.s * c.n_s) AS rate FROM c CROSS JOIN t CROSS JOIN sct), " +
+        "k AS (SELECT d.doc_id, d.source, CAST(floor(r.rate) AS INT) + " +
+        s"CASE WHEN $bucketSql < (r.rate - floor(r.rate)) * 100 THEN 1 ELSE 0 END AS copies " +
+        "FROM documents d JOIN r USING (source)) " +
+        "SELECT doc_id, source, copies, CAST(unnest(range(1, copies + 1)) AS INT) AS epoch " +
+        "FROM k ORDER BY doc_id, epoch"),
+    "quality_ensemble" ->
+      (s"WITH $nbModelCtes, " +
+        "sc AS (SELECT bt.doc_id, round(ln(CAST(pr.n1 AS DOUBLE) / pr.n0) + " +
+        "sum(coalesce(mdl.lo, 0)), 6) AS score " +
+        "FROM bt LEFT JOIN mdl USING (b) CROSS JOIN pr GROUP BY bt.doc_id, pr.n1, pr.n0), " +
+        "pt AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2), " +
+        "ag AS (SELECT p.doc_id, d.n_chars, sum(p.cnt) AS n_toks, max(p.cnt) AS top_cnt, " +
+        "sum(length(p.tok) * p.cnt) AS alpha FROM pt p JOIN documents d USING (doc_id) GROUP BY 1, 2), " +
+        "gm AS (SELECT doc_id, round(CAST(alpha AS DOUBLE) / n_toks, 6) AS mwl, " +
+        "round(CAST(top_cnt AS DOUBLE) / n_toks, 6) AS twr, " +
+        "round(CAST(n_chars - alpha - (n_toks - 1) AS DOUBLE) / n_chars, 6) AS sr FROM ag), " +
+        "gp AS (SELECT doc_id, (mwl BETWEEN 3.0 AND 10.0 AND twr <= 0.2 AND sr <= 0.1) AS gopher_pass FROM gm), " +
+        "cn AS (SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical FROM documents) " +
+        "SELECT gp.doc_id, gp.gopher_pass, sc.score >= 0.0 AS clf_pass, cn.is_canonical, " +
+        "(gp.gopher_pass AND sc.score >= 0.0 AND cn.is_canonical) AS keep, " +
+        "CASE WHEN NOT gp.gopher_pass THEN 'gopher' WHEN sc.score < 0.0 THEN 'classifier' " +
+        "WHEN NOT cn.is_canonical THEN 'duplicate' ELSE 'kept' END AS reason " +
+        "FROM gp JOIN sc USING (doc_id) JOIN cn USING (doc_id) ORDER BY gp.doc_id"),
     "dsir_select" ->
       ("WITH tk AS (SELECT doc_id, lang, " +
         "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
