@@ -938,6 +938,32 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_words"),
           sum(col("bpe_len")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+    // Tokenizer fertility audit (per-language subword economics): mean
+    // BPE tokens per word and characters per BPE token under the
+    // TRAINED merges — the number a vocab-sizing decision actually
+    // reads (a language with fertility ≫ its peers is under-served by
+    // the shared vocabulary and burns context budget; the metric
+    // mT5/XGLM report per language before fixing V). Same 100 TB shape
+    // as bpe_token_count: the merge cascade runs once per DISTINCT
+    // word, the corpus contributes one exploded token pass into a
+    // |langs|-row aggregate; ratios divide exact BIGINT sums (6dp).
+    "bpe_fertility" -> ((s, d) => {
+      val merges = trainBpe(s, d)
+      val bpeLen = udf((w: String) =>
+        graft.text.BpeTokenizer.encodeWord(w, merges).length.toLong)
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(lower(col("text")))).as("word"))
+      val wl = tok.select(col("word")).distinct()
+        .withColumn("bpe_len", bpeLen(col("word")))
+        .withColumn("wlen", length(col("word")).cast("long"))
+      tok.join(wl, Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("bpe_len")).cast("long").as("n_bpe_tokens"),
+          round(sum(col("bpe_len")).cast("double") / count(lit(1)), 6).as("fertility"),
+          round(sum(col("wlen")).cast("double") / sum(col("bpe_len")), 6).as("chars_per_token"))
+        .orderBy("lang")
     })
   )
 
@@ -1379,7 +1405,17 @@ object CurationQueries {
         s"wl AS (SELECT word, CAST(len(s) AS BIGINT) AS bpe_len FROM s${graft.text.BpeTokenizer.NumMerges}) " +
         "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
         "CAST(sum(w.bpe_len) AS BIGINT) AS n_bpe_tokens " +
-        "FROM tok t JOIN wl w ON t.word = w.word GROUP BY t.doc_id ORDER BY t.doc_id")
+        "FROM tok t JOIN wl w ON t.word = w.word GROUP BY t.doc_id ORDER BY t.doc_id"),
+    "bpe_fertility" ->
+      (bpeCtes +
+        s", tok AS (SELECT lang, unnest(${graft.functions.TextSql.tokens("lower(text)")}) AS word FROM documents), " +
+        s"wl AS (SELECT word, CAST(len(s) AS BIGINT) AS bpe_len, " +
+        s"CAST(length(word) AS BIGINT) AS wlen FROM s${graft.text.BpeTokenizer.NumMerges}) " +
+        "SELECT t.lang, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(w.bpe_len) AS BIGINT) AS n_bpe_tokens, " +
+        "round(CAST(sum(w.bpe_len) AS DOUBLE) / count(*), 6) AS fertility, " +
+        "round(CAST(sum(w.wlen) AS DOUBLE) / sum(w.bpe_len), 6) AS chars_per_token " +
+        "FROM tok t JOIN wl w ON t.word = w.word GROUP BY t.lang ORDER BY t.lang")
   )
 
   /** BPE training replay (tools/proto_bpe.py prototypes this against a

@@ -77,6 +77,15 @@ object DedupQueries {
       s"(SELECT doc_id, ${TextSql.shingles("toks")} AS shs FROM " +
       s"(SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents))"
 
+  /** Source-keyed sibling of [[shingleSqlRel]] for the source_overlap
+    * oracles (per-doc dedup of shingles is irrelevant once the outer
+    * query takes DISTINCT (source, sh)).
+    */
+  private def sourceShingleSqlRel: String =
+    "SELECT source, unnest(shs) AS sh FROM " +
+      s"(SELECT source, ${TextSql.shingles("toks")} AS shs FROM " +
+      s"(SELECT source, ${TextSql.tokens("text")} AS toks FROM documents))"
+
   /** Ubiquitous-shingle cap for candidate generation (df ≤ 10): a hot
     * shingle with document frequency df otherwise materializes O(df²)
     * candidate rows on ONE shuffle key — at 100 TB that single key is a
@@ -524,6 +533,62 @@ object DedupQueries {
           (abs(col("est_jaccard") - col("jaccard")) <= 0.375).as("calib_ok"))
         .orderBy("doc_a", "doc_b")
     }),
+    // Cross-source overlap matrix — the corpus-governance audit run
+    // before mixing sources into a training corpus (is src_k a mirror /
+    // re-crawl of src_j? how much of the "new" source is already held?).
+    // Per source: the DISTINCT 3-shingle set; per source pair: shared
+    // shingle count and exact Jaccard. The self-join key is the shingle,
+    // and after the per-source distinct each shingle carries at most S
+    // source rows, so the pair fan-out per key is bounded by S² — with
+    // tens of sources this is vocab-linear and skew-free WITHOUT a df
+    // cap (contrast doc-pair generation, where df is unbounded). With
+    // thousands of sources the sketch form below replaces this exact
+    // form — same output shape, corpus-pass cost.
+    "source_overlap" -> ((s, d) => {
+      val ssh = widen(Tables.documents(s, d))
+        .select(col("source"), explode(TextOps.shingles3Udf(col("text"))).as("sh"))
+        .distinct()
+        .localCheckpoint() // 3 consumers (sizes + both join sides): hash once
+      val sizes = ssh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ssh.select(col("source").as("source_a"), col("sh"))
+        .join(ssh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("shared"), col("n_a"), col("n_b"),
+          round(col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+    // Sketch form of the source-overlap matrix — the any-source-count
+    // scale path. Union-MinHash: a source's 16-permutation signature is
+    // the per-permutation MIN over its docs' minima, and min(min per
+    // doc) = min over the UNION of the docs' shingle sets, so the
+    // source signature IS the MinHash of the source's full shingle set
+    // — computed by one corpus pass (the same fused per-row UDF as
+    // dedup_minhash_lsh, band-major position = permutation index) and a
+    // 16·S-cell partial aggregate. The pairwise estimate then runs on S
+    // rows of 16 minima: no shingle self-join exists at any scale, and
+    // ALL S² pairs are reported (including zero-overlap — absence of
+    // overlap is also an audit answer). Estimate = matching minima / 16,
+    // ±3σ ≈ 0.375 at 16 perms (see minhash_jaccard_audit).
+    "source_overlap_minhash" -> ((s, d) => {
+      val sig = widen(Tables.documents(s, d))
+        .select(col("source"),
+          posexplode(flatten(transform(TextOps.minhashBandsUdf(col("text")),
+            b => split(b, "_")))).as(Seq("perm", "m")))
+        .groupBy(col("source"), col("perm")).agg(min(col("m")).as("m"))
+      sig.select(col("source").as("source_a"), col("perm"), col("m").as("ma"))
+        .join(sig.select(col("source").as("source_b"), col("perm"), col("m").as("mb")),
+          Seq("perm"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(round(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+          .cast("double") / 16.0, 6).as("est_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
     // Bloom-prefiltered increment — the SAME contract as
     // dedup_incremental (identical split, identical output, the oracle
     // SQL is literally shared) with the far-scale PLAN: blooms over the
@@ -804,6 +869,24 @@ object DedupQueries {
         "SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard, " +
         "(abs(e.est_jaccard - x.jaccard) <= 0.375) AS calib_ok " +
         "FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b " +
-        "ORDER BY e.doc_a, e.doc_b")
+        "ORDER BY e.doc_a, e.doc_b"),
+    "source_overlap" ->
+      (s"WITH ssh AS (SELECT DISTINCT source, sh FROM ($sourceShingleSqlRel)), " +
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY source) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(count(*) AS BIGINT) AS shared, any_value(za.n) AS n_a, any_value(zb.n) AS n_b, " +
+        "round(CAST(count(*) AS DOUBLE) / (any_value(za.n) + any_value(zb.n) - count(*)), 6) AS jaccard " +
+        "FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source " +
+        "JOIN sz za ON za.source = a.source JOIN sz zb ON zb.source = b.source " +
+        "GROUP BY a.source, b.source ORDER BY source_a, source_b"),
+    "source_overlap_minhash" ->
+      (s"WITH ssh AS (SELECT DISTINCT source, sh FROM ($sourceShingleSqlRel)), " +
+        "hx AS (SELECT source, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM ssh, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT source, perm, min(h) AS m FROM hx GROUP BY source, perm) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "round(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE) / 16.0, 6) AS est_jaccard " +
+        "FROM mh a JOIN mh b ON a.perm = b.perm AND a.source < b.source " +
+        "GROUP BY a.source, b.source ORDER BY source_a, source_b")
   )
 }

@@ -23,7 +23,9 @@ class DeterminismSpec extends AnyFunSuite {
     "semdedup_incremental", "minhash_jaccard_audit", "sequence_pack",
     "ann_pq_topk", "ann_pq_recall", "dedup_bloom_prefilter",
     "ann_ivf_pq", "hard_negatives", "embedding_pca", "corpus_shuffle",
-    "gopher_repetition")
+    "gopher_repetition", "ccnet_buckets", "lm_score_bigram",
+    "quality_ensemble", "epoch_mix", "source_overlap_minhash",
+    "bpe_fertility")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries

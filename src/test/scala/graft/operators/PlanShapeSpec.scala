@@ -166,4 +166,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("ccnet_buckets: cutoff table broadcast onto the scored corpus") {
+    // the corpus is assigned by comparison against a |langs|-row cutoff
+    // table — a sort-merge on lang would shuffle every scored doc
+    val p = finalPlan("ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("epoch_mix: rate table broadcast, fan-out is a map-side explode") {
+    val p = finalPlan("epoch_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("source_overlap: pair join keys on the shingle, sizes broadcast back") {
+    val p = finalPlan("source_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("source_overlap_minhash: no shingle self-join — pairs form on the 16-row signature agg") {
+    val p = finalPlan("source_overlap_minhash")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("lm_score_bigram and quality_ensemble: composed joins stay equi-keyed") {
+    for (q <- Seq("lm_score_bigram", "quality_ensemble")) {
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+  }
 }
