@@ -964,6 +964,78 @@ object CurationQueries {
           round(sum(col("bpe_len")).cast("double") / count(lit(1)), 6).as("fertility"),
           round(sum(col("wlen")).cast("double") / sum(col("bpe_len")), 6).as("chars_per_token"))
         .orderBy("lang")
+    }),
+    // Held-out novelty audit (the flip side of contamination_check):
+    // for every NON-train doc, the fraction of its distinct 3-shingles
+    // that never occur in the train split. An eval split whose docs
+    // score near 0 is measuring memorization, not generalization (the
+    // Lee et al. 2022 dedup paper's motivating measurement); a fresh
+    // crawl increment scoring near 0 adds nothing the corpus doesn't
+    // hold. Scale: the train shingle set is vocab-sized and the join is
+    // shingle-keyed — corpus-linear, no pair space; unlike the
+    // contamination train×test join, no df cap is needed because
+    // nothing here joins doc×doc.
+    "ngram_novelty" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"),
+          explode(TextOps.shingles3Udf(col("text"))).as("sh"))
+      val trainSh = sh.filter(col("bucket") < 80).select(col("sh")).distinct()
+      sh.filter(col("bucket") >= 80)
+        .join(trainSh.withColumn("seen", lit(1)), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_sh"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_sh"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+    // Per-source boilerplate mass (the aggregate form of RefinedWeb's
+    // line-dedup motivation: sources built from templates repeat the
+    // same spans across their own docs): of a source's shingle
+    // OCCURRENCES (per-doc distinct), the fraction belonging to
+    // shingles present in ≥5 of the source's docs. A source with a high
+    // rate needs span-level dedup (substring_dedup) before mixing, not
+    // just doc-level. Two partial-agg groupBys keyed on (source,
+    // shingle) then source — corpus-linear, integer-exact mass.
+    "boilerplate_rate" -> ((s, d) => {
+      val dfRel = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.shingles3Udf(col("text"))).as("sh"))
+        .groupBy(col("source"), col("sh")).agg(count(lit(1)).as("df"))
+      dfRel.groupBy(col("source"))
+        .agg(sum(col("df")).cast("long").as("n_occ"),
+          sum(when(col("df") >= 5, col("df")).otherwise(0L)).cast("long").as("n_dup_occ"))
+        .select(col("source"), col("n_occ"), col("n_dup_occ"),
+          round(col("n_dup_occ").cast("double") / col("n_occ"), 6).as("boilerplate_rate"))
+        .orderBy("source")
+    }),
+    // Effective-token budget report — the table a mixture decision is
+    // actually made on: epoch_mix's per-source repetition rates composed
+    // with per-doc token counts, yielding raw vs effective (post-
+    // repetition) docs and tokens per source. All-integer outputs
+    // (copies × tokens), hash-exact cross-engine. Same shape as
+    // epoch_mix: tiny count aggregates, |sources|-row broadcast rate
+    // table, one corpus pass.
+    "token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val t = docs.agg(count(lit(1)).as("n"))
+      val sct = c.agg(count(lit(1)).as("s"))
+      val rates = c.crossJoin(broadcast(t)).crossJoin(broadcast(sct))
+        .select(col("source"),
+          (lit(2.0) * col("n") / (col("s") * col("n_s"))).as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .select(col("source"), col("n_toks"),
+          (floor(col("rate")).cast("long") +
+            when(hashBucket(col("doc_id")) <
+              (col("rate") - floor(col("rate"))) * 100, 1L).otherwise(0L)).as("copies"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"),
+          sum(col("copies")).cast("long").as("eff_docs"),
+          sum(col("copies") * col("n_toks")).cast("long").as("eff_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -1415,7 +1487,38 @@ object CurationQueries {
         "CAST(sum(w.bpe_len) AS BIGINT) AS n_bpe_tokens, " +
         "round(CAST(sum(w.bpe_len) AS DOUBLE) / count(*), 6) AS fertility, " +
         "round(CAST(sum(w.wlen) AS DOUBLE) / sum(w.bpe_len), 6) AS chars_per_token " +
-        "FROM tok t JOIN wl w ON t.word = w.word GROUP BY t.lang ORDER BY t.lang")
+        "FROM tok t JOIN wl w ON t.word = w.word GROUP BY t.lang ORDER BY t.lang"),
+    "ngram_novelty" ->
+      (s"WITH sh AS (SELECT doc_id, b, unnest(shs) AS sh FROM " +
+        s"(SELECT doc_id, $bucketSql AS b, ${graft.functions.TextSql.shingles("toks")} AS shs FROM " +
+        s"(SELECT doc_id, ${graft.functions.TextSql.tokens("text")} AS toks FROM documents))), " +
+        "tr AS (SELECT DISTINCT sh FROM sh WHERE b < 80) " +
+        "SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh, " +
+        "CAST(sum(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty " +
+        "FROM sh s LEFT JOIN tr ON s.sh = tr.sh WHERE s.b >= 80 " +
+        "GROUP BY s.doc_id ORDER BY s.doc_id"),
+    "boilerplate_rate" ->
+      (s"WITH sh AS (SELECT source, unnest(shs) AS sh FROM " +
+        s"(SELECT source, ${graft.functions.TextSql.shingles("toks")} AS shs FROM " +
+        s"(SELECT source, ${graft.functions.TextSql.tokens("text")} AS toks FROM documents))), " +
+        "df AS (SELECT source, sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY source, sh) " +
+        "SELECT source, CAST(sum(df) AS BIGINT) AS n_occ, " +
+        "CAST(sum(CASE WHEN df >= 5 THEN df ELSE 0 END) AS BIGINT) AS n_dup_occ, " +
+        "round(CAST(sum(CASE WHEN df >= 5 THEN df ELSE 0 END) AS DOUBLE) / sum(df), 6) AS boilerplate_rate " +
+        "FROM df GROUP BY source ORDER BY source"),
+    "token_budget" ->
+      (s"WITH dd AS (SELECT doc_id, source, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS n_toks FROM documents), " +
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "sct AS (SELECT CAST(count(*) AS BIGINT) AS s FROM c), " +
+        "r AS (SELECT source, 2.0 * t.n / (sct.s * c.n_s) AS rate FROM c CROSS JOIN t CROSS JOIN sct), " +
+        "k AS (SELECT dd.doc_id, dd.source, dd.n_toks, CAST(floor(r.rate) AS BIGINT) + " +
+        s"CASE WHEN $bucketSql < (r.rate - floor(r.rate)) * 100 THEN 1 ELSE 0 END AS copies " +
+        "FROM dd JOIN r USING (source)) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(copies) AS BIGINT) AS eff_docs, CAST(sum(copies * n_toks) AS BIGINT) AS eff_tokens " +
+        "FROM k GROUP BY source ORDER BY source")
   )
 
   /** BPE training replay (tools/proto_bpe.py prototypes this against a

@@ -198,4 +198,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
     }
   }
+
+  test("token_budget: rate table broadcast onto the corpus pass") {
+    val p = finalPlan("token_budget")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("boilerplate_rate: pure two-level aggregate, no join at all") {
+    val p = finalPlan("boilerplate_rate")
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("ngram_novelty: shingle-keyed membership join, never a cartesian") {
+    val p = finalPlan("ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
