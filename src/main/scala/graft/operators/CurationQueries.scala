@@ -1036,6 +1036,25 @@ object CurationQueries {
           sum(col("copies")).cast("long").as("eff_docs"),
           sum(col("copies") * col("n_toks")).cast("long").as("eff_tokens"))
         .orderBy("source")
+    }),
+    // Language-label confusion matrix (metadata-quality audit): declared
+    // `lang` column cross-tabbed against the stopword-profile detector's
+    // top language (the SAME scorer as p4_lang_prob — one definition,
+    // two consumers), with each cell's share of its declared language.
+    // Mislabeled metadata silently poisons every per-language decision
+    // upstream (ccnet_buckets cutoffs, corpus_mix rates, bpe_fertility)
+    // — this is the audit that catches it. One corpus pass into a
+    // ≤|langs|²-row matrix; the share is a window over that tiny matrix,
+    // not a second scan.
+    "lang_confusion" -> ((s, d) => {
+      val mat = TextQueries
+        .langProbabilities(Tables.documents(s, d), keep = Seq("lang"))
+        .groupBy(col("lang"), col("top_lang"))
+        .agg(count(lit(1)).as("n"))
+      mat.select(col("lang"), col("top_lang"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("lang"))), 6).as("rate"))
+        .orderBy("lang", "top_lang")
     })
   )
 
@@ -1518,7 +1537,25 @@ object CurationQueries {
         "FROM dd JOIN r USING (source)) " +
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
         "CAST(sum(copies) AS BIGINT) AS eff_docs, CAST(sum(copies * n_toks) AS BIGINT) AS eff_tokens " +
-        "FROM k GROUP BY source ORDER BY source")
+        "FROM k GROUP BY source ORDER BY source"),
+    "lang_confusion" -> {
+      // mirror built from the SAME profile constant as the Spark scorer
+      // (the p4_lang_prob discipline) so the engines can never drift
+      val profs = TextOps.StopwordProfiles
+      val hitsSql = profs.map { case (l, ws) =>
+        s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS h_$l"
+      }.mkString(", ")
+      val hcols = profs.map { case (l, _) => s"h_$l" }
+      val topLang = "CASE WHEN total = 0 THEN 'unknown' " +
+        profs.map { case (l, _) => s"WHEN h_$l = mx THEN '$l' " }.mkString + "END"
+      s"WITH tk AS (SELECT doc_id, lang, list_distinct(${graft.functions.TextSql.tokens("text")}) AS toks FROM documents), " +
+        s"sc AS (SELECT doc_id, lang, $hitsSql FROM tk), " +
+        s"t2 AS (SELECT *, ${hcols.mkString(" + ")} AS total, greatest(${hcols.mkString(", ")}) AS mx FROM sc), " +
+        s"mat AS (SELECT lang, $topLang AS top_lang, CAST(count(*) AS BIGINT) AS n FROM t2 GROUP BY 1, 2) " +
+        "SELECT lang, top_lang, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS rate " +
+        "FROM mat ORDER BY lang, top_lang"
+    }
   )
 
   /** BPE training replay (tools/proto_bpe.py prototypes this against a

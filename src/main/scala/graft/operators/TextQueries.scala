@@ -28,16 +28,20 @@ object TextQueries {
     * parameter so specs can drive the append/unknown branches with
     * crafted inputs the corpus never produces.
     */
-  def langProbabilities(docs: DataFrame): DataFrame = {
+  def langProbabilities(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val profs = TextOps.StopwordProfiles
     def h(l: String) = col(s"h_$l")
     val hits = profs.map { case (l, ws) =>
       size(array_intersect(col("toks"), array(ws.map(lit): _*))).as(s"h_$l")
     }
+    // `keep` threads passthrough columns (e.g. the declared lang for the
+    // confusion audit) so consumers never need a doc_id re-join — at
+    // scale that join is a full-corpus shuffle bought for one column
+    val kept = keep.map(col)
     val scored = docs
-      .select(col("doc_id"), col("text"),
-        array_distinct(TextOps.tokens(col("text"))).as("toks"))
-      .select(col("doc_id") +: col("text") +: hits: _*)
+      .select(col("doc_id") +: col("text") +:
+        array_distinct(TextOps.tokens(col("text"))).as("toks") +: kept: _*)
+      .select(col("doc_id") +: col("text") +: (hits ++ kept): _*)
       .withColumn("total", profs.map { case (l, _) => h(l) }.reduce(_ + _))
       .withColumn("mx", greatest(profs.map { case (l, _) => h(l) }: _*))
     val topLang = when(col("total") === 0, lit("unknown")).otherwise(
@@ -52,9 +56,9 @@ object TextQueries {
     val base = TextOps.detectedLanguagesCsv(col("text"))
     val full = concat_ws(",",
       when(base === "", lit(null)).otherwise(base) +: appended: _*)
-    scored.select(col("doc_id"),
-      when(full === "", lit("unknown")).otherwise(full).as("detected_languages"),
-      topLang.as("top_lang"), topProb.as("top_prob"))
+    scored.select(col("doc_id") +:
+      when(full === "", lit("unknown")).otherwise(full).as("detected_languages") +:
+      topLang.as("top_lang") +: topProb.as("top_prob") +: kept: _*)
   }
 
   /** Fixed-size chunking (G1 contract form): chunks of `size` chars every

@@ -25,7 +25,8 @@ class DeterminismSpec extends AnyFunSuite {
     "ann_ivf_pq", "hard_negatives", "embedding_pca", "corpus_shuffle",
     "gopher_repetition", "ccnet_buckets", "lm_score_bigram",
     "quality_ensemble", "epoch_mix", "source_overlap_minhash",
-    "bpe_fertility", "ngram_novelty", "boilerplate_rate", "token_budget")
+    "bpe_fertility", "ngram_novelty", "boilerplate_rate", "token_budget",
+    "lang_confusion")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries

@@ -214,4 +214,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = finalPlan("ngram_novelty")
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("lang_confusion: one corpus pass, no doc_id re-join for the declared lang") {
+    // the declared lang threads through langProbabilities as a
+    // passthrough column; a Join in this plan means someone re-joined
+    // the corpus to itself to recover one column
+    val p = finalPlan("lang_confusion")
+    assert(!p.contains("Join"), p.take(1200))
+  }
 }
