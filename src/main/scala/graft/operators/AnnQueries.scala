@@ -87,6 +87,26 @@ object AnnQueries {
   private def quantize(c: Column, n: Column, m: Column): Column = VectorOps.int8Code(c, n, m)
 
   val queries: Map[String, Q] = Map(
+    // Vector-store intake health audit: dimension × quarter-width norm
+    // histogram over the embedding table, with degenerate rows (the
+    // all-zero vector cosine cannot score) split into their own -1
+    // bucket. This is the check run BEFORE vectors enter an index —
+    // norm collapse or dimension drift from a bad embedding batch
+    // corrupts every downstream recall number silently. One map pass +
+    // a histogram-sized partial agg; the norm is the same sequential
+    // double fold as every scorer here, so floor(4·norm) is bit-stable
+    // cross-engine.
+    "embedding_norm_audit" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(size(col("embedding")).cast("long").as("dim"),
+          normOf(col("embedding")).as("nrm"))
+        .select(col("dim"),
+          when(col("nrm") === 0.0, lit(-1L))
+            .otherwise(floor(col("nrm") * 4)).cast("long").as("norm_bucket"))
+        .groupBy(col("dim"), col("norm_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("dim", "norm_bucket")
+    }),
     // Int8-scored top-k — the memory-bound scoring path a 100 TB vector
     // store actually runs: vectors are stored L2-normalized + symmetric
     // int8 quantized (4× smaller, see embedding_quantize), candidates
@@ -674,6 +694,13 @@ object AnnQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "embedding_norm_audit" ->
+      (s"WITH e AS (SELECT CAST(len(embedding) AS BIGINT) AS dim, " +
+        s"${normSql("embedding")} AS nrm FROM embeddings) " +
+        "SELECT dim, CASE WHEN nrm = 0 THEN CAST(-1 AS BIGINT) " +
+        "ELSE CAST(floor(nrm * 4) AS BIGINT) END AS norm_bucket, " +
+        "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY dim, norm_bucket " +
+        "ORDER BY dim, norm_bucket"),
     "ann_int8_topk" ->
       (s"WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         s"q1 AS (SELECT qe, ${normSql("qe")} AS qn FROM q0), " +

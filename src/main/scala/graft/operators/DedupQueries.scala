@@ -533,6 +533,27 @@ object DedupQueries {
           (abs(col("est_jaccard") - col("jaccard")) <= 0.375).as("calib_ok"))
         .orderBy("doc_a", "doc_b")
     }),
+    // Duplication-profile corpus card: the cluster-size histogram of the
+    // LINEAR star labeling (the same label = min band-hub pass
+    // dedup_canonicalize serves from — no CC loop, no pair join). The
+    // answer to "how duplicated is this corpus": n_clusters and doc mass
+    // at every multiplicity, the number that decides whether doc-level
+    // dedup is worth running before training. Cost beyond the labeling
+    // is two histogram-sized aggregates.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val bands = widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+      val labels = bands
+        .withColumn("hub", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+        .groupBy(col("doc_id")).agg(min(col("hub")).as("cluster_id"))
+      labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).cast("long").as("n_docs"))
+        .orderBy("cluster_size")
+    }),
     // Cross-source overlap matrix — the corpus-governance audit run
     // before mixing sources into a training corpus (is src_k a mirror /
     // re-crawl of src_j? how much of the "new" source is already held?).
@@ -870,6 +891,18 @@ object DedupQueries {
         "(abs(e.est_jaccard - x.jaccard) <= 0.375) AS calib_ok " +
         "FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b " +
         "ORDER BY e.doc_a, e.doc_b"),
+    "dedup_cluster_stats" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shingleSqlRel)), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM sh, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4), " +
+        "hb AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sig) AS hub FROM bd), " +
+        "lb AS (SELECT doc_id, CAST(min(hub) AS BIGINT) AS cluster_id FROM hb GROUP BY doc_id), " +
+        "cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM lb GROUP BY cluster_id) " +
+        "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(sz * count(*) AS BIGINT) AS n_docs FROM cs GROUP BY sz ORDER BY sz"),
     "source_overlap" ->
       (s"WITH ssh AS (SELECT DISTINCT source, sh FROM ($sourceShingleSqlRel)), " +
         "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY source) " +

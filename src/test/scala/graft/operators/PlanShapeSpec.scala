@@ -215,6 +215,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("embedding_norm_audit: one scan into a histogram agg, no join or window") {
+    val p = finalPlan("embedding_norm_audit")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+  }
+
   test("lang_confusion: one corpus pass, no doc_id re-join for the declared lang") {
     // the declared lang threads through langProbabilities as a
     // passthrough column; a Join in this plan means someone re-joined
