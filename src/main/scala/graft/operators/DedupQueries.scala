@@ -594,22 +594,14 @@ object DedupQueries {
     // rows of 16 minima: no shingle self-join exists at any scale, and
     // ALL S² pairs are reported (including zero-overlap — absence of
     // overlap is also an audit answer). Estimate = matching minima / 16,
-    // ±3σ ≈ 0.375 at 16 perms (see minhash_jaccard_audit).
-    "source_overlap_minhash" -> ((s, d) => {
-      val sig = widen(Tables.documents(s, d))
-        .select(col("source"),
-          posexplode(flatten(transform(TextOps.minhashBandsUdf(col("text")),
-            b => split(b, "_")))).as(Seq("perm", "m")))
-        .groupBy(col("source"), col("perm")).agg(min(col("m")).as("m"))
-      sig.select(col("source").as("source_a"), col("perm"), col("m").as("ma"))
-        .join(sig.select(col("source").as("source_b"), col("perm"), col("m").as("mb")),
-          Seq("perm"))
-        .filter(col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(round(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
-          .cast("double") / 16.0, 6).as("est_jaccard"))
-        .orderBy("source_a", "source_b")
-    }),
+    // ±3σ ≈ 0.375 at 16 perms (see minhash_jaccard_audit). The monoid
+    // property of the signature (elementwise min) gives the sketch a
+    // persisted incremental backing — [[SourceSketch]] is this same
+    // definition batch-folded over a stored table, SourceSketchSpec
+    // pins stored == inline.
+    "source_overlap_minhash" -> ((s, d) =>
+      SourceSketch.pairEstimates(
+        SourceSketch.signatures(widen(Tables.documents(s, d))))),
     // Bloom-prefiltered increment — the SAME contract as
     // dedup_incremental (identical split, identical output, the oracle
     // SQL is literally shared) with the far-scale PLAN: blooms over the
