@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.multimodal.MultimodalOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column query surface: `documents.text` cast to binary
@@ -75,6 +75,36 @@ object MultimodalQueries {
         val n = img.getWidth.toLong * img.getHeight
         (n, sum.toDouble / n, hist.toSeq)
       case None => (-1L, -1.0, Seq.fill(8)(0L))
+    }
+  }
+
+  /** Perceptual average-hash (aHash) over the REAL codec path: decode
+    * the doc-derived gradient PNG, NN-resize to the canonical 8×8
+    * thumbnail, threshold every pixel against the 64-pixel SUM
+    * (64·p > Σp — the mean comparison in exact integers, no float),
+    * and pack the 64 bits row-major into four 16-bit band values. Bands
+    * instead of one 64-bit word keep every value unsigned-exact in a
+    * BIGINT in both engines AND double as the pigeonhole blocking key
+    * for the pair query (hamming ≤ 8 over 4 bands forces ≥ 1 exact band
+    * match — same argument as dedup_simhash_pairs). Per-row map work.
+    */
+  val phashUdf = udf { (docId: Long, nChars: Long) =>
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + (nChars % 16).toInt
+    val g = (docId % 256).toInt
+    ImageCodec.decodeImage(ImageCodec.writeGradientPng(w, h, g)) match {
+      case Some(src) =>
+        val img = ImageCodec.resizeNearest(src, 8, 8)
+        val px = Array.tabulate(64)(i => img.getRGB(i % 8, i / 8) & 0xff)
+        val sum = px.map(_.toLong).sum
+        val bands = Array.tabulate(4) { j =>
+          var v = 0L
+          var k = 0
+          while (k < 16) { if (64L * px(16 * j + k) > sum) v |= 1L << k; k += 1 }
+          v
+        }
+        (bands(0), bands(1), bands(2), bands(3))
+      case None => (-1L, -1L, -1L, -1L)
     }
   }
 
@@ -162,6 +192,57 @@ object MultimodalQueries {
         Seq(col("doc_id"), col("m._1").as("n_px"),
           round(col("m._2"), 6).as("mean_gray")) ++ histCols: _*)
         .orderBy("doc_id")
+    }),
+    // Image fingerprint table: the per-image aHash bands, the artifact
+    // an image-dedup pass stores (the image-side analog of the text
+    // fingerprint/minhash tables). Oracle replays the full pixel path
+    // arithmetically — bits, threshold, packing.
+    "mm_phash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), phashUdf(col("doc_id"), col("n_chars")).as("m"))
+        .select(col("doc_id"), col("m._1").as("b0"), col("m._2").as("b1"),
+          col("m._3").as("b2"), col("m._4").as("b3"))
+        .orderBy("doc_id")
+    }),
+    // Image near-dup pairs via pigeonhole banding over the aHash. Note
+    // the blocking guarantee is weaker than dedup_simhash_pairs' (there,
+    // 4×15-bit bands at hamming ≤ 3 make a shared band NECESSARY; here 8
+    // flips across 4 bands can touch every band), so the reported
+    // relation is explicitly "pairs sharing a RARE exact band, with
+    // hamming ≤ 8" — the candidate rule is part of the contract and the
+    // oracle mirrors it exactly. Buckets are df-capped (≤ 10) like every
+    // pair generator in this engine: gradient thumbnails cluster
+    // heavily, and an uncapped hot band is an O(df²) shuffle key at any
+    // corpus size.
+    "mm_phash_pairs" -> ((s, d) => {
+      val ph = Tables.documents(s, d)
+        .select(col("doc_id"), phashUdf(col("doc_id"), col("n_chars")).as("m"))
+        .select(col("doc_id"), col("m._1").as("b0"), col("m._2").as("b1"),
+          col("m._3").as("b2"), col("m._4").as("b3"))
+        .localCheckpoint() // bands + both wide join sides read this
+      val bands = ph.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
+      val rare = bands.groupBy(col("band"), col("v"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 10)
+        .select(col("band"), col("v"))
+      val rb = bands.join(rare, Seq("band", "v"), "left_semi")
+      val cand = rb.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+        .join(rb.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+          Seq("band", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      def ham(a: Column, b: Column) = bit_count(a.bitwiseXOR(b))
+      cand
+        .join(ph.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+        .join(ph.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (ham(col("a0"), col("c0")) + ham(col("a1"), col("c1")) +
+            ham(col("a2"), col("c2")) + ham(col("a3"), col("c3")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -171,6 +252,19 @@ object MultimodalQueries {
     */
   private val imgBase =
     "SELECT doc_id, 8 + doc_id % 16 AS w, 8 + n_chars % 16 AS h, doc_id % 256 AS g FROM documents"
+
+  /** Shared aHash CTE chain (pixels → sum threshold → 16-bit bands) for
+    * the mm_phash oracles; expects the `b` CTE from [[imgBase]].
+    */
+  private val phashBandsSql =
+    "px AS (SELECT doc_id, i.i AS idx, " +
+      "(g + ((i.i % 8) * w) // 8 + ((i.i // 8) * h) // 8) % 256 AS p " +
+      "FROM b, unnest(range(64)) AS i(i)), " +
+      "sm AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY doc_id), " +
+      "bits AS (SELECT px.doc_id, idx, CASE WHEN 64 * p > s THEN 1 ELSE 0 END AS bit " +
+      "FROM px JOIN sm USING (doc_id)), " +
+      "bands AS (SELECT doc_id, idx // 16 AS band, " +
+      "CAST(sum(bit << (idx % 16)) AS BIGINT) AS v FROM bits GROUP BY 1, 2)"
 
   private val metaSql =
     "SELECT doc_id, " +
@@ -206,6 +300,31 @@ object MultimodalQueries {
         "CAST(g AS BIGINT) AS tl_gray, " +
         "CAST((g + ((rw-1)*w)//rw + ((rh-1)*h)//rh) % 256 AS BIGINT) AS br_gray " +
         "FROM s ORDER BY doc_id"),
+    // aHash replay: resized 8×8 pixel idx (row-major) maps to source
+    // ((idx%8)·w//8, (idx//8)·h//8), gradient value (g+sx+sy)%256; bit
+    // set iff 64·p > Σp; band j packs bits 16j..16j+15.
+    "mm_phash" ->
+      (s"WITH b AS ($imgBase), $phashBandsSql " +
+        "SELECT doc_id, " +
+        "max(CASE WHEN band = 0 THEN v END) AS b0, " +
+        "max(CASE WHEN band = 1 THEN v END) AS b1, " +
+        "max(CASE WHEN band = 2 THEN v END) AS b2, " +
+        "max(CASE WHEN band = 3 THEN v END) AS b3 " +
+        "FROM bands GROUP BY doc_id ORDER BY doc_id"),
+    "mm_phash_pairs" ->
+      (s"WITH b AS ($imgBase), $phashBandsSql, " +
+        "rare AS (SELECT band, v FROM (SELECT band, v, count(*) AS df FROM bands GROUP BY 1, 2) WHERE df <= 10), " +
+        "rb AS (SELECT bd.doc_id, bd.band, bd.v FROM bands bd JOIN rare r ON bd.band = r.band AND bd.v = r.v), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b " +
+        "FROM rb a JOIN rb b2 ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id), " +
+        "wide AS (SELECT doc_id, max(CASE WHEN band = 0 THEN v END) AS b0, " +
+        "max(CASE WHEN band = 1 THEN v END) AS b1, max(CASE WHEN band = 2 THEN v END) AS b2, " +
+        "max(CASE WHEN band = 3 THEN v END) AS b3 FROM bands GROUP BY doc_id) " +
+        "SELECT * FROM (SELECT doc_a, doc_b, " +
+        "CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) + " +
+        "bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS BIGINT) AS hamming " +
+        "FROM cand JOIN wide wa ON wa.doc_id = doc_a JOIN wide wb ON wb.doc_id = doc_b) " +
+        "WHERE hamming <= 8 ORDER BY doc_a, doc_b"),
     "mm_gray_hist" ->
       (s"WITH b AS ($imgBase), " +
         "px AS (SELECT b.doc_id, (b.g + x.i + y.i) % 256 AS gr " +

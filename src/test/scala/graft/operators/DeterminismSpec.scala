@@ -26,7 +26,8 @@ class DeterminismSpec extends AnyFunSuite {
     "gopher_repetition", "ccnet_buckets", "lm_score_bigram",
     "quality_ensemble", "epoch_mix", "source_overlap_minhash",
     "bpe_fertility", "ngram_novelty", "boilerplate_rate", "token_budget",
-    "lang_confusion", "dedup_cluster_stats", "embedding_norm_audit")
+    "lang_confusion", "dedup_cluster_stats", "embedding_norm_audit",
+    "mm_phash", "mm_phash_pairs")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries

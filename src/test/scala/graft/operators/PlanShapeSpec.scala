@@ -215,6 +215,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("mm_phash_pairs: band-bucket equi-join candidates, never a cartesian") {
+    val p = finalPlan("mm_phash_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("embedding_norm_audit: one scan into a histogram agg, no join or window") {
     val p = finalPlan("embedding_norm_audit")
     assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
