@@ -233,7 +233,8 @@ object EventStreams {
       auditEvery: Option[Int] = None,
       auditQueries: Option[DataFrame] = None,
       auditDir: Option[String] = None,
-      auditNprobe: Int = 2): StreamingQuery = {
+      auditNprobe: Int = 2,
+      sketchDir: Option[String] = None): StreamingQuery = {
     require(compactEvery.forall(_ >= 1), s"compactEvery must be >= 1, got $compactEvery")
     require(auditEvery.forall(_ >= 1), s"auditEvery must be >= 1, got $auditEvery")
     require(auditEvery.isEmpty || (auditQueries.nonEmpty && auditDir.nonEmpty),
@@ -275,7 +276,8 @@ object EventStreams {
         }
         (Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init",
           s"$annDir/cells" -> "AnnIndex.init") ++
-          lshDir.map(l => s"$l/vectors" -> "AnnLshIndex.init")).foreach { case (tbl, hint) =>
+          lshDir.map(l => s"$l/vectors" -> "AnnLshIndex.init") ++
+          sketchDir.map(sd => sd -> "SourceSketch.init")).foreach { case (tbl, hint) =>
           val maxExisting = maxLandedBatch(tbl, hint)
           require(maxExisting <= batchId,
             s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
@@ -297,6 +299,9 @@ object EventStreams {
             // rows, so the fold is sum-invariant
             graft.BatchSink.compactBelow(spark, s"$l/stats", batchId)
           }
+          // the overlap sketch reader min-folds rows, so partition
+          // folding is trivially answer-invariant
+          sketchDir.foreach(sd => graft.BatchSink.compactBelow(spark, sd, batchId))
         }
         val survivors = graft.operators.DedupIndex
           .dedupBatch(spark, dedupDir, batch, batchId)
@@ -312,6 +317,13 @@ object EventStreams {
         // partition overwrite — a replay after a crash between the IVF
         // and LSH adds heals the tear exactly like the dedup/IVF pair
         lshDir.foreach(l => graft.operators.AnnLshIndex.addBatch(spark, vectors, l, batchId))
+        // the optional source-overlap sketch rides the same cycle over
+        // the ACCEPTED survivors (the sketch tracks the corpus the
+        // indexes hold, not raw arrivals): same batch id, idempotent
+        // partition overwrite, elementwise-min fold at read time — a
+        // crash before this write is healed by the replay like every
+        // other sink here
+        sketchDir.foreach(sd => graft.operators.SourceSketch.addBatch(survivors, sd, batchId))
         // cadence: READ-ONLY drift audit over the just-updated stored
         // index, landed under this epoch's own batch partition (replay
         // recomputes over identical stored state → identical rows →

@@ -33,7 +33,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
     val in = s"$tmp/in"; val dedupDir = s"$tmp/dedup"; val annDir = s"$tmp/ann"
-    val lshDir = s"$tmp/lsh"; val cp = s"$tmp/cp"
+    val lshDir = s"$tmp/lsh"; val cp = s"$tmp/cp"; val sketchDir = s"$tmp/sketch"
 
     // init both indexes from a 3-doc corpus (batch 0)
     val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
@@ -43,6 +43,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val embA = embedOf(corpusA)
     AnnIndex.init(embA, annDir, quantizer = Some(AnnIndex.kmeans(embA, k = 2, iters = 2)))
     AnnLshIndex.init(embA, lshDir)
+    graft.operators.SourceSketch.init(corpusA, sketchDir)
 
     // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
     // the initial corpus + one WITHIN-batch dup of the new doc (must
@@ -65,6 +66,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     // run 1: crash between batch 1's two index writes
     val q1 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
+      sketchDir = Some(sketchDir),
       betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q1.processAllAvailable()
@@ -76,7 +78,8 @@ class StreamingIndexSpec extends AnyFunSuite {
 
     // run 2: same checkpoint, no chaos — batch 1 replays, batch 2 runs
     val q2 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
-      maxFilesPerTrigger = Some(1), lshDir = Some(lshDir))
+      maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
+      sketchDir = Some(sketchDir))
     try q2.processAllAvailable() finally q2.stop()
 
     // survivors: doc 10 (batch 1) and doc 20 (batch 2); dups 11 and 21
@@ -109,6 +112,14 @@ class StreamingIndexSpec extends AnyFunSuite {
     val lshHits = AnnLshIndex.search(spark, lshDir, query, k = 2, nProbes = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(lshHits.contains(20L), s"LSH search must see streamed doc 20 (got $lshHits)")
+
+    // the source-overlap sketch rode the same cycle (its batch-1 write
+    // was lost to the injected crash and healed by the replay): the
+    // stored min-fold equals a one-pass computation over the ACCEPTED
+    // corpus
+    assertSameTable(graft.operators.SourceSketch.read(spark, sketchDir),
+      graft.operators.SourceSketch.signatures(grown),
+      "streamed source sketch vs one-pass over accepted corpus")
 
     // a FRESH checkpoint against the already-grown indexes restarts
     // epochs at 0 — the relay must refuse instead of dynamic-
