@@ -1055,6 +1055,45 @@ object CurationQueries {
           round(col("n").cast("double") /
             sum(col("n")).over(Window.partitionBy(col("lang"))), 6).as("rate"))
         .orderBy("lang", "top_lang")
+    }),
+    // Classifier calibration curve (model governance for the NB gate):
+    // on the HELD-OUT split only, bucket docs by integer score band
+    // (clamped to [-5, 5]) and report the observed positive-label rate
+    // per band. A gate whose positive rate does not rise with its score
+    // is mis-calibrated and its threshold is meaningless — this is the
+    // check run before quality_ensemble's clf_pass threshold is
+    // trusted. Rides the same nbClassifier subtree; the curve is a
+    // ≤11-row aggregate.
+    "quality_calibration" -> ((s, d) => {
+      val (lb, sc) = nbClassifier(s, d)
+      sc.join(lb.filter(!col("tr")), Seq("doc_id"))
+        .select(col("y"),
+          greatest(lit(-5L), least(lit(5L), floor(col("score")))).cast("long").as("score_bucket"))
+        .groupBy(col("score_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+        .select(col("score_bucket"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+        .orderBy("score_bucket")
+    }),
+    // Packing-efficiency audit over the shard_packing assignment: per
+    // (lang, shard), doc count, token fill, fill rate against the
+    // 2000-token budget, and the over-budget flag (the straddling doc
+    // stays in the shard where it started, so tail shards can overflow
+    // — the waste/overflow trade a packer is tuned on). Same window
+    // subtree as shard_packing plus a shard-keyed aggregate.
+    "pack_efficiency" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextOps.wordCount(col("text")).as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("shard_id", floor((col("cum") - col("toks")) / 2000L).cast("long"))
+        .groupBy(col("lang"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("shard_tokens"))
+        .select(col("lang"), col("shard_id"), col("n_docs"), col("shard_tokens"),
+          round(col("shard_tokens").cast("double") / 2000.0, 6).as("fill_rate"),
+          (col("shard_tokens") > 2000L).as("over_budget"))
+        .orderBy("lang", "shard_id")
     })
   )
 
@@ -1555,7 +1594,28 @@ object CurationQueries {
         "SELECT lang, top_lang, n, " +
         "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS rate " +
         "FROM mat ORDER BY lang, top_lang"
-    }
+    },
+    "quality_calibration" ->
+      (s"WITH $nbModelCtes, " +
+        "sc AS (SELECT bt.doc_id, round(ln(CAST(pr.n1 AS DOUBLE) / pr.n0) + " +
+        "sum(coalesce(mdl.lo, 0)), 6) AS score " +
+        "FROM bt LEFT JOIN mdl USING (b) CROSS JOIN pr GROUP BY bt.doc_id, pr.n1, pr.n0) " +
+        "SELECT score_bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate FROM (" +
+        "SELECT lb.y, greatest(-5, least(5, CAST(floor(sc.score) AS BIGINT))) AS score_bucket " +
+        "FROM sc JOIN lb USING (doc_id) WHERE NOT lb.tr) " +
+        "GROUP BY score_bucket ORDER BY score_bucket"),
+    "pack_efficiency" ->
+      ("WITH sp AS (SELECT doc_id, lang, toks, CAST(floor((cum - toks) / 2000) AS BIGINT) AS shard_id FROM (" +
+        "SELECT doc_id, lang, toks, sum(toks) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM (" +
+        s"SELECT doc_id, lang, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS toks " +
+        "FROM documents))) " +
+        "SELECT lang, shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(toks) AS BIGINT) AS shard_tokens, " +
+        "round(CAST(sum(toks) AS DOUBLE) / 2000.0, 6) AS fill_rate, " +
+        "sum(toks) > 2000 AS over_budget " +
+        "FROM sp GROUP BY lang, shard_id ORDER BY lang, shard_id")
   )
 
   /** BPE training replay (tools/proto_bpe.py prototypes this against a

@@ -27,7 +27,7 @@ class DeterminismSpec extends AnyFunSuite {
     "quality_ensemble", "epoch_mix", "source_overlap_minhash",
     "bpe_fertility", "ngram_novelty", "boilerplate_rate", "token_budget",
     "lang_confusion", "dedup_cluster_stats", "embedding_norm_audit",
-    "mm_phash", "mm_phash_pairs")
+    "mm_phash", "mm_phash_pairs", "quality_calibration", "pack_efficiency")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
