@@ -34,6 +34,7 @@ object SparkEntry {
       AnnQueries.queries ++
       MultimodalQueries.queries ++
       CurationQueries.queries ++
+      SketchQueries.queries ++
       SourceQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       AnnQueries.oracles ++
       MultimodalQueries.oracles ++
       CurationQueries.oracles ++
+      SketchQueries.oracles ++
       SourceQueries.oracles
 }
