@@ -35,6 +35,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       CurationQueries.queries ++
       SketchQueries.queries ++
+      DriftQueries.queries ++
       SourceQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       CurationQueries.oracles ++
       SketchQueries.oracles ++
+      DriftQueries.oracles ++
       SourceQueries.oracles
 }

@@ -27,7 +27,8 @@ class DeterminismSpec extends AnyFunSuite {
     "quality_ensemble", "epoch_mix", "source_overlap_minhash",
     "bpe_fertility", "ngram_novelty", "boilerplate_rate", "token_budget",
     "lang_confusion", "dedup_cluster_stats", "embedding_norm_audit",
-    "mm_phash", "mm_phash_pairs", "quality_calibration", "pack_efficiency")
+    "mm_phash", "mm_phash_pairs", "quality_calibration", "pack_efficiency",
+    "token_drift", "heavy_hitters_cms", "distinct_kmv")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
