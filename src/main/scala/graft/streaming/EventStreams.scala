@@ -234,7 +234,8 @@ object EventStreams {
       auditQueries: Option[DataFrame] = None,
       auditDir: Option[String] = None,
       auditNprobe: Int = 2,
-      sketchDir: Option[String] = None): StreamingQuery = {
+      sketchDir: Option[String] = None,
+      distinctSketchDir: Option[String] = None): StreamingQuery = {
     require(compactEvery.forall(_ >= 1), s"compactEvery must be >= 1, got $compactEvery")
     require(auditEvery.forall(_ >= 1), s"auditEvery must be >= 1, got $auditEvery")
     require(auditEvery.isEmpty || (auditQueries.nonEmpty && auditDir.nonEmpty),
@@ -277,7 +278,8 @@ object EventStreams {
         (Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init",
           s"$annDir/cells" -> "AnnIndex.init") ++
           lshDir.map(l => s"$l/vectors" -> "AnnLshIndex.init") ++
-          sketchDir.map(sd => sd -> "SourceSketch.init")).foreach { case (tbl, hint) =>
+          sketchDir.map(sd => sd -> "SourceSketch.init") ++
+          distinctSketchDir.map(sd => sd -> "DistinctSketch.init")).foreach { case (tbl, hint) =>
           val maxExisting = maxLandedBatch(tbl, hint)
           require(maxExisting <= batchId,
             s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
@@ -299,9 +301,11 @@ object EventStreams {
             // rows, so the fold is sum-invariant
             graft.BatchSink.compactBelow(spark, s"$l/stats", batchId)
           }
-          // the overlap sketch reader min-folds rows, so partition
-          // folding is trivially answer-invariant
+          // both sketch readers fold rows through their own monoid
+          // (elementwise min / KMV merge), so partition folding is
+          // trivially answer-invariant
           sketchDir.foreach(sd => graft.BatchSink.compactBelow(spark, sd, batchId))
+          distinctSketchDir.foreach(sd => graft.BatchSink.compactBelow(spark, sd, batchId))
         }
         val survivors = graft.operators.DedupIndex
           .dedupBatch(spark, dedupDir, batch, batchId)
@@ -324,6 +328,10 @@ object EventStreams {
         // crash before this write is healed by the replay like every
         // other sink here
         sketchDir.foreach(sd => graft.operators.SourceSketch.addBatch(survivors, sd, batchId))
+        // ... and the distinct-count sketch likewise: KMV's idempotent
+        // monoid fold gives the same replay-heals argument
+        distinctSketchDir.foreach(sd =>
+          graft.operators.DistinctSketch.addBatch(survivors, sd, batchId))
         // cadence: READ-ONLY drift audit over the just-updated stored
         // index, landed under this epoch's own batch partition (replay
         // recomputes over identical stored state → identical rows →

@@ -34,6 +34,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
     val in = s"$tmp/in"; val dedupDir = s"$tmp/dedup"; val annDir = s"$tmp/ann"
     val lshDir = s"$tmp/lsh"; val cp = s"$tmp/cp"; val sketchDir = s"$tmp/sketch"
+    val distinctDir = s"$tmp/distinct"
 
     // init both indexes from a 3-doc corpus (batch 0)
     val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
@@ -44,6 +45,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     AnnIndex.init(embA, annDir, quantizer = Some(AnnIndex.kmeans(embA, k = 2, iters = 2)))
     AnnLshIndex.init(embA, lshDir)
     graft.operators.SourceSketch.init(corpusA, sketchDir)
+    graft.operators.DistinctSketch.init(corpusA, distinctDir)
 
     // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
     // the initial corpus + one WITHIN-batch dup of the new doc (must
@@ -66,7 +68,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     // run 1: crash between batch 1's two index writes
     val q1 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
-      sketchDir = Some(sketchDir),
+      sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir),
       betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q1.processAllAvailable()
@@ -79,7 +81,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     // run 2: same checkpoint, no chaos — batch 1 replays, batch 2 runs
     val q2 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
-      sketchDir = Some(sketchDir))
+      sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir))
     try q2.processAllAvailable() finally q2.stop()
 
     // survivors: doc 10 (batch 1) and doc 20 (batch 2); dups 11 and 21
@@ -120,6 +122,16 @@ class StreamingIndexSpec extends AnyFunSuite {
     assertSameTable(graft.operators.SourceSketch.read(spark, sketchDir),
       graft.operators.SourceSketch.signatures(grown),
       "streamed source sketch vs one-pass over accepted corpus")
+
+    // the distinct-count sketch rode the same cycle under the same
+    // crash: the KMV monoid fold of the streamed batches equals a
+    // one-pass sketch over the accepted corpus
+    assertSameTable(
+      graft.operators.DistinctSketch.estimate(spark, distinctDir),
+      graft.operators.SketchQueries.kmvEstimates(
+        graft.operators.SketchQueries.kmvSketch(grown.select(col("source"),
+          explode(graft.functions.TextOps.shingles3Udf(col("text"))).as("sh")))),
+      "streamed distinct sketch vs one-pass over accepted corpus")
 
     // a FRESH checkpoint against the already-grown indexes restarts
     // epochs at 0 — the relay must refuse instead of dynamic-
