@@ -422,8 +422,43 @@ object RelationalQueries {
           sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("event_id"), col("session_id"))
         .orderBy("user_id", "event_id")
+    }),
+    // Ordered funnel per user: first view → first click AFTER it →
+    // first purchase after that (the classic product-analytics
+    // sequence-match; ClickHouse windowFunnel / Amplitude funnels).
+    // Each step is a user-keyed conditional-min aggregate over events
+    // joined to the previous step's frontier — three aggs that all
+    // shuffle on user_id, so AQE reuses one exchange; no per-user sort,
+    // no window over the raw event stream. All-integer micros, so the
+    // step times and depth are hash-exact cross-engine.
+    "funnel_steps" -> ((s, d) => {
+      funnelSteps(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
     })
   )
+
+  /** Ordered-funnel body over any (user_id, event_type, us) relation —
+    * see the `funnel_steps` query comment. FunnelSpec drives crafted
+    * out-of-order sequences through it.
+    */
+  def funnelSteps(ev: DataFrame): DataFrame = {
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("funnel_depth"))
+      .orderBy("user_id")
+  }
 
   val oracles: Map[String, String] = Map(
     "f2_size_filter" ->
@@ -563,6 +598,18 @@ object RelationalQueries {
         "SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
         "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
-        "ORDER BY user_id, event_id")
+        "ORDER BY user_id, event_id"),
+    "funnel_steps" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "s1 AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT ev.user_id, CAST(min(ev.us) AS BIGINT) AS t_click FROM ev JOIN s1 ON ev.user_id = s1.user_id " +
+        "WHERE ev.event_type = 'click' AND ev.us > s1.t_view GROUP BY ev.user_id), " +
+        "s3 AS (SELECT ev.user_id, CAST(min(ev.us) AS BIGINT) AS t_purchase FROM ev JOIN s2 ON ev.user_id = s2.user_id " +
+        "WHERE ev.event_type = 'purchase' AND ev.us > s2.t_click GROUP BY ev.user_id) " +
+        "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase, " +
+        "CAST(1 + CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_depth " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id " +
+        "ORDER BY s1.user_id")
   )
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ordered-funnel semantics (`funnel_steps`): the ORDER constraint is
+  * the operator — a click BEFORE the first view must not advance the
+  * funnel, and each step anchors on the strictly-next event after the
+  * previous step's time.
+  */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ev(rows: (Long, String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "event_type", "us")
+  }
+
+  test("out-of-order events do not advance the funnel") {
+    // user 1: click(10) BEFORE view(20), click(30) after → t_click = 30
+    // user 2: purchase(5) then view(10), no click → depth 1, no purchase
+    // user 3: full in-order funnel, with an EARLIER purchase(25) that
+    //         precedes the click(30) — t_purchase must be 40, not 25
+    // user 4: clicks only, never views → absent (step 1 is the anchor)
+    val out = RelationalQueries.funnelSteps(ev(
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      (2L, "purchase", 5L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "purchase", 25L), (3L, "click", 30L), (3L, "purchase", 40L),
+      (4L, "click", 10L), (4L, "click", 20L)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out.keySet == Set(1L, 2L, 3L), "only users with a view anchor appear")
+    assert(out(1L).getAs[Long]("t_click") == 30L, "pre-view click must not count")
+    assert(out(1L).getAs[Int]("funnel_depth") == 2)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("t_click")) &&
+      out(2L).getAs[Int]("funnel_depth") == 1, "pre-view purchase advances nothing")
+    assert(out(3L).getAs[Long]("t_purchase") == 40L, "purchase before the click must not count")
+    assert(out(3L).getAs[Int]("funnel_depth") == 3)
+  }
+}
