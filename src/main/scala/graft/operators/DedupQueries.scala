@@ -478,6 +478,43 @@ object DedupQueries {
     // projection with no token explosion and no shuffle.
     "substring_dedup" -> ((s, d) =>
       substringDedup(widen(Tables.documents(s, d)))),
+    // Memorization-risk card — the FLIP side of substring_dedup: that
+    // rewrite removes spans occurring in ≥2 docs; this audit measures
+    // the mass of spans occurring exactly ONCE in the whole corpus (the
+    // "secret sharer" exposure class — a unique long run is what a
+    // model can regurgitate verbatim and nothing else dilutes it).
+    // Per source: docs with ≥K tokens, total K-token spans, corpus-
+    // unique spans, unique rate. Scale shape: the same per-doc span
+    // hashing map stage as substring_dedup, one span-hash-keyed agg
+    // (occ + owner; a unique span has exactly one owner so min(source)
+    // IS attribution), one source-keyed totals agg — no join back to
+    // the corpus-sized span relation.
+    "rare_span_audit" -> ((s, d) => {
+      val K = 8
+      val docs = widen(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+      val spans = docs.filter(col("n") >= K)
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(1L), col("n") - (K - 1))).as("start"),
+          col("ts"))
+        .select(col("source"), col("doc_id"),
+          md5(concat_ws(" ", slice(col("ts"), col("start").cast("int"), lit(K)))
+            .cast("binary")).as("h"))
+      val uniq = spans.groupBy(col("h"))
+        .agg(count(lit(1)).as("occ"), min(col("source")).as("source"))
+        .filter(col("occ") === 1)
+        .groupBy(col("source")).agg(count(lit(1)).as("unique_spans"))
+      spans.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_spans"))
+        .join(uniq, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_spans"),
+          coalesce(col("unique_spans"), lit(0L)).as("unique_spans"),
+          round(coalesce(col("unique_spans"), lit(0L)).cast("double") /
+            col("total_spans").cast("double"), 6).as("unique_rate"))
+        .orderBy("source")
+    }),
     // MinHash calibration audit — "measure, don't guess" for the sketch
     // driving LSH dedup (the dedup-side sibling of ann_recall and the
     // approx_*_audit rows): for every LSH candidate pair, the signature
@@ -859,6 +896,21 @@ object DedupQueries {
         "SELECT t.doc_id, t.n, CAST(0 AS BIGINT), t.text FROM tn t " +
         "ANTI JOIN aff a ON t.doc_id = a.doc_id " +
         "ORDER BY doc_id"),
+    "rare_span_audit" ->
+      ("WITH tn AS (SELECT source, doc_id, string_split(text, ' ') AS ts, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
+        "spans AS (SELECT source, doc_id, " +
+        "md5(array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+7], ' ')) AS h " +
+        "FROM tn, unnest(range(1, n - 6)) t(i) WHERE n >= 8), " +
+        "uq AS (SELECT source, CAST(count(*) AS BIGINT) AS unique_spans FROM (" +
+        "SELECT h, count(*) AS occ, min(source) AS source FROM spans GROUP BY h) " +
+        "WHERE occ = 1 GROUP BY source), " +
+        "tot AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS total_spans FROM spans GROUP BY source) " +
+        "SELECT tot.source, tot.n_docs, tot.total_spans, " +
+        "CAST(coalesce(uq.unique_spans, 0) AS BIGINT) AS unique_spans, " +
+        "round(CAST(coalesce(uq.unique_spans, 0) AS DOUBLE) / tot.total_spans, 6) AS unique_rate " +
+        "FROM tot LEFT JOIN uq ON tot.source = uq.source ORDER BY tot.source"),
     "minhash_jaccard_audit" ->
       (s"WITH sh AS ($shingleSqlRel), " +
         "shd AS (SELECT DISTINCT doc_id, sh FROM sh), " +

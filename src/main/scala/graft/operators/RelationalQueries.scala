@@ -434,6 +434,26 @@ object RelationalQueries {
     "funnel_steps" -> ((s, d) => {
       funnelSteps(Tables.events(s, d)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+    }),
+    // Cohort retention over the event stream (the other classic
+    // product-analytics table beside the funnel): users grouped by the
+    // week of their FIRST event, then counted in every later week they
+    // were active. Two user-keyed aggregates (first-event, distinct
+    // active weeks) and a broadcast-joinable |users|-row frontier — no
+    // per-user sort, no window. Week ids are INTEGER division of
+    // epoch-micros (div, not floor-of-double-division: exact at any
+    // timestamp magnitude), so the whole table is hash-exact.
+    "retention_cohorts" -> ((s, d) => {
+      val WeekUs = 604800000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("us")).as("f_us"))
+        .select(col("user_id"), expr(s"f_us div $WeekUs").as("cohort_week"))
+      val active = ev.select(col("user_id"), expr(s"us div $WeekUs").as("week")).distinct()
+      active.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -610,6 +630,14 @@ object RelationalQueries {
         "CAST(1 + CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END + " +
         "CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_depth " +
         "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id " +
-        "ORDER BY s1.user_id")
+        "ORDER BY s1.user_id"),
+    "retention_cohorts" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT user_id, min(us) // 604800000000 AS cohort_week FROM ev GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, us // 604800000000 AS week FROM ev) " +
+        "SELECT f.cohort_week, a.week - f.cohort_week AS week_offset, " +
+        "CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users " +
+        "FROM a JOIN f ON a.user_id = f.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset")
   )
 }
