@@ -150,6 +150,51 @@ object SketchQueries {
         .orderBy(col("exact_cnt").desc, col("tok"))
     }),
 
+    // Quantile sketch — the third leg of the sketch trio (cardinality /
+    // frequency / quantiles): per-source doc-length quantiles (p50,
+    // p90, p99) from a BOUNDED 64-bin integer histogram, audited
+    // against the exact rank statistic. Why a fixed-bin histogram and
+    // not GK/t-digest: those summaries are insertion-order-dependent,
+    // so they can never pass a cross-engine hash gate; integer bin
+    // counts are a commutative monoid (mergeable across shards and
+    // batches like the KMV sketch) and the quantile read-out is pure
+    // integer arithmetic. Rank r = ceil(q·n) computed as
+    // (q·n + 99) div 100 — no float ceil. The estimate is the upper
+    // edge of the first bin whose cumulative count reaches r, so
+    // 1 ≤ est − exact ≤ binWidth always (spec-pinned). The exact side
+    // is a per-source rank window over the corpus — the AUDIT you drop
+    // at 100 TB; the histogram subtree is the product.
+    "length_quantiles" -> ((s, d) => {
+      val W = 8L; val B = 64
+      val v = Tables.documents(s, d)
+        .select(col("source"), TextOps.wordCount(col("text")).as("v"))
+      val hist = v
+        .select(col("source"), least(expr(s"v div $W"), lit(B - 1L)).as("bin"))
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val ranks = v.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+        .withColumn("r", expr("(q * n_docs + 99) div 100"))
+      val est = ranks.join(cum, Seq("source"))
+        .filter(col("cum") >= col("r"))
+        .groupBy(col("source"), col("q"), col("n_docs"), col("r"))
+        .agg(min(col("bin")).as("qbin"))
+        .select(col("source"), col("q"), col("n_docs"), col("r"),
+          ((col("qbin") + 1) * W).as("est_upper"))
+      val exact = v.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("v"))))
+        .select(col("source"), col("rn"), col("v"))
+      est.join(exact, est("source") === exact("source") && col("rn") === col("r"))
+        .select(est("source"), col("q"), col("n_docs"), col("est_upper"),
+          col("v").as("exact_value"))
+        .orderBy(est("source"), col("q"))
+    }),
+
     // Per-source token diversity card: Shannon entropy of the unigram
     // distribution, normalized entropy, type-token ratio.
     // H = ln N − (Σ c·ln c)/N : integer counts inside, one rounded
@@ -198,6 +243,20 @@ object SketchQueries {
         s"FROM cand c, unnest(range($CmsRows)) t(r), cells cl WHERE cl.r = t.r " +
         s"AND cl.b = ${cmsBucketSql("t.r::VARCHAR", "c.tok")} " +
         "GROUP BY 1, 2 ORDER BY exact_cnt DESC, tok"),
+    "length_quantiles" ->
+      (s"WITH v AS (SELECT source, CAST(len(${TextSql.tokens("text")}) AS BIGINT) AS v FROM documents), " +
+        "hist AS (SELECT source, least(v // 8, 63) AS bin, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2), " +
+        "cum AS (SELECT source, bin, sum(cnt) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM hist), " +
+        "ranks AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, q, (q * count(*) + 99) // 100 AS r " +
+        "FROM v, unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT), CAST(99 AS BIGINT)]) t(q) GROUP BY source, q), " +
+        "est AS (SELECT ranks.source, ranks.q, ranks.n_docs, ranks.r, " +
+        "CAST((min(cum.bin) + 1) * 8 AS BIGINT) AS est_upper " +
+        "FROM ranks JOIN cum ON ranks.source = cum.source AND cum.cum >= ranks.r " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "ex AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY v) AS rn, v FROM v) " +
+        "SELECT est.source, est.q, est.n_docs, est.est_upper, ex.v AS exact_value " +
+        "FROM est JOIN ex ON est.source = ex.source AND ex.rn = est.r " +
+        "ORDER BY est.source, est.q"),
     "token_entropy" ->
       (s"WITH tk AS (SELECT source, unnest(${TextSql.tokens("lower(text)")}) AS tok FROM documents), " +
         "c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2), " +

@@ -23,6 +23,7 @@ class ContractSpec extends AnyFunSuite {
       graft.operators.DedupQueries.queries, graft.operators.VectorQueries.queries,
       graft.operators.PipelineQueries.queries, graft.operators.AnnQueries.queries,
       graft.operators.MultimodalQueries.queries, graft.operators.CurationQueries.queries,
+      graft.operators.SketchQueries.queries, graft.operators.DriftQueries.queries,
       graft.operators.SourceQueries.queries)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted

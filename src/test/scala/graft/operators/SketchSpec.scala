@@ -103,6 +103,22 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("length_quantiles: estimate brackets the exact rank statistic within one bin") {
+    val rows = SketchQueries.queries("length_quantiles")(spark, d).collect()
+    assert(rows.length >= 3, "at least one source × three quantiles")
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est_upper"), r.getAs[Long]("exact_value"))
+      assert(est > exact && est - exact <= 8,
+        s"${r.getAs[String]("source")} q=${r.getAs[Long]("q")}: est $est vs exact $exact " +
+          "outside the (0, binWidth] bracket — the histogram bound is broken")
+    }
+    // quantiles are monotone in q within a source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byQ = rs.sortBy(_.getAs[Long]("q")).map(_.getAs[Long]("est_upper"))
+      assert(byQ.sameElements(byQ.sorted), s"$src: quantile estimates not monotone in q")
+    }
+  }
+
   test("token_entropy: uniform distribution hits ln(vocab), degenerate source is 0/null") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
