@@ -137,4 +137,26 @@ object AnnPq {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk"), col("adc"))
   }
+
+  /** Residual IVFADC (the full Jégou et al. §IV / FAISS IVFADC form):
+    * codes quantize the RESIDUAL x − c(x) rather than x, and the score
+    * decomposes as q·x ≈ q·c(cell) + q·r̂ — so `probeLuts` carries one
+    * extra integer column `wc` = floor(q·centroid·1e6 + 0.5) per probed
+    * cell, added to the same M table lookups. On clustered corpora
+    * residuals are smaller than raw vectors, so the K codebook entries
+    * resolve them more finely — the reason FAISS encodes residuals
+    * whenever an IVF level exists (measured caveat for THIS corpus in
+    * the ann_ivf_pq_residual query comment: uniform random vectors
+    * don't cluster, so the subtraction inflates them instead). Same
+    * join shape, same integer-exact scoring.
+    */
+  def searchInCellsResidual(codesWithCell: DataFrame, probeLuts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    codesWithCell.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", (col("wc") + adcExpr).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("adc"))
+  }
 }

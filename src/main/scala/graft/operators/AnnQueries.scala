@@ -380,6 +380,45 @@ object AnnQueries {
         .select(col("q_id"), col("cell"))
         .join(AnnPq.lut(queries0, cbs), Seq("q_id"))
       AnnPq.searchInCells(codesWithCell, probeLuts, k = 3).orderBy("q_id", "rnk")
+    }),
+    // Residual IVFADC — the full FAISS fidelity form of ann_ivf_pq
+    // (Jégou et al. 2011 §IV): PQ codes quantize x − centroid(x)
+    // instead of x, and q·x decomposes as q·centroid (one integer term
+    // per probed cell, queries × nprobe rows) + the same M ADC lookups
+    // over residual-space codebooks. On CLUSTERED corpora residuals are
+    // smaller than raw vectors, so the codebook resolves them more
+    // finely — why FAISS encodes residuals under an IVF level.
+    // MEASURED HONESTLY on this corpus (uniform random unit vectors,
+    // stand-in codebooks, sf0.01): residuals are ~0.25-cosine from
+    // their centroid, so subtraction INFLATES them (reconstruction MSE
+    // 1.51 vs 1.20 raw; recall no better) — the residual advantage is
+    // a property of clustered data + trained codebooks, and this
+    // operator is the correct production form for that regime, not a
+    // local win here. Same plan shape as ann_ivf_pq: residual
+    // computation is a per-row zip_with against the broadcast centroid
+    // of the OWN cell (no extra exchange), encoding is one build-time
+    // agg, search never reads an embedding. All-integer, hash-exact.
+    "ann_ivf_pq_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = AnnIndex.centroids(e)
+      val queries0 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val asg = AnnIndex.assign(e, cents).select(col("vec_id"), col("cell"))
+      val cellCv = cents.select(col("c_id").as("cell"), col("cv"))
+      val resid = e.join(asg, Seq("vec_id"))
+        .join(broadcast(cellCv), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("embedding"), col("cv"),
+            (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+      val cbs = AnnPq.codebooks(resid) // residual-space stand-in codebooks
+      val codesWithCell = AnnPq.encode(resid, cbs).join(asg, Seq("vec_id"))
+      val probeLuts = AnnIndex.probe(queries0, cents, nprobe = 2)
+        .join(broadcast(cellCv), Seq("cell"))
+        .select(col("q_id"), col("cell"),
+          floor(VectorOps.dot(col("qv"), col("cv")) * lit(1e6) + lit(0.5))
+            .cast("long").as("wc"))
+        .join(AnnPq.lut(queries0, cbs), Seq("q_id"))
+      AnnPq.searchInCellsResidual(codesWithCell, probeLuts, k = 3).orderBy("q_id", "rnk")
     })
   )
 
@@ -965,7 +1004,8 @@ object AnnQueries {
         "SELECT q_id, vec_id, rnk, adc FROM (" +
         "SELECT q_id, vec_id, adc, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY adc DESC, vec_id) AS INT) AS rnk FROM sc) " +
-        "WHERE rnk <= 3 ORDER BY q_id, rnk")
+        "WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "ann_ivf_pq_residual" -> pqResidualSql
   )
 
   /** Shared PQ CTEs: codebooks from the stand-in slice, per-vector codes
@@ -974,6 +1014,66 @@ object AnnQueries {
     * wide code/LUT tables with INTEGER ADC weights (floor(dot·1e6+0.5) —
     * exact BIGINT scoring in both engines, the rankInt8 discipline).
     */
+  /** Residual IVFADC oracle: the pqCtes chain re-derived over residual
+    * vectors (x − centroid of own cell), plus the per-probed-cell
+    * integer term wc = floor(q·centroid·1e6 + 0.5) added to the ADC
+    * sum. remb is already DOUBLE, so the shared l2/dot folds are the
+    * same correctly-rounded chains as the Spark zip_with/aggregate.
+    */
+  private def pqResidualSql: String = {
+    val sd = AnnPq.SubDim
+    val dim = 64
+    def l2(a: String, b: String) =
+      s"list_reduce([(CAST($a[i+1] AS DOUBLE)-CAST($b[i+1] AS DOUBLE))*" +
+        s"(CAST($a[i+1] AS DOUBLE)-CAST($b[i+1] AS DOUBLE)) for i in range($sd)], (x,y)->x+y)"
+    def dotI(a: String, b: String, n: Int) =
+      s"CAST(floor(${VectorSql.dot(a, b, n)} * 1e6 + 0.5) AS BIGINT)"
+    s"WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
+      "asg AS (SELECT vec_id, c_id AS cell FROM (" +
+      s"SELECT e.vec_id, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+      "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+      "re AS (SELECT e.vec_id, a.cell, " +
+      s"[CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cv[i+1] AS DOUBLE) for i in range($dim)] AS remb " +
+      "FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id JOIN cents c ON a.cell = c.c_id), " +
+      s"rcb AS (SELECT t.m AS m, CAST(vec_id - 100 AS INT) AS j, remb[t.m*$sd+1 : t.m*$sd+$sd] AS cbv " +
+      s"FROM re CROSS JOIN range(${AnnPq.M}) t(m) WHERE vec_id BETWEEN 100 AND ${100 + AnnPq.K - 1}), " +
+      s"rsub AS (SELECT vec_id, t.m AS m, remb[t.m*$sd+1 : t.m*$sd+$sd] AS sv " +
+      s"FROM re CROSS JOIN range(${AnnPq.M}) t(m)), " +
+      s"rdist AS (SELECT s.vec_id, s.m, c.j, ${l2("s.sv", "c.cbv")} AS d2 " +
+      "FROM rsub s JOIN rcb c ON s.m = c.m), " +
+      "rcodes AS (SELECT vec_id, m, j AS code FROM (SELECT vec_id, m, j, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM rdist) WHERE rn = 1), " +
+      "rcw AS (SELECT vec_id, " +
+      (0 until AnnPq.M).map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ") +
+      " FROM rcodes GROUP BY vec_id), " +
+      "qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+      s"qsub AS (SELECT q_id, t.m AS m, qv[t.m*$sd+1 : t.m*$sd+$sd] AS qsv " +
+      s"FROM qs CROSS JOIN range(${AnnPq.M}) t(m)), " +
+      s"rlw AS (SELECT q.q_id, q.m, c.j, ${dotI("q.qsv", "c.cbv", sd)} AS wq " +
+      "FROM qsub q JOIN rcb c ON q.m = c.m), " +
+      "rlut AS (SELECT q_id, m, list(wq ORDER BY j) AS ws FROM rlw GROUP BY q_id, m), " +
+      "rlutw AS (SELECT q_id, " +
+      (0 until AnnPq.M).map(m => s"max(CASE WHEN m = $m THEN ws END) AS ws$m").mkString(", ") +
+      " FROM rlut GROUP BY q_id), " +
+      "probes AS (SELECT q_id, c_id AS cell FROM (" +
+      s"SELECT q.q_id, c.c_id, CAST(row_number() OVER (PARTITION BY q.q_id " +
+      s"ORDER BY ${cos("q.qv", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+      "FROM qs q CROSS JOIN cents c) WHERE rn <= 2), " +
+      "wt AS (SELECT p.q_id, p.cell, " +
+      s"${dotI("q.qv", "c.cv", dim)} AS wc " +
+      "FROM probes p JOIN qs q ON p.q_id = q.q_id JOIN cents c ON p.cell = c.c_id), " +
+      "sc AS (SELECT w.q_id, cw.vec_id, " +
+      "(w.wc + l.ws0[cw.c0+1] + l.ws1[cw.c1+1] + l.ws2[cw.c2+1] + l.ws3[cw.c3+1]) AS adc " +
+      "FROM rcw cw JOIN asg a ON cw.vec_id = a.vec_id " +
+      "JOIN wt w ON a.cell = w.cell " +
+      "JOIN rlutw l ON l.q_id = w.q_id WHERE cw.vec_id <> w.q_id) " +
+      "SELECT q_id, vec_id, rnk, adc FROM (" +
+      "SELECT q_id, vec_id, adc, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY adc DESC, vec_id) AS INT) AS rnk FROM sc) " +
+      "WHERE rnk <= 3 ORDER BY q_id, rnk"
+  }
+
   private def pqCtes: String = {
     val sd = AnnPq.SubDim
     def l2 (a: String, b: String) =

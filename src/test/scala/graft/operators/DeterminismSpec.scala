@@ -28,7 +28,8 @@ class DeterminismSpec extends AnyFunSuite {
     "bpe_fertility", "ngram_novelty", "boilerplate_rate", "token_budget",
     "lang_confusion", "dedup_cluster_stats", "embedding_norm_audit",
     "mm_phash", "mm_phash_pairs", "quality_calibration", "pack_efficiency",
-    "token_drift", "heavy_hitters_cms", "distinct_kmv")
+    "token_drift", "heavy_hitters_cms", "distinct_kmv",
+    "length_quantiles", "ann_ivf_pq_residual")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
