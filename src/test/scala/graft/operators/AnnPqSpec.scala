@@ -67,4 +67,66 @@ class AnnPqSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b, "ADC ranking must not depend on partitioning")
   }
+
+  /** The residual-encoding regime claim, proven in BOTH directions: on
+    * CLUSTERED vectors (tight noise around the cell centroids — the
+    * regime real embedding corpora live in) residual PQ reconstructs
+    * strictly better than raw PQ, while on this corpus's uniform random
+    * vectors it measures strictly worse (the honest caveat recorded on
+    * `ann_ivf_pq_residual`). Clusters sit at the 16 stand-in centroid
+    * ids so AnnIndex.centroids/AnnPq.codebooks pick them up unchanged.
+    */
+  test("residual PQ beats raw PQ on clustered vectors — and not on uniform ones") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis % dim) 1.0f else 0.0f)
+    // 16 cluster centers on distinct axes (ids 100..115, the centroid
+    // slice); members = center + deterministic small perturbation
+    val centers = (0 until 16).map(c => (100L + c, unit(c * 4), c))
+    val members = for (c <- 0 until 16; m <- 0 until 8) yield {
+      val base = unit(c * 4)
+      val noisy = base.zipWithIndex.map { case (v, i) =>
+        v + 0.05f * (((i * 31 + m * 17 + c * 7) % 11) - 5) / 5.0f
+      }
+      (1000L + c * 8 + m, noisy, c)
+    }
+    val clustered = (centers ++ members).toDF("vec_id", "embedding", "label")
+
+    def reconstructionMse(src: org.apache.spark.sql.DataFrame): Double = {
+      val cbs = AnnPq.codebooks(src)
+      val sub = src
+        .select(col("vec_id"), explode(sequence(lit(0), lit(AnnPq.M - 1))).as("m"), col("embedding"))
+        .select(col("vec_id"), col("m"),
+          slice(col("embedding"), col("m") * AnnPq.SubDim + 1, lit(AnnPq.SubDim)).as("sv"))
+      sub.join(broadcast(cbs), Seq("m"))
+        .select(col("vec_id"), col("m"),
+          aggregate(zip_with(col("sv"), col("cb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (a, v) => a + v).as("d2"))
+        .groupBy(col("vec_id"), col("m")).agg(min(col("d2")).as("best"))
+        .agg(avg(col("best"))).collect()(0).getDouble(0) * AnnPq.M
+    }
+    def residualsOf(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cents = AnnIndex.centroids(e)
+      val asg = AnnIndex.assign(e, cents).select(col("vec_id"), col("cell"))
+      e.join(asg, Seq("vec_id"))
+        .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"), zip_with(col("embedding"), col("cv"),
+          (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+    }
+
+    val rawClustered = reconstructionMse(clustered.select(col("vec_id"), col("embedding")))
+    val resClustered = reconstructionMse(residualsOf(clustered))
+    assert(resClustered < rawClustered,
+      f"clustered regime: residual MSE $resClustered%.4f must beat raw $rawClustered%.4f")
+
+    val uniform = Tables.embeddings(spark, d)
+    val rawUniform = reconstructionMse(uniform.select(col("vec_id"), col("embedding")))
+    val resUniform = reconstructionMse(residualsOf(uniform))
+    assert(resUniform > rawUniform,
+      f"uniform regime: residual MSE $resUniform%.4f measured worse than raw $rawUniform%.4f " +
+        "in the recorded caveat — if this flipped, update the ann_ivf_pq_residual docs")
+  }
 }
