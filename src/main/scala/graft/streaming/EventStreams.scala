@@ -83,6 +83,53 @@ object EventStreams {
       }
   }
 
+  final case class FunnelIn(user_id: Long, event_type: String, tsMicros: Long)
+  final case class FunnelOut(user_id: Long, step: Int, step_type: String, tsMicros: Long)
+  final case class FunnelState(times: Seq[Long])
+
+  /** Streaming form of the batch `funnel_steps` operator: a per-user
+    * state machine over flatMapGroupsWithState that emits a row the
+    * moment a user ADVANCES a funnel step — the live conversion feed a
+    * product pipeline alerts on, where the batch form is the daily
+    * report. State is just the reached steps' times (≤ |steps| longs
+    * per user).
+    *
+    * Parity contract: within a micro-batch events are sorted by
+    * (tsMicros, event_type), so in-batch disorder is healed and the
+    * first qualifying event in time order IS the batch operator's
+    * conditional min. Across micro-batches the greedy accepts the first
+    * qualifying arrival — exact parity with the batch funnel under
+    * event-time-ordered arrival between batches (the standard streaming
+    * funnel contract; a late-arriving earlier click would need
+    * watermark buffering, which would also delay every alert by the
+    * watermark). FunnelStreamSpec pins batch parity and the cross-batch
+    * carry.
+    */
+  def funnelAdvance(
+      events: Dataset[FunnelIn],
+      steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_type))
+          var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[FunnelOut]
+          for (e <- sorted) {
+            val next = times.length
+            if (next < steps.length && e.event_type == steps(next) &&
+              (times.isEmpty || e.tsMicros > times.last)) {
+              times = times :+ e.tsMicros
+              out += FunnelOut(userId, next + 1, e.event_type, e.tsMicros)
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelState(times))
+          out.result().iterator
+      }
+  }
+
   /** Streaming incremental dedup — the streaming counterpart of the
     * batch `dedup_incremental` operator: incoming documents anti-join
     * the STATIC existing-corpus fingerprint index (a stream-static join

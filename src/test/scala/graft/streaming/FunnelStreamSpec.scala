@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming funnel against its batch twin: same step times and
+  * depths as `RelationalQueries.funnelSteps` on identical (in-order)
+  * input, in-batch disorder healed by the sort, and the per-user state
+  * carrying a partial funnel across micro-batches.
+  */
+class FunnelStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("batch parity: streamed advances reconstruct funnel_steps exactly") {
+    val s = spark
+    import s.implicits._
+    // deliberately shuffled within the batch — the sort must heal it
+    val rows = Seq(
+      EventStreams.FunnelIn(1L, "click", 30L), EventStreams.FunnelIn(1L, "view", 20L),
+      EventStreams.FunnelIn(1L, "purchase", 50L), EventStreams.FunnelIn(1L, "click", 10L),
+      EventStreams.FunnelIn(2L, "view", 10L), EventStreams.FunnelIn(2L, "purchase", 5L),
+      EventStreams.FunnelIn(3L, "view", 10L), EventStreams.FunnelIn(3L, "click", 30L),
+      EventStreams.FunnelIn(3L, "purchase", 25L), EventStreams.FunnelIn(3L, "purchase", 40L))
+    val advances = EventStreams.funnelAdvance(rows.toDS()).collect()
+
+    val ev = rows.toDF("user_id", "event_type", "us")
+    val batch = graft.operators.RelationalQueries.funnelSteps(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // every batch step time must appear as exactly one streamed advance
+    batch.foreach { case (uid, r) =>
+      val streamed = advances.filter(_.user_id == uid).sortBy(_.step)
+      val expected = Seq("t_view", "t_click", "t_purchase")
+        .flatMap(c => if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c)))
+      assert(streamed.map(_.tsMicros).toSeq == expected,
+        s"user $uid: streamed ${streamed.toSeq} vs batch $expected")
+      assert(streamed.map(_.step).toSeq == (1 to expected.length),
+        s"user $uid: steps must be consecutive from 1")
+    }
+    assert(advances.map(_.user_id).toSet == batch.keySet)
+  }
+
+  test("state carries a partial funnel across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.funnelAdvance(
+      mem.toDS().map(t => EventStreams.FunnelIn(t._1, t._2, t._3)))
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      mem.addData((7L, "view", 100L), (7L, "purchase", 150L)) // purchase too early: no click yet
+      q.processAllAvailable()
+      mem.addData((7L, "click", 200L), (7L, "purchase", 300L)) // now both advance
+      q.processAllAvailable()
+      val out = s.sql("SELECT step, step_type, tsMicros FROM funnel WHERE user_id = 7 ORDER BY step")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      assert(out.toSeq == Seq((1, "view", 100L), (2, "click", 200L), (3, "purchase", 300L)),
+        s"cross-batch funnel state broken: ${out.toSeq}")
+    } finally q.stop()
+  }
+}
