@@ -1081,6 +1081,28 @@ object CurationQueries {
     // stays in the shard where it started, so tail shards can overflow
     // — the waste/overflow trade a packer is tuned on). Same window
     // subtree as shard_packing plus a shard-keyed aggregate.
+    // The per-release datasheet (Gebru et al. 2021 "Datasheets for
+    // Datasets" §composition): doc/token/language counts at every
+    // (split, source) rollup level — per cell, per split, grand total —
+    // in ONE aggregation pass via ROLLUP (Spark plans it as a single
+    // Expand + hash agg, not three scans). The table a corpus release
+    // ships next to its data; all-integer, hash-exact.
+    "corpus_datasheet" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          when(hashBucket(col("doc_id")) < 80, "train")
+            .when(hashBucket(col("doc_id")) < 90, "val").otherwise("test").as("split"),
+          col("source"), col("lang"),
+          TextOps.wordCount(col("text")).as("toks"))
+        .rollup(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(coalesce(col("split"), lit("ALL")).as("split"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_tokens"), col("n_langs"))
+        .orderBy("split", "source")
+    }),
     "pack_efficiency" -> ((s, d) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1189,6 +1211,14 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "corpus_datasheet" ->
+      (s"WITH base AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
+        s"source, lang, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS toks " +
+        s"FROM (SELECT doc_id, source, lang, text, $bucketSql AS b FROM documents)) " +
+        "SELECT coalesce(split, 'ALL') AS split, coalesce(source, 'ALL') AS source, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs " +
+        "FROM base GROUP BY ROLLUP (split, source) ORDER BY split, source"),
     "dataset_split" ->
       (s"SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM " +
