@@ -515,6 +515,38 @@ object DedupQueries {
             col("total_spans").cast("double"), 6).as("unique_rate"))
         .orderBy("source")
     }),
+    // Detection-RECALL audit of the LSH dedup path on PLANTED near-dups
+    // — the companion number to minhash_jaccard_audit (which measures
+    // estimate quality on pairs the blocker already found, and so can
+    // never see a MISS): every 10th doc gets a deterministic light-edit
+    // twin (every 25th token dropped — the ~4%-edit near-dup class
+    // 4×4-band LSH is tuned for), and the audit reports per planted
+    // pair how many of the 4 band signatures still collide. Recall
+    // drift here is the lower-the-band-width signal, exactly as recall
+    // drift in ann_recall triggers quantizer retraining. Scale shape:
+    // the pair probe is a pure equi-join on (shifted id, band, sig) —
+    // no bucket fan-out at all, the ground truth IS the join key.
+    "dedup_recall_planted" -> ((s, d) => {
+      val docs = widen(Tables.documents(s, d)).select(col("doc_id"), col("text"))
+      val mutants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(filter(TextOps.tokens(col("text")),
+            (_, i) => (i + 1) % 25 =!= 0), " ").as("text"))
+      val bands = docs.unionByName(mutants)
+        .select(col("doc_id"),
+          posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+      val shared = bands.select((col("doc_id") + 1000000L).as("m_id"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("m_id"), col("band"), col("sig")),
+          Seq("m_id", "band", "sig"))
+        .groupBy((col("m_id") - 1000000L).as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared_bands"),
+          (coalesce(col("n_shared"), lit(0L)) >= 1L).as("detected"))
+        .orderBy("doc_id")
+    }),
     // MinHash calibration audit — "measure, don't guess" for the sketch
     // driving LSH dedup (the dedup-side sibling of ann_recall and the
     // approx_*_audit rows): for every LSH candidate pair, the signature
@@ -896,6 +928,26 @@ object DedupQueries {
         "SELECT t.doc_id, t.n, CAST(0 AS BIGINT), t.text FROM tn t " +
         "ANTI JOIN aff a ON t.doc_id = a.doc_id " +
         "ORDER BY doc_id"),
+    "dedup_recall_planted" ->
+      (s"WITH mut AS (SELECT doc_id + 1000000 AS doc_id, " +
+        "array_to_string([toks[i+1] for i in range(len(toks)) if (i+1) % 25 != 0], ' ') AS text " +
+        s"FROM (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents WHERE doc_id % 10 = 0)), " +
+        "pl AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM mut), " +
+        s"sh AS (SELECT doc_id, unnest(shs) AS sh FROM (SELECT doc_id, ${TextSql.shingles("toks")} AS shs FROM " +
+        s"(SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM pl))), " +
+        "shd AS (SELECT DISTINCT doc_id, sh FROM sh), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM shd, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4), " +
+        "j AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM bd a " +
+        "JOIN bd b ON b.doc_id = a.doc_id + 1000000 AND a.band = b.band AND a.sig = b.sig " +
+        "GROUP BY a.doc_id) " +
+        "SELECT g.doc_id, CAST(coalesce(j.n_shared, 0) AS BIGINT) AS n_shared_bands, " +
+        "coalesce(j.n_shared, 0) >= 1 AS detected " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) g " +
+        "LEFT JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id"),
     "rare_span_audit" ->
       ("WITH tn AS (SELECT source, doc_id, string_split(text, ' ') AS ts, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
