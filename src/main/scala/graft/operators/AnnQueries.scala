@@ -153,6 +153,29 @@ object AnnQueries {
         .agg(count(lit(1)).as("bucket_size"))
         .orderBy("sig")
     }),
+    // IVF inverted-file health card — the quantizer-side sibling of
+    // ann_bucket_stats: per-cell vector count and corpus share,
+    // INCLUDING empty cells (an empty cell is wasted nprobe budget and
+    // the first symptom of a drifted quantizer — a groupBy alone would
+    // silently hide it, so the centroid table left-joins the sizes).
+    // Reading this card is what decides between retrain (imbalance) and
+    // raising k (all cells fat). One map-side assignment pass + a
+    // 16-row join.
+    "ann_ivf_cell_stats" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = AnnIndex.centroids(e)
+      val sizes = AnnIndex.assign(e, cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+      val total = sizes.agg(sum(col("cell_size")).as("total")) // 1-row broadcast, no driver action
+      cents.select(col("c_id").as("cell"))
+        .join(sizes, Seq("cell"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("cell"),
+          coalesce(col("cell_size"), lit(0L)).as("cell_size"),
+          round(coalesce(col("cell_size"), lit(0L)).cast("double") /
+            col("total").cast("double"), 6).as("share"))
+        .orderBy("cell")
+    }),
     // Embedding near-dup at scale: LSH-bucket blocking replaces the
     // label blocking of `embed_neardup` — candidate pairs only form
     // within a signature bucket, so the pair space is per-bucket and the
@@ -769,6 +792,17 @@ object AnnQueries {
     "ann_bucket_stats" ->
       (s"SELECT CAST(${sigSql("embedding")} AS BIGINT) AS sig, count(*) AS bucket_size " +
         "FROM embeddings GROUP BY 1 ORDER BY sig"),
+    "ann_ivf_cell_stats" ->
+      ("WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
+        "asg AS (SELECT vec_id, c_id AS cell FROM (" +
+        s"SELECT e.vec_id, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+        "sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_size FROM asg GROUP BY cell), " +
+        "tot AS (SELECT CAST(sum(cell_size) AS BIGINT) AS total FROM sz) " +
+        "SELECT c.c_id AS cell, CAST(coalesce(sz.cell_size, 0) AS BIGINT) AS cell_size, " +
+        "round(CAST(coalesce(sz.cell_size, 0) AS DOUBLE) / tot.total, 6) AS share " +
+        "FROM cents c LEFT JOIN sz ON c.c_id = sz.cell CROSS JOIN tot ORDER BY cell"),
     "ann_lsh_multiprobe" ->
       (s"WITH sg AS (SELECT vec_id, embedding, CAST(${sigSql("embedding")} AS BIGINT) AS sig FROM embeddings), " +
         s"qd AS (SELECT vec_id AS q_id, embedding AS qv, sig, ${dotsSql("embedding")} AS dts " +

@@ -1081,6 +1081,17 @@ object CurationQueries {
     // stays in the shard where it started, so tail shards can overflow
     // — the waste/overflow trade a packer is tuned on). Same window
     // subtree as shard_packing plus a shard-keyed aggregate.
+    // The C4 cleaning battery (Raffel et al. 2020 §2.2 — the most-cited
+    // web-corpus filter set), doc-level form: terminal punctuation,
+    // ≥5 words, ≥3 sentences, no "lorem ipsum", no curly brace, and the
+    // composed keep decision with every rule's flag reported (a filter
+    // that only says keep/drop can't be audited). The corpus is
+    // single-line punctuation-free word salad, so every doc fails the
+    // punctuation rules here — C4RulesSpec drives crafted docs through
+    // the refactored body to pin each rule flipping in isolation
+    // (the gopher_repetition precedent). Pure per-row string
+    // predicates: one scan, no shuffle before the output sort.
+    "c4_rules" -> ((s, d) => c4Rules(Tables.documents(s, d))),
     // The per-release datasheet (Gebru et al. 2021 "Datasheets for
     // Datasets" §composition): doc/token/language counts at every
     // (split, source) rollup level — per cell, per split, grand total —
@@ -1118,6 +1129,27 @@ object CurationQueries {
         .orderBy("lang", "shard_id")
     })
   )
+
+  /** The C4 rule battery over any (doc_id, text) relation — see the
+    * `c4_rules` query comment. Sentence count approximated by terminal-
+    * punctuation count (the single-line corpus has no sentence
+    * segmenter to disagree with; identical regex in both engines).
+    */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val t = trim(col("text"))
+    val lowerT = lower(col("text"))
+    docs.select(
+      col("doc_id"),
+      TextOps.wordCount(col("text")).as("n_words"),
+      length(regexp_replace(col("text"), "[^.!?]", "")).cast("long").as("n_sentences"),
+      substring(t, -1, 1).isin(".", "!", "?", "\"").as("terminal_punct"),
+      lowerT.contains("lorem ipsum").as("has_lorem"),
+      col("text").contains("{").as("has_brace"))
+      .withColumn("keep",
+        col("n_words") >= 5L && col("n_sentences") >= 3L && col("terminal_punct") &&
+          !col("has_lorem") && !col("has_brace"))
+      .orderBy("doc_id")
+  }
 
   /** The Gopher repetition body over any (doc_id, text) relation — see
     * the `gopher_repetition` query comment for rules and thresholds.
@@ -1211,6 +1243,17 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "c4_rules" ->
+      (s"SELECT doc_id, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS n_words, " +
+        "CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences, " +
+        "right(trim(text), 1) IN ('.', '!', '?', '\"') AS terminal_punct, " +
+        "contains(lower(text), 'lorem ipsum') AS has_lorem, " +
+        "contains(text, '{') AS has_brace, " +
+        s"(len(${graft.functions.TextSql.tokens("text")}) >= 5 " +
+        "AND length(regexp_replace(text, '[^.!?]', '', 'g')) >= 3 " +
+        "AND right(trim(text), 1) IN ('.', '!', '?', '\"') " +
+        "AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')) AS keep " +
+        "FROM documents ORDER BY doc_id"),
     "corpus_datasheet" ->
       (s"WITH base AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, " +
         s"source, lang, CAST(len(${graft.functions.TextSql.tokens("text")}) AS BIGINT) AS toks " +
