@@ -23,7 +23,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "hybrid_bm25_rrf",    // BM25 doubles from integer stats
     "dedup_jaccard_capped", // multi-shuffle join pipeline
     "corpus_stats",       // avg + pct doubles
-    "embedding_pca")      // cross-row double sums, float-cast absorbed
+    "embedding_pca",      // cross-row double sums, float-cast absorbed
+    "domain_kl",          // cross-row double KL sum, 6dp-round absorbed
+    "token_drift",        // top-k cut on an UNROUNDED double ln chain
+    "token_entropy",      // Σ c·ln c order jitter under the 6dp round
+    "length_quantiles",   // rank windows over two shuffled relations
+    "dedup_recall_planted") // minhash UDF + multi-key equi-join
 
   test("results identical under a different shuffle-partition count") {
     val alt = spark.newSession()

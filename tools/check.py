@@ -43,6 +43,7 @@ def kind(dtype):
     return dtype.kind  # i/u vs f vs O distinguishes int/float/object columns
 
 fails = []
+zero_rows = []
 for name, sql in sorted(oracle.items()):
     try:
         o = con.sql(sql).df()
@@ -68,9 +69,17 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: value mismatch at sorted row {bad}:\n  oracle={orows[bad]}\n  spark ={srows[bad]}")
             continue
         print(f"ok   {name} ({len(o)} rows)")
+        if len(o) == 0:
+            zero_rows.append(name)
     except Exception as e:
         fails.append(name)
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
 
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
+# A 0-row pass means both engines agree on EMPTY — technically green, but
+# a query whose filter silently went degenerate passes the same way, so
+# surface them for a human look (j3_backfill_anti is legitimately 0 at
+# sf0.001: the anti-join has no leftover there).
+if zero_rows:
+    print(f"note: 0-row passes (verify these are intentionally data-dependent): {zero_rows}")
 sys.exit(1 if fails else 0)
