@@ -527,12 +527,14 @@ object DedupQueries {
     // the pair probe is a pure equi-join on (shifted id, band, sig) —
     // no bucket fan-out at all, the ground truth IS the join key.
     "dedup_recall_planted" -> ((s, d) => {
-      val docs = widen(Tables.documents(s, d)).select(col("doc_id"), col("text"))
-      val mutants = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          array_join(filter(TextOps.tokens(col("text")),
-            (_, i) => (i + 1) % 25 =!= 0), " ").as("text"))
-      val bands = docs.unionByName(mutants)
+      // band ONLY the audited slice + its twins (signatures are per-row
+      // — no corpus dependence), so the audit costs 2×10% of a corpus
+      // minhash pass, not 110%
+      val slice = widen(Tables.documents(s, d))
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      val mutants = slice
+        .select((col("doc_id") + 1000000L).as("doc_id"), mutate(col("text"), 25))
+      val bands = slice.unionByName(mutants)
         .select(col("doc_id"),
           posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       val shared = bands.select((col("doc_id") + 1000000L).as("m_id"), col("band"), col("sig"))
@@ -540,12 +542,51 @@ object DedupQueries {
           Seq("m_id", "band", "sig"))
         .groupBy((col("m_id") - 1000000L).as("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
-      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      slice.select(col("doc_id"))
         .join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared_bands"),
           (coalesce(col("n_shared"), lit(0L)) >= 1L).as("detected"))
         .orderBy("doc_id")
+    }),
+    // The full band-tuning CURVE the single-rate audit samples: planted
+    // recall + mean colliding bands at four edit intensities (drop every
+    // 7th/12th/25th/50th token ≈ 14/8/4/2% edits). This is the table
+    // band-width tuning actually reads — where recall falls off the
+    // cliff tells you the Jaccard threshold the current 4×4 banding
+    // really enforces. One banding pass over slice ∪ 4 mutant sets
+    // (50% of a corpus minhash), pair probe is the same equi-join.
+    "dedup_recall_curve" -> ((s, d) => {
+      val periods = Seq(7, 12, 25, 50)
+      val slice = widen(Tables.documents(s, d))
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      val base = slice.select(col("doc_id"), lit(0).as("period"), col("text"))
+        .unionByName(periods.map(p =>
+          slice.select(col("doc_id"), lit(p).as("period"), mutate(col("text"), p)))
+          .reduce(_ unionByName _))
+      val bands = base
+        .select(col("doc_id"), col("period"),
+          posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+        .localCheckpoint() // two consumers; sliver-sized (5 versions × 4 bands × 10% of docs)
+      val perPair = bands.filter(col("period") =!= 0)
+        .join(bands.filter(col("period") === 0).select(col("doc_id"), col("band"), col("sig")),
+          Seq("doc_id", "band", "sig"))
+        .groupBy(col("period"), col("doc_id")).agg(count(lit(1)).as("ns"))
+      val tot = slice.agg(count(lit(1)).as("n_pairs"))
+      val s2 = s
+      import s2.implicits._
+      periods.toDF("period")
+        .crossJoin(broadcast(tot))
+        .join(perPair.groupBy(col("period"))
+          .agg(count(lit(1)).as("n_detected"), sum(col("ns")).as("sum_ns")),
+          Seq("period"), "left")
+        .select(col("period"), col("n_pairs"),
+          coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+          round(coalesce(col("n_detected"), lit(0L)).cast("double") /
+            col("n_pairs").cast("double"), 6).as("recall"),
+          round(coalesce(col("sum_ns"), lit(0L)).cast("double") /
+            col("n_pairs").cast("double"), 6).as("mean_shared_bands"))
+        .orderBy("period")
     }),
     // MinHash calibration audit — "measure, don't guess" for the sketch
     // driving LSH dedup (the dedup-side sibling of ann_recall and the
@@ -695,6 +736,14 @@ object DedupQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** Deterministic light-edit mutation: drop every `period`-th token,
+    * rebuild the text. The planted-twin generator of the recall audits;
+    * column name stays "text" so the banding UDF applies unchanged.
+    */
+  private def mutate(text: org.apache.spark.sql.Column, period: Int): org.apache.spark.sql.Column =
+    array_join(filter(TextOps.tokens(text),
+      (_, i) => (i + 1) % period =!= 0), " ").as("text")
 
   /** The substring-dedup rewrite over any (doc_id, text) relation —
     * see the `substring_dedup` query comment for the algorithm and the
@@ -932,7 +981,7 @@ object DedupQueries {
       (s"WITH mut AS (SELECT doc_id + 1000000 AS doc_id, " +
         "array_to_string([toks[i+1] for i in range(len(toks)) if (i+1) % 25 != 0], ' ') AS text " +
         s"FROM (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents WHERE doc_id % 10 = 0)), " +
-        "pl AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM mut), " +
+        "pl AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 UNION ALL SELECT doc_id, text FROM mut), " +
         s"sh AS (SELECT doc_id, unnest(shs) AS sh FROM (SELECT doc_id, ${TextSql.shingles("toks")} AS shs FROM " +
         s"(SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM pl))), " +
         "shd AS (SELECT DISTINCT doc_id, sh FROM sh), " +
@@ -948,6 +997,30 @@ object DedupQueries {
         "coalesce(j.n_shared, 0) >= 1 AS detected " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) g " +
         "LEFT JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id"),
+    "dedup_recall_curve" ->
+      (s"WITH sl AS (SELECT doc_id, text, ${TextSql.tokens("text")} AS toks FROM documents WHERE doc_id % 10 = 0), " +
+        "base AS (SELECT doc_id, 0 AS period, text FROM sl " +
+        "UNION ALL SELECT doc_id, t.p AS period, " +
+        "array_to_string([toks[i+1] for i in range(len(toks)) if (i+1) % t.p != 0], ' ') AS text " +
+        "FROM sl, unnest([7, 12, 25, 50]) t(p)), " +
+        s"sh AS (SELECT doc_id, period, unnest(shs) AS sh FROM (SELECT doc_id, period, ${TextSql.shingles("toks")} AS shs FROM " +
+        s"(SELECT doc_id, period, ${TextSql.tokens("text")} AS toks FROM base))), " +
+        "shd AS (SELECT DISTINCT doc_id, period, sh FROM sh), " +
+        "hx AS (SELECT doc_id, period, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM shd, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, period, perm, min(h) AS m FROM hx GROUP BY 1, 2, 3), " +
+        "bd AS (SELECT doc_id, period, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, period, perm // 4), " +
+        "j AS (SELECT m.period, m.doc_id, CAST(count(*) AS BIGINT) AS ns FROM bd m " +
+        "JOIN bd o ON o.doc_id = m.doc_id AND o.period = 0 AND o.band = m.band AND o.sig = m.sig " +
+        "WHERE m.period != 0 GROUP BY 1, 2), " +
+        "agg AS (SELECT period, CAST(count(*) AS BIGINT) AS n_detected, CAST(sum(ns) AS BIGINT) AS sum_ns FROM j GROUP BY period), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl) " +
+        "SELECT CAST(t.p AS INT) AS period, tot.n_pairs, " +
+        "CAST(coalesce(agg.n_detected, 0) AS BIGINT) AS n_detected, " +
+        "round(CAST(coalesce(agg.n_detected, 0) AS DOUBLE) / tot.n_pairs, 6) AS recall, " +
+        "round(CAST(coalesce(agg.sum_ns, 0) AS DOUBLE) / tot.n_pairs, 6) AS mean_shared_bands " +
+        "FROM unnest([7, 12, 25, 50]) t(p) CROSS JOIN tot LEFT JOIN agg ON agg.period = t.p ORDER BY period"),
     "rare_span_audit" ->
       ("WITH tn AS (SELECT source, doc_id, string_split(text, ' ') AS ts, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
