@@ -241,6 +241,53 @@ object AnnQueries {
     // scan, alert when recall drifts (the signal that the quantizer
     // needs retraining or the plane count needs raising).
     "ann_recall" -> ((s, d) => annRecall(s, d)),
+    // The nprobe TUNING CURVE the single-point ann_recall samples (the
+    // ANN-side sibling of dedup_recall_curve): recall@3 at nprobe ∈
+    // {1, 2, 4, 8}. One probe ranking at the widest setting serves
+    // every narrower one — a candidate found in the r-th-ranked cell
+    // counts for all nprobe ≥ r — so the corpus is assigned ONCE and
+    // the four settings differ only in a rank filter over the scored
+    // sliver. Where recall plateaus tells you the nprobe budget; where
+    // it doesn't, the quantizer needs retraining, not more probes.
+    "ann_recall_curve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = AnnIndex.centroids(e)
+      val queries0 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val nps = Seq(1, 2, 4, 8)
+      val wp = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val probes = queries0.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("qv"), col("c_id"),
+          VectorOps.cosineScore(col("qv"), col("cv")).as("c_cos"))
+        .withColumn("prnk", row_number().over(wp)).filter(col("prnk") <= nps.max)
+        .select(col("q_id"), col("qv"), col("c_id").as("cell"), col("prnk"))
+      val scored = AnnIndex.assign(e, cents)
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("prnk"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .localCheckpoint() // four rank-filtered consumers of one sliver
+      val truth = exactTop3(queries0, e)
+      val w3 = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val perNp = nps.map { np =>
+        scored.filter(col("prnk") <= np)
+          .withColumn("rnk", row_number().over(w3)).filter(col("rnk") <= 3)
+          .select(lit(np).as("nprobe"), col("q_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val hits = perNp.join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      val nq = queries0.agg(count(lit(1)).as("n_q"))
+      val s2 = s
+      import s2.implicits._
+      nps.toDF("nprobe")
+        .crossJoin(broadcast(nq))
+        .join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            (col("n_q") * 3).cast("double"), 6).as("recall_at_3"))
+        .orderBy("nprobe")
+    }),
     // Recall audit of the TRAINED quantizer (VERDICT r5 #5): the same
     // hash-gated recall@3 as `ann_recall`'s IVF row, but with centroids
     // from the full deterministic k-means loop ([[AnnIndex.kmeans]] —
@@ -869,6 +916,32 @@ object AnnQueries {
         "SELECT q_id, vec_id, idot, round(idot * sp * sq, 6) AS score8, " +
         "CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(idot * sp * sq, 6) DESC, vec_id) AS INT) AS rnk " +
         "FROM sc) WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "ann_recall_curve" ->
+      (s"WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
+        "qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "asg AS (SELECT vec_id, embedding, c_id AS cell FROM (" +
+        s"SELECT e.vec_id, e.embedding, c.c_id, CAST(row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+        "probes AS (SELECT q_id, qv, c_id AS cell, rn AS prnk FROM (" +
+        s"SELECT q.q_id, q.qv, c.c_id, CAST(row_number() OVER (PARTITION BY q.q_id " +
+        s"ORDER BY ${cos("q.qv", "c.cv")} DESC, c.c_id) AS INT) AS rn " +
+        "FROM qs q CROSS JOIN cents c) WHERE rn <= 8), " +
+        "sc AS (SELECT p.q_id, a.vec_id, p.prnk, " +
+        s"${cos("a.embedding", "p.qv")} AS score " +
+        "FROM asg a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.q_id), " +
+        "per AS (SELECT np, q_id, vec_id FROM (SELECT t.np, sc.q_id, sc.vec_id, " +
+        "CAST(row_number() OVER (PARTITION BY t.np, sc.q_id ORDER BY sc.score DESC, sc.vec_id) AS INT) AS rnk " +
+        "FROM sc, unnest([1, 2, 4, 8]) t(np) WHERE sc.prnk <= t.np) WHERE rnk <= 3), " +
+        "truth AS (SELECT q_id, vec_id FROM (SELECT q.q_id, e2.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY q.q_id ORDER BY ${cos("e2.embedding", "q.qv")} DESC, e2.vec_id) AS INT) AS rnk " +
+        "FROM embeddings e2 CROSS JOIN qs q WHERE e2.vec_id <> q.q_id) WHERE rnk <= 3), " +
+        "h AS (SELECT p.np, CAST(count(*) AS BIGINT) AS n_hits FROM per p " +
+        "JOIN truth t ON p.q_id = t.q_id AND p.vec_id = t.vec_id GROUP BY p.np), " +
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qs) " +
+        "SELECT CAST(t.np AS INT) AS nprobe, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / (nq.n_q * 3), 6) AS recall_at_3 " +
+        "FROM unnest([1, 2, 4, 8]) t(np) CROSS JOIN nq LEFT JOIN h ON h.np = t.np ORDER BY nprobe"),
     "ann_recall" ->
       (s"WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
         "qs10 AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +

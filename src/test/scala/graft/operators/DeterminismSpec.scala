@@ -29,7 +29,8 @@ class DeterminismSpec extends AnyFunSuite {
     "lang_confusion", "dedup_cluster_stats", "embedding_norm_audit",
     "mm_phash", "mm_phash_pairs", "quality_calibration", "pack_efficiency",
     "token_drift", "heavy_hitters_cms", "distinct_kmv",
-    "length_quantiles", "ann_ivf_pq_residual")
+    "length_quantiles", "ann_ivf_pq_residual", "ann_recall_curve",
+    "dedup_recall_curve")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
