@@ -185,14 +185,17 @@ object SketchQueries {
         .agg(min(col("bin")).as("qbin"))
         .select(col("source"), col("q"), col("n_docs"), col("r"),
           ((col("qbin") + 1) * W).as("est_upper"))
+      // the exact side renames its key pre-join: both sides descend from
+      // the same scan, and a same-name join condition on shared lineage
+      // makes Spark warn about a trivially-true predicate
       val exact = v.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("source")).orderBy(col("v"))))
-        .select(col("source"), col("rn"), col("v"))
-      est.join(exact, est("source") === exact("source") && col("rn") === col("r"))
-        .select(est("source"), col("q"), col("n_docs"), col("est_upper"),
+        .select(col("source").as("src_e"), col("rn"), col("v"))
+      est.join(exact, col("source") === col("src_e") && col("rn") === col("r"))
+        .select(col("source"), col("q"), col("n_docs"), col("est_upper"),
           col("v").as("exact_value"))
-        .orderBy(est("source"), col("q"))
+        .orderBy(col("source"), col("q"))
     }),
 
     // Per-source token diversity card: Shannon entropy of the unigram
