@@ -247,6 +247,36 @@ object AnnIndex {
     searchAssigned(assigned, probe(queries, cents, nprobe), k)
   }
 
+  /** Inverted-file health card over any (vec_id, cell) assignment and
+    * centroid-id relation: per-cell count + corpus share INCLUDING
+    * empty cells (the wasted-nprobe / drifted-quantizer symptom a plain
+    * groupBy hides). Shared by the inline `ann_ivf_cell_stats` query
+    * and the stored form below — one definition, two backings.
+    */
+  def cellStatsOf(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+    val total = sizes.agg(sum(col("cell_size")).as("total"))
+    cents.select(col("c_id").as("cell"))
+      .join(sizes, Seq("cell"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cell"),
+        coalesce(col("cell_size"), lit(0L)).as("cell_size"),
+        round(coalesce(col("cell_size"), lit(0L)).cast("double") /
+          col("total").cast("double"), 6).as("share"))
+      .orderBy("cell")
+  }
+
+  /** The health card read FROM THE STORED INDEX — a partition listing +
+    * count per cell directory, no centroid math, no corpus assignment;
+    * this is what the relay's maintenance cadence would chart over
+    * time. Works unchanged on a trained-quantizer index (the stored
+    * centroids ARE the quantizer).
+    */
+  def cellStats(spark: SparkSession, dir: String): DataFrame =
+    cellStatsOf(
+      readHealed(spark, s"$dir/cells").select("vec_id", "cell"),
+      readHealed(spark, s"$dir/centroids").select("c_id"))
+
   /** int8-scored IVF search against the STORED codes — the memory-bound
     * production read path: candidates are ranked by the exact integer
     * dot of the stored `pq` codes rescaled by the stored `sp` and the

@@ -164,17 +164,7 @@ object AnnQueries {
     "ann_ivf_cell_stats" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cents = AnnIndex.centroids(e)
-      val sizes = AnnIndex.assign(e, cents)
-        .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
-      val total = sizes.agg(sum(col("cell_size")).as("total")) // 1-row broadcast, no driver action
-      cents.select(col("c_id").as("cell"))
-        .join(sizes, Seq("cell"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("cell"),
-          coalesce(col("cell_size"), lit(0L)).as("cell_size"),
-          round(coalesce(col("cell_size"), lit(0L)).cast("double") /
-            col("total").cast("double"), 6).as("share"))
-        .orderBy("cell")
+      AnnIndex.cellStatsOf(AnnIndex.assign(e, cents), cents)
     }),
     // Embedding near-dup at scale: LSH-bucket blocking replaces the
     // label blocking of `embed_neardup` — candidate pairs only form

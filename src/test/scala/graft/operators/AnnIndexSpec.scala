@@ -39,6 +39,10 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.searchInt8(spark, dir, queries, nprobe = 2, k = 3).orderBy("q_id", "rnk"),
       graft.SparkEntry.queries("ann_ivf_int8")(spark, d),
       "stored-codes vs inline IVF int8 top-k")
+    assertSameTable(
+      AnnIndex.cellStats(spark, dir),
+      graft.SparkEntry.queries("ann_ivf_cell_stats")(spark, d),
+      "stored cell-health card vs inline query")
 
     // 2. growing the index by a batch == rebuilding over the grown
     //    corpus, and the landing is retry-idempotent. The base corpus
