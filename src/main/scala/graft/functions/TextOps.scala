@@ -25,6 +25,15 @@ object TextOps {
   /** Whitespace tokens of the trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** THE canonical stable per-id bucket in [0, 100) — first 4 md5 hex
+    * digits mod 100. Single definition: the 80/10/10 split, the drift
+    * snapshots, the datasheet, and every sampled oracle all key on this
+    * formula, and two private copies once risked silently diverging
+    * (review finding). Mirror: [[TextSql.bucketSql]].
+    */
+  def hashBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10) % 100).cast("int")
+
   def wordCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** CSV of detected languages in fixed (ar, en, zh) order; empty string
@@ -175,6 +184,11 @@ object TextSql {
   val StopwordsSql: String = TextOps.Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
   def tokens(text: String): String = s"regexp_split_to_array(trim($text), '\\s+')"
+
+  /** DuckDB mirror of [[TextOps.hashBucket]]. */
+  def bucketSql(id: String = "doc_id"): String =
+    "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
+      s"regexp_extract_all(substr(md5($id::VARCHAR), 1, 4), '.')], (a,b) -> a*16 + b) % 100 AS INT)"
 
   def shingles(toks: String, n: Int = 3): String = {
     val concat = (1 to n).map(k => s"$toks[i+$k]").mkString(" || ' ' || ")

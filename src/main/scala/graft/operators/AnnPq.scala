@@ -51,13 +51,21 @@ object AnnPq {
         (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Stand-in codebooks (m, j, cb): subvectors of embeddings 100-107 —
-    * K=8 entries per subspace, the same deterministic slice convention
-    * as [[AnnIndex.centroids]].
+  /** Stand-in codebooks (m, j, cb): subvectors of embeddings at ids
+    * `baseId..baseId+K-1` — K=8 entries per subspace, the same
+    * deterministic slice convention as [[AnnIndex.centroids]].
+    *
+    * `baseId` matters when the input is a RESIDUAL relation: the
+    * default slice (100..107) is a subset of the centroid slice
+    * (100..115), and a centroid vector's own residual is exactly zero —
+    * 8 all-zero codebook entries make the whole ADC path degenerate
+    * (every code 0, every LUT weight 0). Residual callers must pick a
+    * slice DISJOINT from the centroids (review finding, r10 session 4;
+    * AnnPqSpec pins non-degeneracy).
     */
-  def codebooks(e: DataFrame): DataFrame =
-    e.filter(col("vec_id").between(100, 100 + K - 1))
-      .select((col("vec_id") - 100).cast("int").as("j"), col("embedding"))
+  def codebooks(e: DataFrame, baseId: Long = 100L): DataFrame =
+    e.filter(col("vec_id").between(baseId, baseId + K - 1))
+      .select((col("vec_id") - baseId).cast("int").as("j"), col("embedding"))
       .select(col("j"), subspaces.as("m"), col("embedding"))
       .select(col("m"), col("j"), subvec(col("embedding"), col("m")).as("cb"))
 

@@ -449,9 +449,9 @@ object AnnQueries {
     // smaller than raw vectors, so the codebook resolves them more
     // finely — why FAISS encodes residuals under an IVF level.
     // MEASURED HONESTLY on this corpus (uniform random unit vectors,
-    // stand-in codebooks, sf0.01): residuals are ~0.25-cosine from
-    // their centroid, so subtraction INFLATES them (reconstruction MSE
-    // 1.51 vs 1.20 raw; recall no better) — the residual advantage is
+    // base-10 stand-in codebooks, sf0.01): residuals are ~0.25-cosine
+    // from their centroid, so subtraction INFLATES them (reconstruction
+    // MSE 1.74 vs 1.26 raw) — the residual advantage is
     // a property of clustered data + trained codebooks, and this
     // operator is the correct production form for that regime, not a
     // local win here. Same plan shape as ann_ivf_pq: residual
@@ -470,7 +470,12 @@ object AnnQueries {
         .select(col("vec_id"), col("cell"),
           zip_with(col("embedding"), col("cv"),
             (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
-      val cbs = AnnPq.codebooks(resid) // residual-space stand-in codebooks
+      // residual-space stand-in codebooks from ids 10..17 — DISJOINT
+      // from the centroid slice (a centroid's own residual is zero; the
+      // default 100..107 slice would make every codebook entry the zero
+      // vector and the ADC ranking a pure vec_id tiebreak — review
+      // finding, empirically confirmed)
+      val cbs = AnnPq.codebooks(resid, baseId = 10L)
       val codesWithCell = AnnPq.encode(resid, cbs).join(asg, Seq("vec_id"))
       val probeLuts = AnnIndex.probe(queries0, cents, nprobe = 2)
         .join(broadcast(cellCv), Seq("cell"))
@@ -1133,8 +1138,10 @@ object AnnQueries {
       "re AS (SELECT e.vec_id, a.cell, " +
       s"[CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cv[i+1] AS DOUBLE) for i in range($dim)] AS remb " +
       "FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id JOIN cents c ON a.cell = c.c_id), " +
-      s"rcb AS (SELECT t.m AS m, CAST(vec_id - 100 AS INT) AS j, remb[t.m*$sd+1 : t.m*$sd+$sd] AS cbv " +
-      s"FROM re CROSS JOIN range(${AnnPq.M}) t(m) WHERE vec_id BETWEEN 100 AND ${100 + AnnPq.K - 1}), " +
+      // residual codebooks from ids 10..17 (NOT the centroid slice —
+      // centroids' residuals are zero; see the Spark-side comment)
+      s"rcb AS (SELECT t.m AS m, CAST(vec_id - 10 AS INT) AS j, remb[t.m*$sd+1 : t.m*$sd+$sd] AS cbv " +
+      s"FROM re CROSS JOIN range(${AnnPq.M}) t(m) WHERE vec_id BETWEEN 10 AND ${10 + AnnPq.K - 1}), " +
       s"rsub AS (SELECT vec_id, t.m AS m, remb[t.m*$sd+1 : t.m*$sd+$sd] AS sv " +
       s"FROM re CROSS JOIN range(${AnnPq.M}) t(m)), " +
       s"rdist AS (SELECT s.vec_id, s.m, c.j, ${l2("s.sv", "c.cbv")} AS d2 " +

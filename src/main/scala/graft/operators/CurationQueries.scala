@@ -16,9 +16,10 @@ import org.apache.spark.sql.expressions.Window
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Stable per-doc bucket in [0, 100): first 4 md5 hex digits mod 100. */
-  private def hashBucket(id: org.apache.spark.sql.Column) =
-    (conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10) % 100).cast("int")
+  /** Stable per-doc bucket in [0, 100) — delegates to the single shared
+    * definition (TextOps.hashBucket; review finding on drift risk).
+    */
+  private def hashBucket(id: org.apache.spark.sql.Column) = TextOps.hashBucket(id)
 
   /** Ubiquitous-shingle cap for contamination_check's train×test join
     * (same role as DedupQueries.DfCap, looser because contamination
@@ -1217,9 +1218,7 @@ object CurationQueries {
     graft.text.BpeTokenizer.train(counts)
   }
 
-  private val bucketSql =
-    "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
-      "regexp_extract_all(substr(md5(doc_id::VARCHAR), 1, 4), '.')], (a,b) -> a*16 + b) % 100 AS INT)"
+  private val bucketSql = graft.functions.TextSql.bucketSql()
 
   /** Shared CTE chain for the quality_classifier oracles: tokens →
     * integer-exact labels → bucketed train counts → smoothed log-odds

@@ -529,18 +529,25 @@ object DedupQueries {
     "dedup_recall_planted" -> ((s, d) => {
       // band ONLY the audited slice + its twins (signatures are per-row
       // — no corpus dependence), so the audit costs 2×10% of a corpus
-      // minhash pass, not 110%
+      // minhash pass, not 110%. Twins are keyed by (doc_id, period) —
+      // an id-offset scheme (doc_id + 1e6) would alias REAL corpus ids
+      // at scale and count collisions with unrelated documents (review
+      // finding). Docs shorter than the mutation period are EXCLUDED:
+      // their twin would be byte-identical and the trivial self-match
+      // would inflate recall (mutate() drops nothing below 25 tokens).
       val slice = widen(Tables.documents(s, d))
-        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
-      val mutants = slice
-        .select((col("doc_id") + 1000000L).as("doc_id"), mutate(col("text"), 25))
-      val bands = slice.unionByName(mutants)
-        .select(col("doc_id"),
-          posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
-      val shared = bands.select((col("doc_id") + 1000000L).as("m_id"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("m_id"), col("band"), col("sig")),
-          Seq("m_id", "band", "sig"))
-        .groupBy((col("m_id") - 1000000L).as("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+        .filter(size(TextOps.tokens(col("text"))) >= 25)
+        .select(col("doc_id"), col("text"))
+      val base = slice.select(col("doc_id"), lit(0).as("period"), col("text"))
+        .unionByName(slice.select(col("doc_id"), lit(25).as("period"), mutate(col("text"), 25)))
+      val bands = base.select(col("doc_id"), col("period"),
+        posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
+        .localCheckpoint() // two rank-filtered consumers of a 2×10% sliver
+      val shared = bands.filter(col("period") === 25)
+        .join(bands.filter(col("period") === 0).select(col("doc_id"), col("band"), col("sig")),
+          Seq("doc_id", "band", "sig"))
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
       slice.select(col("doc_id"))
         .join(shared, Seq("doc_id"), "left")
@@ -558,11 +565,19 @@ object DedupQueries {
     // (50% of a corpus minhash), pair probe is the same equi-join.
     "dedup_recall_curve" -> ((s, d) => {
       val periods = Seq(7, 12, 25, 50)
+      // per-period eligibility: a doc shorter than the period loses no
+      // token, so its "twin" is an exact duplicate and would count as a
+      // trivial detection — each rate audits only docs with ≥ period
+      // tokens, and n_pairs is per-period (review finding)
       val slice = widen(Tables.documents(s, d))
-        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
-      val base = slice.select(col("doc_id"), lit(0).as("period"), col("text"))
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"),
+          size(TextOps.tokens(col("text"))).as("n_toks"))
+      val base = slice.filter(col("n_toks") >= periods.min)
+        .select(col("doc_id"), lit(0).as("period"), col("text"))
         .unionByName(periods.map(p =>
-          slice.select(col("doc_id"), lit(p).as("period"), mutate(col("text"), p)))
+          slice.filter(col("n_toks") >= p)
+            .select(col("doc_id"), lit(p).as("period"), mutate(col("text"), p)))
           .reduce(_ unionByName _))
       val bands = base
         .select(col("doc_id"), col("period"),
@@ -572,20 +587,24 @@ object DedupQueries {
         .join(bands.filter(col("period") === 0).select(col("doc_id"), col("band"), col("sig")),
           Seq("doc_id", "band", "sig"))
         .groupBy(col("period"), col("doc_id")).agg(count(lit(1)).as("ns"))
-      val tot = slice.agg(count(lit(1)).as("n_pairs"))
+      val tots = base.filter(col("period") =!= 0)
+        .groupBy(col("period")).agg(count(lit(1)).as("n_pairs"))
       val s2 = s
       import s2.implicits._
       periods.toDF("period")
-        .crossJoin(broadcast(tot))
+        .join(broadcast(tots), Seq("period"), "left")
         .join(perPair.groupBy(col("period"))
           .agg(count(lit(1)).as("n_detected"), sum(col("ns")).as("sum_ns")),
           Seq("period"), "left")
-        .select(col("period"), col("n_pairs"),
+        .select(col("period"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_detected"), lit(0L)).as("n_detected"),
-          round(coalesce(col("n_detected"), lit(0L)).cast("double") /
-            col("n_pairs").cast("double"), 6).as("recall"),
-          round(coalesce(col("sum_ns"), lit(0L)).cast("double") /
-            col("n_pairs").cast("double"), 6).as("mean_shared_bands"))
+          when(coalesce(col("n_pairs"), lit(0L)) > 0L,
+            round(coalesce(col("n_detected"), lit(0L)).cast("double") /
+              col("n_pairs").cast("double"), 6)).as("recall"),
+          when(coalesce(col("n_pairs"), lit(0L)) > 0L,
+            round(coalesce(col("sum_ns"), lit(0L)).cast("double") /
+              col("n_pairs").cast("double"), 6)).as("mean_shared_bands"))
         .orderBy("period")
     }),
     // MinHash calibration audit — "measure, don't guess" for the sketch
@@ -978,31 +997,31 @@ object DedupQueries {
         "ANTI JOIN aff a ON t.doc_id = a.doc_id " +
         "ORDER BY doc_id"),
     "dedup_recall_planted" ->
-      (s"WITH mut AS (SELECT doc_id + 1000000 AS doc_id, " +
-        "array_to_string([toks[i+1] for i in range(len(toks)) if (i+1) % 25 != 0], ' ') AS text " +
-        s"FROM (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents WHERE doc_id % 10 = 0)), " +
-        "pl AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 UNION ALL SELECT doc_id, text FROM mut), " +
-        s"sh AS (SELECT doc_id, unnest(shs) AS sh FROM (SELECT doc_id, ${TextSql.shingles("toks")} AS shs FROM " +
-        s"(SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM pl))), " +
-        "shd AS (SELECT DISTINCT doc_id, sh FROM sh), " +
-        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+      (s"WITH sl AS (SELECT doc_id, text, toks FROM (SELECT doc_id, text, ${TextSql.tokens("text")} AS toks " +
+        "FROM documents WHERE doc_id % 10 = 0) WHERE len(toks) >= 25), " +
+        "pl AS (SELECT doc_id, 0 AS period, text FROM sl " +
+        "UNION ALL SELECT doc_id, 25 AS period, " +
+        "array_to_string([toks[i+1] for i in range(len(toks)) if (i+1) % 25 != 0], ' ') AS text FROM sl), " +
+        s"sh AS (SELECT doc_id, period, unnest(shs) AS sh FROM (SELECT doc_id, period, ${TextSql.shingles("toks")} AS shs FROM " +
+        s"(SELECT doc_id, period, ${TextSql.tokens("text")} AS toks FROM pl))), " +
+        "shd AS (SELECT DISTINCT doc_id, period, sh FROM sh), " +
+        "hx AS (SELECT doc_id, period, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
         "FROM shd, unnest(range(16)) AS r(i)), " +
-        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
-        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
-        "FROM mh GROUP BY doc_id, perm // 4), " +
-        "j AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM bd a " +
-        "JOIN bd b ON b.doc_id = a.doc_id + 1000000 AND a.band = b.band AND a.sig = b.sig " +
-        "GROUP BY a.doc_id) " +
-        "SELECT g.doc_id, CAST(coalesce(j.n_shared, 0) AS BIGINT) AS n_shared_bands, " +
+        "mh AS (SELECT doc_id, period, perm, min(h) AS m FROM hx GROUP BY 1, 2, 3), " +
+        "bd AS (SELECT doc_id, period, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, period, perm // 4), " +
+        "j AS (SELECT m.doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM bd m " +
+        "JOIN bd o ON o.doc_id = m.doc_id AND o.period = 0 AND o.band = m.band AND o.sig = m.sig " +
+        "WHERE m.period = 25 GROUP BY m.doc_id) " +
+        "SELECT sl.doc_id, CAST(coalesce(j.n_shared, 0) AS BIGINT) AS n_shared_bands, " +
         "coalesce(j.n_shared, 0) >= 1 AS detected " +
-        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) g " +
-        "LEFT JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id"),
+        "FROM sl LEFT JOIN j ON sl.doc_id = j.doc_id ORDER BY sl.doc_id"),
     "dedup_recall_curve" ->
       (s"WITH sl AS (SELECT doc_id, text, ${TextSql.tokens("text")} AS toks FROM documents WHERE doc_id % 10 = 0), " +
-        "base AS (SELECT doc_id, 0 AS period, text FROM sl " +
+        "base AS (SELECT doc_id, 0 AS period, text FROM sl WHERE len(toks) >= 7 " +
         "UNION ALL SELECT doc_id, t.p AS period, " +
         "array_to_string([toks[i+1] for i in range(len(toks)) if (i+1) % t.p != 0], ' ') AS text " +
-        "FROM sl, unnest([7, 12, 25, 50]) t(p)), " +
+        "FROM sl, unnest([7, 12, 25, 50]) t(p) WHERE len(toks) >= t.p), " +
         s"sh AS (SELECT doc_id, period, unnest(shs) AS sh FROM (SELECT doc_id, period, ${TextSql.shingles("toks")} AS shs FROM " +
         s"(SELECT doc_id, period, ${TextSql.tokens("text")} AS toks FROM base))), " +
         "shd AS (SELECT DISTINCT doc_id, period, sh FROM sh), " +
@@ -1015,12 +1034,12 @@ object DedupQueries {
         "JOIN bd o ON o.doc_id = m.doc_id AND o.period = 0 AND o.band = m.band AND o.sig = m.sig " +
         "WHERE m.period != 0 GROUP BY 1, 2), " +
         "agg AS (SELECT period, CAST(count(*) AS BIGINT) AS n_detected, CAST(sum(ns) AS BIGINT) AS sum_ns FROM j GROUP BY period), " +
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl) " +
-        "SELECT CAST(t.p AS INT) AS period, tot.n_pairs, " +
+        "tot AS (SELECT period, CAST(count(*) AS BIGINT) AS n_pairs FROM base WHERE period != 0 GROUP BY period) " +
+        "SELECT CAST(t.p AS INT) AS period, CAST(coalesce(tot.n_pairs, 0) AS BIGINT) AS n_pairs, " +
         "CAST(coalesce(agg.n_detected, 0) AS BIGINT) AS n_detected, " +
-        "round(CAST(coalesce(agg.n_detected, 0) AS DOUBLE) / tot.n_pairs, 6) AS recall, " +
-        "round(CAST(coalesce(agg.sum_ns, 0) AS DOUBLE) / tot.n_pairs, 6) AS mean_shared_bands " +
-        "FROM unnest([7, 12, 25, 50]) t(p) CROSS JOIN tot LEFT JOIN agg ON agg.period = t.p ORDER BY period"),
+        "CASE WHEN coalesce(tot.n_pairs, 0) > 0 THEN round(CAST(coalesce(agg.n_detected, 0) AS DOUBLE) / tot.n_pairs, 6) END AS recall, " +
+        "CASE WHEN coalesce(tot.n_pairs, 0) > 0 THEN round(CAST(coalesce(agg.sum_ns, 0) AS DOUBLE) / tot.n_pairs, 6) END AS mean_shared_bands " +
+        "FROM unnest([7, 12, 25, 50]) t(p) LEFT JOIN tot ON tot.period = t.p LEFT JOIN agg ON agg.period = t.p ORDER BY period"),
     "rare_span_audit" ->
       ("WITH tn AS (SELECT source, doc_id, string_split(text, ' ') AS ts, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +

@@ -37,12 +37,10 @@ import org.apache.spark.sql.functions._
 object DriftQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def hashBucket(id: org.apache.spark.sql.Column) =
-    (conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10) % 100).cast("int")
-
-  private val bucketSql =
-    "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
-      "regexp_extract_all(substr(md5(doc_id::VARCHAR), 1, 4), '.')], (a,b) -> a*16 + b) % 100 AS INT)"
+  // the single shared split formula (review finding: a private copy here
+  // risked silently diverging from the split the datasheet documents)
+  private def hashBucket(id: org.apache.spark.sql.Column) = TextOps.hashBucket(id)
+  private val bucketSql = TextSql.bucketSql()
 
   /** KL(P_s ‖ P_c) summed over the FULL corpus vocab (smoothing gives
     * every source mass on unseen tokens): grid = vocab × broadcast

@@ -161,42 +161,12 @@ object SketchQueries {
     // integer arithmetic. Rank r = ceil(q·n) computed as
     // (q·n + 99) div 100 — no float ceil. The estimate is the upper
     // edge of the first bin whose cumulative count reaches r, so
-    // 1 ≤ est − exact ≤ binWidth always (spec-pinned). The exact side
-    // is a per-source rank window over the corpus — the AUDIT you drop
-    // at 100 TB; the histogram subtree is the product.
-    "length_quantiles" -> ((s, d) => {
-      val W = 8L; val B = 64
-      val v = Tables.documents(s, d)
-        .select(col("source"), TextOps.wordCount(col("text")).as("v"))
-      val hist = v
-        .select(col("source"), least(expr(s"v div $W"), lit(B - 1L)).as("bin"))
-        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
-      val cum = hist.withColumn("cum",
-        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("bin"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      val ranks = v.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        .select(col("source"), col("n_docs"),
-          explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
-        .withColumn("r", expr("(q * n_docs + 99) div 100"))
-      val est = ranks.join(cum, Seq("source"))
-        .filter(col("cum") >= col("r"))
-        .groupBy(col("source"), col("q"), col("n_docs"), col("r"))
-        .agg(min(col("bin")).as("qbin"))
-        .select(col("source"), col("q"), col("n_docs"), col("r"),
-          ((col("qbin") + 1) * W).as("est_upper"))
-      // the exact side renames its key pre-join: both sides descend from
-      // the same scan, and a same-name join condition on shared lineage
-      // makes Spark warn about a trivially-true predicate
-      val exact = v.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("v"))))
-        .select(col("source").as("src_e"), col("rn"), col("v"))
-      est.join(exact, col("source") === col("src_e") && col("rn") === col("r"))
-        .select(col("source"), col("q"), col("n_docs"), col("est_upper"),
-          col("v").as("exact_value"))
-        .orderBy(col("source"), col("q"))
-    }),
+    // 1 ≤ est − exact ≤ binWidth below the top bin (spec-pinned); a
+    // quantile in the open-ended top bin reports NULL + overflow=true
+    // (see lengthQuantiles). The exact side is a per-source rank window
+    // over the corpus — the AUDIT you drop at 100 TB; the histogram
+    // subtree is the product.
+    "length_quantiles" -> ((s, d) => lengthQuantiles(Tables.documents(s, d))),
 
     // Per-source token diversity card: Shannon entropy of the unigram
     // distribution, normalized entropy, type-token ratio.
@@ -219,6 +189,48 @@ object SketchQueries {
           round(col("vocab").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"))
         .orderBy("source")
     }))
+
+  /** The quantile-sketch body over any (source, text) relation — see the
+    * `length_quantiles` query comment. The TOP bin is open-ended: a
+    * quantile landing there reports est_upper NULL + overflow=true
+    * instead of a silently-capped value (review finding: `least(bin,
+    * B−1)` alone caps every ≥B·W-word estimate at B·W with unbounded
+    * error — the "1 ≤ est − exact ≤ W" bracket only holds BELOW the top
+    * bin, and SketchSpec pins both regimes).
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val W = 8L; val B = 64
+    val v = docs.select(col("source"), TextOps.wordCount(col("text")).as("v"))
+    val hist = v
+      .select(col("source"), least(expr(s"v div $W"), lit(B - 1L)).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val ranks = v.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+      .withColumn("r", expr("(q * n_docs + 99) div 100"))
+    val est = ranks.join(cum, Seq("source"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("source"), col("q"), col("n_docs"), col("r"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col("source"), col("q"), col("n_docs"), col("r"),
+        when(col("qbin") < B - 1L, (col("qbin") + 1) * W).as("est_upper"),
+        (col("qbin") === B - 1L).as("overflow"))
+    // the exact side renames its key pre-join: both sides descend from
+    // the same scan, and a same-name join condition on shared lineage
+    // makes Spark warn about a trivially-true predicate
+    val exact = v.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("v"))))
+      .select(col("source").as("src_e"), col("rn"), col("v"))
+    est.join(exact, col("source") === col("src_e") && col("rn") === col("r"))
+      .select(col("source"), col("q"), col("n_docs"), col("est_upper"),
+        col("v").as("exact_value"), col("overflow"))
+      .orderBy(col("source"), col("q"))
+  }
 
   private val K = KmvAggregator.K
 
@@ -253,11 +265,12 @@ object SketchQueries {
         "ranks AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, q, (q * count(*) + 99) // 100 AS r " +
         "FROM v, unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT), CAST(99 AS BIGINT)]) t(q) GROUP BY source, q), " +
         "est AS (SELECT ranks.source, ranks.q, ranks.n_docs, ranks.r, " +
-        "CAST((min(cum.bin) + 1) * 8 AS BIGINT) AS est_upper " +
+        "CASE WHEN min(cum.bin) < 63 THEN CAST((min(cum.bin) + 1) * 8 AS BIGINT) END AS est_upper, " +
+        "min(cum.bin) = 63 AS overflow " +
         "FROM ranks JOIN cum ON ranks.source = cum.source AND cum.cum >= ranks.r " +
         "GROUP BY 1, 2, 3, 4), " +
         "ex AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY v) AS rn, v FROM v) " +
-        "SELECT est.source, est.q, est.n_docs, est.est_upper, ex.v AS exact_value " +
+        "SELECT est.source, est.q, est.n_docs, est.est_upper, ex.v AS exact_value, est.overflow " +
         "FROM est JOIN ex ON est.source = ex.source AND ex.rn = est.r " +
         "ORDER BY est.source, est.q"),
     "token_entropy" ->

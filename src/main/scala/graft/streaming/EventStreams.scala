@@ -104,6 +104,16 @@ object EventStreams {
     * watermark buffering, which would also delay every alert by the
     * watermark). FunnelStreamSpec pins batch parity and the cross-batch
     * carry.
+    *
+    * State horizon: one ≤|steps|-long entry per DISTINCT user ever
+    * seen, retained under NoTimeout — deliberately, because dropping a
+    * COMPLETED user's state would let a later view restart the funnel
+    * and re-emit step 1 (exactly-once advances require remembering
+    * completion). A production deployment bounds the store the way
+    * every attribution system does: an event-time timeout at the
+    * attribution horizon (e.g. 30 days), accepting that a user
+    * returning past the horizon counts as a new funnel — a semantic
+    * choice, not a default this operator should silently make.
     */
   def funnelAdvance(
       events: Dataset[FunnelIn],

@@ -94,8 +94,15 @@ class AnnPqSpec extends AnyFunSuite {
     }
     val clustered = (centers ++ members).toDF("vec_id", "embedding", "label")
 
-    def reconstructionMse(src: org.apache.spark.sql.DataFrame): Double = {
-      val cbs = AnnPq.codebooks(src)
+    def reconstructionMse(src: org.apache.spark.sql.DataFrame, cbBase: Long): Double = {
+      val cbs = AnnPq.codebooks(src, cbBase)
+      // guard the guard: an all-zero codebook (the centroid-slice
+      // residual degeneracy this test once hid) makes every MSE below
+      // meaningless — refuse it
+      val cbMass = cbs.select(
+        sum(aggregate(col("cb"), lit(0.0), (a, v) => a + abs(v.cast("double")))).as("m"))
+        .collect()(0).getDouble(0)
+      assert(cbMass > 0.0, s"degenerate all-zero codebooks at base $cbBase")
       val sub = src
         .select(col("vec_id"), explode(sequence(lit(0), lit(AnnPq.M - 1))).as("m"), col("embedding"))
         .select(col("vec_id"), col("m"),
@@ -117,16 +124,34 @@ class AnnPqSpec extends AnyFunSuite {
           (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
     }
 
-    val rawClustered = reconstructionMse(clustered.select(col("vec_id"), col("embedding")))
-    val resClustered = reconstructionMse(residualsOf(clustered))
+    // codebook slices must be DISJOINT from the centroid ids (100..115):
+    // a centroid's residual is zero, and 8 zero entries would make the
+    // residual side trivially win/lose for the wrong reason. Clustered:
+    // member ids (1000..1007). Uniform corpus: ids 10..17.
+    val rawClustered = reconstructionMse(
+      clustered.select(col("vec_id"), col("embedding")), cbBase = 1000L)
+    val resClustered = reconstructionMse(residualsOf(clustered), cbBase = 1000L)
     assert(resClustered < rawClustered,
       f"clustered regime: residual MSE $resClustered%.4f must beat raw $rawClustered%.4f")
 
     val uniform = Tables.embeddings(spark, d)
-    val rawUniform = reconstructionMse(uniform.select(col("vec_id"), col("embedding")))
-    val resUniform = reconstructionMse(residualsOf(uniform))
+    val rawUniform = reconstructionMse(
+      uniform.select(col("vec_id"), col("embedding")), cbBase = 10L)
+    val resUniform = reconstructionMse(residualsOf(uniform), cbBase = 10L)
     assert(resUniform > rawUniform,
       f"uniform regime: residual MSE $resUniform%.4f measured worse than raw $rawUniform%.4f " +
         "in the recorded caveat — if this flipped, update the ann_ivf_pq_residual docs")
+  }
+
+  test("ann_ivf_pq_residual is non-degenerate: ADC separates candidates within a query") {
+    val out = graft.SparkEntry.queries("ann_ivf_pq_residual")(spark, d).collect()
+    assert(out.nonEmpty)
+    // with live residual codebooks the top-3 ADC scores must not all
+    // collapse to one value for every query (the zero-codebook symptom:
+    // ranking was a pure vec_id tiebreak)
+    val collapsed = out.groupBy(_.getAs[Long]("q_id"))
+      .count { case (_, rows) => rows.map(_.getAs[Long]("adc")).distinct.length == 1 }
+    assert(collapsed < out.groupBy(_.getAs[Long]("q_id")).size,
+      "every query's top-3 ADC scores are identical — residual codebooks degenerate again")
   }
 }

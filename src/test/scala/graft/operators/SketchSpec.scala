@@ -107,6 +107,7 @@ class SketchSpec extends AnyFunSuite {
     val rows = SketchQueries.queries("length_quantiles")(spark, d).collect()
     assert(rows.length >= 3, "at least one source × three quantiles")
     rows.foreach { r =>
+      assert(!r.getAs[Boolean]("overflow"), "corpus docs are short — no overflow expected here")
       val (est, exact) = (r.getAs[Long]("est_upper"), r.getAs[Long]("exact_value"))
       assert(est > exact && est - exact <= 8,
         s"${r.getAs[String]("source")} q=${r.getAs[Long]("q")}: est $est vs exact $exact " +
@@ -116,6 +117,22 @@ class SketchSpec extends AnyFunSuite {
     rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
       val byQ = rs.sortBy(_.getAs[Long]("q")).map(_.getAs[Long]("est_upper"))
       assert(byQ.sameElements(byQ.sorted), s"$src: quantile estimates not monotone in q")
+    }
+  }
+
+  test("length_quantiles: the open-ended top bin reports overflow, never a capped number") {
+    val s = spark
+    import s.implicits._
+    // 600-word docs land beyond bin 63 (binWidth 8 × 64 bins = 512)
+    val long = Seq.tabulate(4)(i =>
+      (i.toLong, Seq.fill(600)("w").mkString(" "), "en", "long")).toDF("doc_id", "text", "lang", "source")
+    val out = SketchQueries.lengthQuantiles(long).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("overflow"), "600-word docs must land in the overflow bin")
+      assert(r.isNullAt(r.fieldIndex("est_upper")),
+        "overflow must report NULL, not a silently capped 512 (the review finding)")
+      assert(r.getAs[Long]("exact_value") == 600L)
     }
   }
 
