@@ -278,6 +278,66 @@ object AnnQueries {
             (col("n_q") * 3).cast("double"), 6).as("recall_at_3"))
         .orderBy("nprobe")
     }),
+    // The plane-count tuning curve — third of the tuning-curve trio
+    // (LSH-dedup edit rate, IVF nprobe, LSH-ANN planes): recall@3 AND
+    // mean candidate volume per plane count 6/8/10/12, the two sides of
+    // the trade a plane count buys (more planes → smaller buckets →
+    // cheaper probes but lower recall). Signatures NEST (bit p is the
+    // sign of plane p's dot, planes are count-independent — the
+    // LshScaleSpec property), so ONE 12-plane signature pass serves
+    // every count via a low-bits mask; the corpus is signed once and
+    // expanded ×4 on the narrow (id, sig) projection only.
+    // MEASURED (sf0.01): recall flat at 0.017 while candidates/query
+    // fall 8.45 → 0.25 — on uniform random vectors single-probe
+    // hyperplane LSH buys COST, not recall, at every plane count; the
+    // recall lever on this geometry is multi-probe (ann_lsh_multiprobe,
+    // which recovers it at ~nProbes× probe work). The curve is the
+    // evidence for that routing decision.
+    "ann_lsh_plane_curve" -> ((s, d) => {
+      val planesList = Seq(6, 8, 10, 12)
+      def mask(p: Int) = (1L << p) - 1
+      val e = Tables.embeddings(s, d)
+      def expand(df: DataFrame) =
+        df.withColumn("sig12", signatureUdf(12)(col("embedding")))
+          .select(col("vec_id"), col("embedding"), explode(array(planesList.map(p =>
+            struct(lit(p).as("p"), col("sig12").bitwiseAND(lit(mask(p))).as("msig"))): _*)).as("pm"))
+          .select(col("vec_id"), col("embedding"), col("pm.p").as("p"), col("pm.msig").as("msig"))
+      val cexp = expand(e.filter(col("vec_id") >= 20))
+      val qexp = expand(e.filter(col("vec_id") < 20))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("p"), col("msig"))
+      val scored = cexp.join(broadcast(qexp), Seq("p", "msig"))
+        .select(col("p"), col("q_id"), col("vec_id"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .localCheckpoint() // two consumers (count + top-k) of the bucket sliver
+      val nCand = scored.groupBy(col("p")).agg(count(lit(1)).as("n_cand"))
+      val w = Window.partitionBy(col("p"), col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val top = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("p"), col("q_id"), col("vec_id"))
+      val queries20 = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val wt = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val truth = e.filter(col("vec_id") >= 20).crossJoin(broadcast(queries20))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        .withColumn("rnk", row_number().over(wt)).filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      val hits = top.join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("p")).agg(count(lit(1)).as("n_hits"))
+      val nq = queries20.agg(count(lit(1)).as("n_q"))
+      val s2 = s
+      import s2.implicits._
+      planesList.toDF("p")
+        .crossJoin(broadcast(nq))
+        .join(hits, Seq("p"), "left")
+        .join(nCand, Seq("p"), "left")
+        .select(col("p").as("planes"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            (col("n_q") * 3).cast("double"), 6).as("recall_at_3"),
+          round(coalesce(col("n_cand"), lit(0L)).cast("double") /
+            col("n_q").cast("double"), 6).as("mean_candidates"))
+        .orderBy("planes")
+    }),
     // Recall audit of the TRAINED quantizer (VERDICT r5 #5): the same
     // hash-gated recall@3 as `ann_recall`'s IVF row, but with centroids
     // from the full deterministic k-means loop ([[AnnIndex.kmeans]] —
@@ -735,6 +795,18 @@ object AnnQueries {
   /** DuckDB literal for plane p as a list. */
   private def planeSql(p: Int): String = planes(p).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
 
+  /** [[sigSql]] at an explicit plane count (the plane matrices nest:
+    * planesFor(n)(p) == planesFor(m)(p) for p < min(n, m)).
+    */
+  private def sigSqlN(v: String, n: Int): String = {
+    val ps = planesFor(n)
+    (0 until n).map { p =>
+      val plane = ps(p).map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce([CAST($v[i+1] AS DOUBLE) * ($plane)[i+1] " +
+        s"for i in range($Dim)], (x,y) -> x+y) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Signature SQL over column `v` (same fold order as the UDF). */
   private def sigSql(v: String): String =
     (0 until NumPlanes).map { p =>
@@ -911,6 +983,29 @@ object AnnQueries {
         "SELECT q_id, vec_id, idot, round(idot * sp * sq, 6) AS score8, " +
         "CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(idot * sp * sq, 6) DESC, vec_id) AS INT) AS rnk " +
         "FROM sc) WHERE rnk <= 3 ORDER BY q_id, rnk"),
+    "ann_lsh_plane_curve" ->
+      (s"WITH sg AS (SELECT vec_id, embedding, CAST(${sigSqlN("embedding", 12)} AS BIGINT) AS sig12 FROM embeddings), " +
+        "qe AS (SELECT vec_id AS q_id, embedding AS qv, sig12, t.p FROM sg, unnest([6, 8, 10, 12]) t(p) WHERE vec_id < 20), " +
+        "ce AS (SELECT vec_id, embedding, sig12, t.p FROM sg, unnest([6, 8, 10, 12]) t(p) WHERE vec_id >= 20), " +
+        "cand AS (SELECT q.p, q.q_id, c.vec_id, " +
+        s"${cos("c.embedding", "q.qv")} AS score " +
+        "FROM ce c JOIN qe q ON c.p = q.p " +
+        "AND (c.sig12 & ((1::BIGINT << c.p) - 1)) = (q.sig12 & ((1::BIGINT << q.p) - 1))), " +
+        "nc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY p), " +
+        "top AS (SELECT p, q_id, vec_id FROM (SELECT p, q_id, vec_id, " +
+        "CAST(row_number() OVER (PARTITION BY p, q_id ORDER BY score DESC, vec_id) AS INT) AS rnk FROM cand) WHERE rnk <= 3), " +
+        "qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
+        "truth AS (SELECT q_id, vec_id FROM (SELECT q.q_id, e2.vec_id, CAST(row_number() OVER " +
+        s"(PARTITION BY q.q_id ORDER BY ${cos("e2.embedding", "q.qv")} DESC, e2.vec_id) AS INT) AS rnk " +
+        "FROM embeddings e2 CROSS JOIN qs q WHERE e2.vec_id >= 20) WHERE rnk <= 3), " +
+        "h AS (SELECT t0.p, CAST(count(*) AS BIGINT) AS n_hits FROM top t0 " +
+        "JOIN truth t ON t0.q_id = t.q_id AND t0.vec_id = t.vec_id GROUP BY t0.p), " +
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qs) " +
+        "SELECT CAST(t.p AS INT) AS planes, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / (nq.n_q * 3), 6) AS recall_at_3, " +
+        "round(CAST(coalesce(nc.n_cand, 0) AS DOUBLE) / nq.n_q, 6) AS mean_candidates " +
+        "FROM unnest([6, 8, 10, 12]) t(p) CROSS JOIN nq " +
+        "LEFT JOIN h ON h.p = t.p LEFT JOIN nc ON nc.p = t.p ORDER BY planes"),
     "ann_recall_curve" ->
       (s"WITH cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 100 AND 115), " +
         "qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
