@@ -255,14 +255,18 @@ object AnnIndex {
     */
   def cellStatsOf(assigned: DataFrame, cents: DataFrame): DataFrame = {
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
-    val total = sizes.agg(sum(col("cell_size")).as("total"))
+    // sum over an EMPTY relation is one NULL row — coalesce to 0 and
+    // guard the division so a fully-empty index renders as all cells at
+    // share 0.0 (the signal this card exists to surface), not NULLs
+    val total = sizes.agg(coalesce(sum(col("cell_size")), lit(0L)).as("total"))
     cents.select(col("c_id").as("cell"))
       .join(sizes, Seq("cell"), "left")
       .crossJoin(broadcast(total))
       .select(col("cell"),
         coalesce(col("cell_size"), lit(0L)).as("cell_size"),
-        round(coalesce(col("cell_size"), lit(0L)).cast("double") /
-          col("total").cast("double"), 6).as("share"))
+        when(col("total") > 0,
+          round(coalesce(col("cell_size"), lit(0L)).cast("double") /
+            col("total").cast("double"), 6)).otherwise(lit(0.0)).as("share"))
       .orderBy("cell")
   }
 

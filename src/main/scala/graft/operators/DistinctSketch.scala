@@ -48,9 +48,13 @@ object DistinctSketch {
     graft.BatchSink.writeBatch(cells(batch), batchId, dir, full = false)
 
   /** The folded sketch: the monoid fold of all landed batch partitions,
-    * run by the same aggregator that built them.
+    * run by the same aggregator that built them. Heals a torn
+    * compact() swap first (the AnnIndex.readHealed discipline): a crash
+    * between compact's two renames leaves the live dir absent until
+    * [[graft.BatchSink.recoverSwap]] promotes the completed swap.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, dir)
     val kmv = udaf(KmvAggregator)
     spark.read.parquet(dir)
       .groupBy(col("source")).agg(kmv(col("h")).as("kept"))

@@ -458,25 +458,34 @@ object RelationalQueries {
   )
 
   /** Ordered-funnel body over any (user_id, event_type, us) relation —
-    * see the `funnel_steps` query comment. FunnelSpec drives crafted
-    * out-of-order sequences through it.
+    * see the `funnel_steps` query comment. Parameterized by the step
+    * list (the ClickHouse windowFunnel shape — the operator, not a
+    * fixture): each step's frontier is the user-keyed conditional min
+    * of its events strictly after the previous frontier, folded left
+    * along `steps`; all frontiers shuffle on user_id so AQE reuses one
+    * exchange regardless of step count. Output: `t_<step>` per step
+    * (NULL once the chain breaks) + `funnel_depth`. FunnelSpec drives
+    * crafted out-of-order sequences and a 4-step list through it.
     */
-  def funnelSteps(ev: DataFrame): DataFrame = {
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, Seq("user_id"))
-      .filter(col("us") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, Seq("user_id"))
-      .filter(col("us") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
-    s1.join(s2, Seq("user_id"), "left")
-      .join(s3, Seq("user_id"), "left")
-      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
-          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("funnel_depth"))
+  def funnelSteps(ev: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnelSteps: steps must be non-empty and distinct, got $steps")
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as(s"t_${steps.head}"))
+    val frontiers = steps.tail.foldLeft(Vector(first)) { (acc, st) =>
+      val prev = s"t_${steps(acc.length - 1)}"
+      acc :+ ev.filter(col("event_type") === st)
+        .join(acc.last, Seq("user_id"))
+        .filter(col("us") > col(prev))
+        .groupBy(col("user_id")).agg(min(col("us")).as(s"t_$st"))
+    }
+    val joined = frontiers.tail.foldLeft(frontiers.head)(_.join(_, Seq("user_id"), "left"))
+    val depth = steps.tail.foldLeft(lit(1)) { (d, st) =>
+      d + when(col(s"t_$st").isNotNull, 1).otherwise(0)
+    }
+    joined
+      .select(col("user_id") +: steps.map(st => col(s"t_$st")) :+ depth.as("funnel_depth"): _*)
       .orderBy("user_id")
   }
 

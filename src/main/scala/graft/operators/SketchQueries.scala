@@ -127,7 +127,12 @@ object SketchQueries {
       // Pin the vocab-sized wordcount: both the cells and the candidates
       // derive from it, and without materialization Catalyst re-plans the
       // corpus explode+agg once per consumer (the BoundedRank argument —
-      // measured 2× the scan cost at sf0.1).
+      // measured 2× the scan cost at sf0.1). localCheckpoint stores
+      // blocks UNREPLICATED on executors — fine single-JVM, but on a
+      // real cluster a lost executor fails the query instead of
+      // recomputing; the production substitute for this pin (here and
+      // in the recall/plane/edit-rate curve queries that reuse the
+      // pattern) is persist(DISK_ONLY) or a reliable checkpoint.
       val wc = Tables.documents(s, d)
         .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

@@ -65,11 +65,16 @@ object SourceSketch {
     graft.BatchSink.writeBatch(signatures(batch), batchId, dir, full = false)
 
   /** The folded signature table: min per (source, perm) across all
-    * landed batch partitions.
+    * landed batch partitions. Heals a torn compact() swap first (the
+    * AnnIndex.readHealed discipline — a crash between compact's two
+    * renames leaves the live dir absent until recoverSwap promotes the
+    * completed swap).
     */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, dir)
     spark.read.parquet(dir)
       .groupBy(col("source"), col("perm")).agg(min(col("m")).as("m"))
+  }
 
   /** Overlap matrix served FROM THE STORED SKETCH — no corpus access. */
   def estimate(spark: SparkSession, dir: String): DataFrame =

@@ -86,6 +86,11 @@ object EventStreams {
   final case class FunnelIn(user_id: Long, event_type: String, tsMicros: Long)
   final case class FunnelOut(user_id: Long, step: Int, step_type: String, tsMicros: Long)
   final case class FunnelState(times: Seq[Long])
+  /** [[FunnelIn]] plus the event-time column the bounded variant
+    * watermarks on (`ts` = `tsMicros` as a timestamp).
+    */
+  final case class FunnelInTs(user_id: Long, event_type: String, tsMicros: Long,
+                              ts: java.sql.Timestamp)
 
   /** Streaming form of the batch `funnel_steps` operator: a per-user
     * state machine over flatMapGroupsWithState that emits a row the
@@ -109,11 +114,11 @@ object EventStreams {
     * seen, retained under NoTimeout — deliberately, because dropping a
     * COMPLETED user's state would let a later view restart the funnel
     * and re-emit step 1 (exactly-once advances require remembering
-    * completion). A production deployment bounds the store the way
-    * every attribution system does: an event-time timeout at the
-    * attribution horizon (e.g. 30 days), accepting that a user
-    * returning past the horizon counts as a new funnel — a semantic
-    * choice, not a default this operator should silently make.
+    * completion). That makes this form suitable only where user
+    * cardinality is bounded; the production form at unbounded
+    * cardinality is [[funnelAdvanceBounded]], which trades
+    * once-per-user-ever advances for bounded state (completion clears,
+    * attribution horizon evicts).
     */
   def funnelAdvance(
       events: Dataset[FunnelIn],
@@ -137,6 +142,84 @@ object EventStreams {
           }
           if (times.nonEmpty) state.update(FunnelState(times))
           out.result().iterator
+      }
+  }
+
+  /** Bounded-state form of [[funnelAdvance]] — the production shape for
+    * unbounded user cardinality, mirroring the
+    * [[incrementalDedupBounded]] discipline. Two state bounds:
+    *
+    *  - COMPLETION CLEARS: the moment a user reaches the last step,
+    *    their state is removed — a later first-step event starts a NEW
+    *    funnel cycle (repeat-conversion semantics: each purchase cycle
+    *    is its own funnel, the e-commerce norm). This is the semantic
+    *    delta vs [[funnelAdvance]], which remembers completion forever
+    *    so advances are once-per-user-ever.
+    *  - HORIZON EVICTS: a user idle past `horizonMicros` of EVENT time
+    *    (the attribution horizon) has their partial-funnel state
+    *    dropped via event-time timeout once the watermark passes
+    *    `last-advance + horizon` — a returning user counts as a new
+    *    funnel, which is the attribution-window semantic every
+    *    funnel product ships.
+    *
+    * State is therefore bounded by the users ACTIVE within one horizon,
+    * not by every user ever seen. Per-group buffering note (applies to
+    * [[funnelAdvance]] and [[sessionize]] too): each invocation sorts
+    * the group's micro-batch slice in memory (`rows.toSeq.sortBy`), so
+    * a single hot key's slice must fit in one task's heap — fine for
+    * per-user event rates; a bot-key guard upstream is the production
+    * mitigation. FunnelStreamSpec pins completion-clear, horizon
+    * eviction, and batch parity for in-horizon events.
+    */
+  def funnelAdvanceBounded(
+      events: Dataset[FunnelIn],
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonMicros: Long = 30L * 86400L * 1000000L,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    // batch execution has no watermark and never fires timeouts — skip
+    // the timeout bookkeeping there (getCurrentWatermarkMs throws)
+    val streaming = events.isStreaming
+    events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelInTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelInTs], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past the horizon: evict the partial funnel
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_type))
+            var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
+            val out = Vector.newBuilder[FunnelOut]
+            for (e <- sorted) {
+              val next = times.length
+              if (next < steps.length && e.event_type == steps(next) &&
+                (times.isEmpty || e.tsMicros > times.last)) {
+                times = times :+ e.tsMicros
+                out += FunnelOut(userId, next + 1, e.event_type, e.tsMicros)
+                // completed: clear immediately — the next first-step
+                // event opens a fresh cycle
+                if (times.length == steps.length) times = Vector.empty
+              }
+            }
+            if (times.nonEmpty) {
+              state.update(FunnelState(times))
+              // evict once the watermark passes last-advance + horizon;
+              // clamp above the current watermark (Spark rejects a
+              // timeout already in the evictable past — an old event
+              // whose horizon predates the watermark evicts next batch)
+              if (streaming) {
+                val target = times.last / 1000L + horizonMicros / 1000L
+                state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
+              }
+            } else state.remove()
+            out.result().iterator
+          }
       }
   }
 

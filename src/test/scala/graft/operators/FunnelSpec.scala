@@ -38,4 +38,34 @@ class FunnelSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("t_purchase") == 40L, "purchase before the click must not count")
     assert(out(3L).getAs[Int]("funnel_depth") == 3)
   }
+
+  test("parameterized step list: a 4-step funnel is the same operator, not a fixture") {
+    // signup → view → click → purchase
+    // user 1: full in-order chain, with a decoy purchase before its click
+    // user 2: enters at view (no signup) → absent: step 1 anchors
+    // user 3: signup then view, click BEFORE the view → depth 2
+    val out = RelationalQueries.funnelSteps(ev(
+      (1L, "signup", 5L), (1L, "view", 10L), (1L, "purchase", 15L),
+      (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "click", 20L), (2L, "purchase", 30L),
+      (3L, "click", 8L), (3L, "signup", 9L), (3L, "view", 12L)),
+      steps = Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out.keySet == Set(1L, 3L), "only users entering at the first step appear")
+    assert(out(1L).schema.fieldNames.toSeq ==
+      Seq("user_id", "t_signup", "t_view", "t_click", "t_purchase", "funnel_depth"))
+    assert(out(1L).getAs[Long]("t_click") == 20L &&
+      out(1L).getAs[Long]("t_purchase") == 30L && out(1L).getAs[Int]("funnel_depth") == 4,
+      "4-step chain must anchor each step strictly after the previous")
+    assert(out(3L).getAs[Int]("funnel_depth") == 2 &&
+      out(3L).isNullAt(out(3L).fieldIndex("t_click")),
+      "pre-view click must not advance the 4-step funnel")
+  }
+
+  test("default step list reproduces the original 3-step schema") {
+    val out = RelationalQueries.funnelSteps(ev((1L, "view", 10L)))
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("user_id", "t_view", "t_click", "t_purchase", "funnel_depth"))
+  }
 }
