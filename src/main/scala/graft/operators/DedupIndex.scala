@@ -263,40 +263,135 @@ object DedupIndex {
     graft.BatchSink.compact(spark, s"$dir/bands")
   }
 
-  /** BUCKETED index layout — the far-scale variant of the parquet-dir
-    * index (PLANS.md round 10, prof24): the plain layout's per-batch
-    * anti/semi joins shuffle the INDEX side every increment (a
-    * left-anti/semi probe cannot broadcast its stream side), which is
-    * the linear term once the index dwarfs the batch. Storing `fp` and
-    * `bands` as catalog tables bucketed on their join keys satisfies
-    * the join's distribution requirement from the files themselves, so
-    * each increment exchanges only the (tiny) incoming batch — the
-    * index-side shuffle disappears from the plan
-    * (DedupIndexBucketedSpec asserts the exchange count drops vs the
-    * unbucketed plan, with output parity).
-    *
-    * Batches land with `mode(Append)` into the bucketed tables; the
-    * crash-retry idempotency story stays with the partitioned parquet
-    * layout (`accept`/`dedupBatch(batchId)`) — this layout is the
-    * co-location optimization for the steady-state corpus, reached via
-    * periodic promotion (e.g. at `compact` time), not the hot
-    * retry-window sink.
+  // ---------------------------------------------------------------------
+  // BUCKETED index store — the far-scale layout (PLANS.md round 10,
+  // prof24): the plain dir layout's per-batch anti/semi joins shuffle
+  // the INDEX side every increment (a left-anti/semi probe cannot
+  // broadcast its stream side), which is the linear term once the index
+  // dwarfs the batch. Storing `fp` and `bands` as catalog tables
+  // bucketed on their join keys satisfies the joins' distribution
+  // requirement straight from the files, so each increment exchanges
+  // only the (tiny) incoming batch — ZERO index-side exchange
+  // (DedupIndexBucketedSpec walks the plan and asserts no Exchange
+  // subtree contains an index-table scan, with output parity vs the
+  // plain path).
+  //
+  // Same `batch_id`-partition discipline as the dir store (partitioned
+  // by batch_id AND bucketed by the join key): `acceptBucketed` lands a
+  // batch with DYNAMIC partition overwrite of exactly its own
+  // partition, so a crash-retry heals instead of double-appending, and
+  // the pinned `batch_id < n` read gives whole-cycle replay idempotency
+  // — the dir-store contract, carried over verbatim. The one weaker
+  // guarantee: `compactBucketed`'s table swap is DROP + RENAME in the
+  // catalog (metastore ops, not the dir store's sentinel-verified
+  // rename pair), so it must run quiesced — which `compact` already
+  // requires for replay-correctness reasons anyway.
+  // ---------------------------------------------------------------------
+
+  /** Create/replace the bucketed index tables from an initial corpus
+    * (batch 0). fp is bucketed by `fp`, bands by `(band, sig)` — each
+    * table's own join key.
+    */
+  def initBucketed(docs: DataFrame, fpTable: String, bandsTable: String,
+                   buckets: Int = 8): Unit = {
+    val s = docs.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $fpTable")
+    s.sql(s"DROP TABLE IF EXISTS $bandsTable")
+    fingerprints(docs).select(col("fp"), lit(0L).as("batch_id"))
+      .write.partitionBy("batch_id")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(fpTable)
+    bandRows(docs).select(col("band"), col("sig"), lit(0L).as("batch_id"))
+      .write.partitionBy("batch_id")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .format("parquet").saveAsTable(bandsTable)
+  }
+
+  /** Land an ACCEPTED batch in the bucketed tables under its own
+    * `batch_id` partition — dynamic partition overwrite via insertInto
+    * (positional: partition column last, matching the catalog schema),
+    * which preserves the catalog bucket spec on the written files.
+    * Retry-idempotent per batch id, like the dir store's `accept`.
     */
   def acceptBucketed(accepted: DataFrame, fpTable: String, bandsTable: String,
-                     buckets: Int = 8): Unit = {
-    fingerprints(accepted).write.mode("append")
-      .bucketBy(buckets, "fp").sortBy("fp").format("parquet")
-      .saveAsTable(fpTable)
-    bandRows(accepted).write.mode("append")
-      .bucketBy(buckets, "band", "sig").sortBy("band", "sig").format("parquet")
-      .saveAsTable(bandsTable)
+                     batchId: Long): Unit = {
+    // the overwrite mode must be DYNAMIC for insertInto on a catalog
+    // table (the per-write option is not honored on this path — a
+    // static overwrite would wipe every OTHER batch's partition), and
+    // pinned explicitly rather than trusted from the session default
+    val spark = accepted.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      fingerprints(accepted).select(col("fp"), lit(batchId).as("batch_id"))
+        .write.mode("overwrite").insertInto(fpTable)
+      bandRows(accepted).select(col("band"), col("sig"), lit(batchId).as("batch_id"))
+        .write.mode("overwrite").insertInto(bandsTable)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Dedup `incoming` against the bucketed index tables — identical
-    * join pipeline ([[dedupAgainst]], single source of truth), the
-    * bucketed scans just satisfy its distribution requirements for free.
+    * join pipeline ([[dedupAgainst]], single source of truth); the
+    * bucketed scans just satisfy its distribution requirements for
+    * free. The `batchId` form pins the read to strictly-earlier batch
+    * partitions (partition pruning on `batch_id`; pruning does not
+    * disturb the scan's bucket partitioning), mirroring
+    * `dedupBatch(..., batchId)`'s whole-cycle replay contract.
     */
   def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
                          incoming: DataFrame): DataFrame =
     dedupAgainst(incoming, spark.table(fpTable), spark.table(bandsTable))
+
+  def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
+                         incoming: DataFrame, batchId: Long): DataFrame =
+    dedupAgainst(incoming,
+      spark.table(fpTable).filter(col("batch_id") < batchId),
+      spark.table(bandsTable).filter(col("batch_id") < batchId))
+
+  /** Fold every batch partition of both bucketed tables into the
+    * high-water batch id, PRESERVING the bucket spec (read from the
+    * catalog, re-applied to the staging write) — small-file hygiene
+    * after many accepted batches, after which increments still run
+    * exchange-free on the index side (the spec re-asserts the plan
+    * post-compaction). Swap is staging-table + DROP + RENAME: quiesce
+    * required, as for the dir store's `compact`.
+    */
+  def compactBucketed(spark: SparkSession, fpTable: String, bandsTable: String): Unit = {
+    Seq(fpTable, bandsTable).foreach { table =>
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val bucketSpec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+        .getOrElse(throw new IllegalStateException(
+          s"DedupIndex.compactBucketed: $table has no bucket spec — not a bucketed index table"))
+      val highWater = spark.table(table)
+        .agg(coalesce(max(col("batch_id").cast("long")), lit(0L))).head().getLong(0)
+      val dataCols = spark.table(table).columns.filterNot(_ == "batch_id")
+      // rows are disjoint across batches by accept's construction — a
+      // plain rewrite, no distinct (the dir compact's invariant). The
+      // repartition on the bucket key aligns tasks with buckets (same
+      // Murmur3 hash family), so the fold lands ONE file per bucket
+      // instead of tasks × buckets
+      val folded = spark.table(table)
+        .select(dataCols.map(col) :+ lit(highWater).as("batch_id"): _*)
+        .repartition(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.map(col): _*)
+      val staging = table + "_compact_swap"
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      folded.write.partitionBy("batch_id")
+        .bucketBy(bucketSpec.numBuckets,
+          bucketSpec.bucketColumnNames.head, bucketSpec.bucketColumnNames.tail: _*)
+        .sortBy(bucketSpec.sortColumnNames.head, bucketSpec.sortColumnNames.tail: _*)
+        .format("parquet").saveAsTable(staging)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      // a managed-table rename moves the data directory but (in-memory
+      // catalog) leaves partition metadata at the staging location —
+      // re-discover partitions from the moved files and drop cached
+      // listings so the next read sees the folded layout
+      spark.sql(s"MSCK REPAIR TABLE $table")
+      spark.catalog.refreshTable(table)
+    }
+  }
 }

@@ -93,6 +93,28 @@ object PipelineQueries {
         .select(col("doc_id").cast("long")).as[java.lang.Long]
       IngestPipeline.cascadeDelete(points, deleted)
         .orderBy("source_drive_file", "chunk_index")
+    }),
+    // P14 dimension resolver as a RELATION: every static-table entry
+    // resolved through the fallback ladder, plus one probe per ladder
+    // rung (unknown model per provider, smart-pipeline cross-table
+    // lookups, global default). The oracle hardcodes the expected dims,
+    // so an edit to the Scala tables or resolver logic hash-mismatches
+    // (reference: services/embedding_service.py:15-69).
+    "p14_dimension_table" -> ((s, _) => {
+      import s.implicits._
+      val md = graft.pipeline.ModelDimensions
+      val probes =
+        md.ollama.keys.map(("Local (Ollama)", _)).toSeq ++
+          md.openRouter.keys.map(("OpenRouter", _)).toSeq ++
+          Seq(
+            ("Local (Ollama)", "mystery-model"),
+            ("OpenRouter", "mystery-model"),
+            ("Smart", "openai/text-embedding-3-large"),
+            ("Smart", "all-minilm"),
+            ("Smart", "mystery-model"))
+      probes.map { case (p, m) => (p, m, md.resolve(p, m)) }
+        .toDF("provider", "model", "dim")
+        .orderBy("provider", "model")
     })
   )
 
@@ -115,6 +137,30 @@ object PipelineQueries {
       "CASE WHEN regexp_matches(chunk_text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END)"
 
   val oracles: Map[String, String] = Map(
+    "p14_dimension_table" ->
+      ("SELECT provider, model, dim FROM (VALUES " +
+        "('Local (Ollama)', 'nomic-embed-text', 768), " +
+        "('Local (Ollama)', 'mxbai-embed-large', 1024), " +
+        "('Local (Ollama)', 'all-minilm', 384), " +
+        "('Local (Ollama)', 'snowflake-arctic-embed', 1024), " +
+        "('Local (Ollama)', 'mystery-model', 768), " +
+        "('OpenRouter', 'openai/text-embedding-3-small', 1536), " +
+        "('OpenRouter', 'openai/text-embedding-3-large', 3072), " +
+        "('OpenRouter', 'openai/text-embedding-ada-002', 1536), " +
+        "('OpenRouter', 'cohere/embed-english-v3.0', 1024), " +
+        "('OpenRouter', 'cohere/embed-multilingual-v3.0', 1024), " +
+        "('OpenRouter', 'cohere/embed-english-light-v3.0', 384), " +
+        "('OpenRouter', 'voyageai/voyage-3-large', 1024), " +
+        "('OpenRouter', 'voyageai/voyage-3.5-lite', 1024), " +
+        "('OpenRouter', 'voyageai/voyage-3', 1024), " +
+        "('OpenRouter', 'qwen/qwen3-embedding-8b', 4096), " +
+        "('OpenRouter', 'qwen/qwen3-embedding-4b', 2048), " +
+        "('OpenRouter', 'alibaba/gte-qwen2-7b-instruct', 3584), " +
+        "('OpenRouter', 'mystery-model', 1536), " +
+        "('Smart', 'openai/text-embedding-3-large', 3072), " +
+        "('Smart', 'all-minilm', 384), " +
+        "('Smart', 'mystery-model', 1536)" +
+        ") AS t(provider, model, dim) ORDER BY provider, model"),
     "pipeline_e2e" ->
       (s"WITH c AS ($chunkRel), " +
         s"e AS (SELECT doc_id, chunk_index, chunk_text, $ctxExpr AS ctx, " +

@@ -12,6 +12,52 @@ package graft.pipeline
   * once per partition inside `mapPartitions` (connection-reuse pattern,
   * reference: services/qdrant_service.py:13-49 lazy singletons).
   */
+/** P14 dimension resolver: (provider, model) → embedding dimension via
+  * static tables with per-provider defaults (reference:
+  * frappe_data_pipelines/services/embedding_service.py:15-69 —
+  * OLLAMA_DIMENSIONS / OPENROUTER_DIMENSIONS / DEFAULT_DIMENSION and
+  * get_model_dimension's fallback ladder, including the smart-pipeline
+  * any-provider lookup). Emitted as the oracled `p14_dimension_table`
+  * relation so table edits are hash-gated, not just spec-covered.
+  */
+object ModelDimensions {
+  val ollama: Map[String, Int] = Map(
+    "nomic-embed-text" -> 768,
+    "mxbai-embed-large" -> 1024,
+    "all-minilm" -> 384,
+    "snowflake-arctic-embed" -> 1024)
+
+  val openRouter: Map[String, Int] = Map(
+    "openai/text-embedding-3-small" -> 1536,
+    "openai/text-embedding-3-large" -> 3072,
+    "openai/text-embedding-ada-002" -> 1536,
+    "cohere/embed-english-v3.0" -> 1024,
+    "cohere/embed-multilingual-v3.0" -> 1024,
+    "cohere/embed-english-light-v3.0" -> 384,
+    "voyageai/voyage-3-large" -> 1024,
+    "voyageai/voyage-3.5-lite" -> 1024,
+    "voyageai/voyage-3" -> 1024,
+    "qwen/qwen3-embedding-8b" -> 4096,
+    "qwen/qwen3-embedding-4b" -> 2048,
+    "alibaba/gte-qwen2-7b-instruct" -> 3584)
+
+  val defaultDimension: Int = 1536
+  val ollamaDefault: Int = 768
+
+  /** The reference's fallback ladder: provider-specific table with a
+    * provider default; any other provider (the smart pipeline) checks
+    * both tables, OpenRouter first, then the global default.
+    */
+  def resolve(provider: String, model: String): Int = provider match {
+    case "Local (Ollama)" => ollama.getOrElse(model, ollamaDefault)
+    case "OpenRouter"     => openRouter.getOrElse(model, defaultDimension)
+    case _ =>
+      openRouter.get(model)
+        .orElse(ollama.get(model))
+        .getOrElse(defaultDimension)
+  }
+}
+
 trait EmbeddingProvider extends Serializable {
   def dimension: Int
   /** Embed a batch; MUST preserve input order (the reference sorts

@@ -1,15 +1,20 @@
 package graft.operators
 
 import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bucketed dedup-index layout: each increment's anti/semi probes must
-  * satisfy their distribution requirement from the bucketed index files
-  * — the index-side shuffle that the plain parquet layout pays per
-  * batch disappears, leaving only the (tiny) incoming side to exchange.
-  * Asserted comparatively: same joins, same data, bucketed plan carries
-  * strictly fewer hash exchanges; outputs identical.
+/** Bucketed dedup-index store: each increment's anti/semi probes must
+  * satisfy their distribution requirement straight from the bucketed
+  * index files — ZERO Exchange on the index side of any join (the plain
+  * parquet layout shuffles the index every batch), only the (tiny)
+  * incoming side exchanges. Asserted structurally: no Exchange node's
+  * subtree contains an index-table scan. Plus: the batch_id-partition
+  * retry discipline carried over from the dir store (pinned reads,
+  * idempotent re-accept), and compaction preserving the bucket spec.
   */
 class DedupIndexBucketedSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -20,52 +25,113 @@ class DedupIndexBucketedSpec extends AnyFunSuite {
     ids.map(i => (i.toLong, s"doc $salt $i content word$i tail")).toDF("doc_id", "text")
   }
 
-  test("bucketed index drops the index-side exchange; output parity with plain path") {
+  private def dropTables(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val dir = new java.io.File(wh, t)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  /** Exchanges that move INDEX-table rows: walk each Exchange's child,
+    * stopping at join boundaries — dedupAgainst's joins keep `incoming`
+    * on the left of anti/semi joins, so any post-join relation is
+    * batch-bounded and exchanging it is the expected batch-side
+    * shuffle, not an index-side one. Empty result = the index flows
+    * from its bucketed files straight into its joins, never through an
+    * Exchange. Runs with AQE off so the physical tree is walkable.
+    */
+  private def indexSideExchanges(df: DataFrame, tables: Set[String]): Seq[SparkPlan] = {
+    def scansIndexNoJoin(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(t => tables.contains(t.table))
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case other => other.children.exists(scansIndexNoJoin)
+    }
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec if scansIndexNoJoin(e.child) => e
+    }
+  }
+
+  test("zero index-side exchange; parity with plain path; retry + compaction") {
     val s = spark
     import s.implicits._
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // expose the shuffle shape
+    s.conf.set("spark.sql.adaptive.enabled", "false")        // walkable physical tree
     try {
-      Seq("dbk_fp", "dbk_bands").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = new java.io.File(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-        val dir = new java.io.File(wh, t)
-        if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
-      }
+      dropTables("dbk_fp", "dbk_bands")
       val batch0 = docs(0 until 40, "a")
       val batch1 = docs(40 until 80, "b")
-      DedupIndex.acceptBucketed(batch0, "dbk_fp", "dbk_bands")
-      DedupIndex.acceptBucketed(batch1, "dbk_fp", "dbk_bands") // append path
+      DedupIndex.initBucketed(batch0, "dbk_fp", "dbk_bands")
+      DedupIndex.acceptBucketed(batch1, "dbk_fp", "dbk_bands", batchId = 1L)
       // incoming: 10 exact dupes of batch0 + 10 fresh docs
       val incoming = docs(0 until 10, "a").union(docs(100 until 110, "c"))
 
-      val bucketed = DedupIndex.dedupBatchBucketed(s, "dbk_fp", "dbk_bands", incoming)
+      def bucketed = DedupIndex.dedupBatchBucketed(s, "dbk_fp", "dbk_bands", incoming)
       val existing = batch0.union(batch1)
       val plain = DedupIndex.dedupAgainst(incoming,
         DedupIndex.fingerprints(existing), DedupIndex.bandRows(existing))
 
+      // output parity with the plain (inline) path
       val bOut = bucketed.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
       val pOut = plain.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
       assert(bOut == pOut, s"bucketed=$bOut plain=$pOut")
       assert(bOut == (100L until 110L), "exact dupes must be rejected, fresh docs kept")
 
-      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
-        df.collect() // settle AQE
-        "Exchange hashpartitioning".r
-          .findAllIn(df.queryExecution.executedPlan.toString).length
-      }
-      val nBucketed = exchanges(DedupIndex.dedupBatchBucketed(s, "dbk_fp", "dbk_bands", incoming))
-      val nPlain = exchanges(DedupIndex.dedupAgainst(incoming,
-        DedupIndex.fingerprints(existing), DedupIndex.bandRows(existing)))
-      assert(nBucketed < nPlain,
-        s"bucketed layout should shed index-side exchanges: bucketed=$nBucketed plain=$nPlain")
-      // and the bucketed scans really are bucketed
-      val planStr = DedupIndex.dedupBatchBucketed(s, "dbk_fp", "dbk_bands", incoming)
-        .queryExecution.executedPlan.toString
-      assert(planStr.contains("Bucketed: true"), planStr.take(1500))
+      // THE scale property: no Exchange moves index-table rows
+      val bad = indexSideExchanges(bucketed, Set("dbk_fp", "dbk_bands"))
+      assert(bad.isEmpty,
+        s"index side must never exchange, found:\n${bad.mkString("\n")}")
+      // ... and the bucketed plan carries strictly fewer exchanges than
+      // the plain path over the same relations (the index-side ones)
+      def totalExchanges(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+      val plainDf = DedupIndex.dedupAgainst(incoming,
+        DedupIndex.fingerprints(existing), DedupIndex.bandRows(existing))
+      assert(totalExchanges(bucketed) < totalExchanges(plainDf),
+        s"bucketed=${totalExchanges(bucketed)} plain=${totalExchanges(plainDf)}")
+      // and the scans really are bucketed
+      assert(bucketed.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+
+      // pinned read: batchId=1 sees only batch 0 → batch1's docs look new
+      val pinned = DedupIndex.dedupBatchBucketed(s, "dbk_fp", "dbk_bands",
+        docs(40 until 45, "b"), batchId = 1L)
+      assert(pinned.count() == 5L, "pinned read must not see the batch's own rows")
+      val unpinned = DedupIndex.dedupBatchBucketed(s, "dbk_fp", "dbk_bands",
+        docs(40 until 45, "b"))
+      assert(unpinned.count() == 0L, "unpinned read sees batch 1 rows as dupes")
+
+      // retry idempotency: re-accepting the same batch id cannot double rows
+      val before = s.table("dbk_fp").count()
+      DedupIndex.acceptBucketed(batch1, "dbk_fp", "dbk_bands", batchId = 1L)
+      assert(s.table("dbk_fp").count() == before,
+        "re-accept of the same batch id must overwrite its own partition, not append")
+
+      // compaction folds partitions, preserves bucket spec + plan shape
+      DedupIndex.compactBucketed(s, "dbk_fp", "dbk_bands")
+      val batchIds = s.table("dbk_fp").select(col("batch_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(batchIds == Seq(1L), s"fold into high-water id, got $batchIds")
+      assert(s.table("dbk_fp").count() == before, "compaction must not lose rows")
+      val postCompact = DedupIndex.dedupBatchBucketed(s, "dbk_fp", "dbk_bands", incoming)
+      assert(postCompact.select("doc_id").orderBy("doc_id").collect()
+        .map(_.getLong(0)).toSeq == bOut, "post-compaction output parity")
+      assert(indexSideExchanges(postCompact, Set("dbk_fp", "dbk_bands")).isEmpty,
+        "compaction must preserve the bucketed (exchange-free) scan")
+      val spec = s.sessionState.catalog
+        .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier("dbk_fp"))
+        .bucketSpec
+      assert(spec.exists(b => b.numBuckets == 8 && b.bucketColumnNames == Seq("fp")),
+        s"bucket spec must survive compaction, got $spec")
     } finally {
-      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      s.sql("DROP TABLE IF EXISTS dbk_fp")
-      s.sql("DROP TABLE IF EXISTS dbk_bands")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      dropTables("dbk_fp", "dbk_bands")
     }
   }
 }
