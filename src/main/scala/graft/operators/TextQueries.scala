@@ -95,6 +95,15 @@ object TextQueries {
       .map(c => (c.chunkIndex, c.text, c.sectionPath, c.startChar, c.endChar))
   }
 
+  /** G2 at target size 60 — the structured-corpus oracle's setting, so
+    * the merge AND packing branches are live on ~100-word docs (see
+    * g2_structured_chunks).
+    */
+  val semanticChunk60Udf: UserDefinedFunction = udf { (text: String) =>
+    graft.text.SemanticChunker.chunk(text, 60)
+      .map(c => (c.chunkIndex, c.text, c.sectionPath, c.startChar, c.endChar))
+  }
+
   /** G1 recursive character chunker as a generator UDF. The oracled
     * query runs at size=200/overlap=40: every corpus doc is < 1000
     * chars, so the reference's default 1000/200 would never split and
@@ -118,6 +127,37 @@ object TextQueries {
     "g2_semantic_chunks" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(semanticChunkUdf(col("text"))).as("c"))
+        .select(
+          col("doc_id"),
+          col("c._1").cast("long").as("chunk_index"),
+          col("c._2").as("chunk_text"),
+          col("c._3").as("section_path"),
+          col("c._4").as("start_char"),
+          col("c._5").as("end_char"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+    // G2 on a STRUCTURED corpus: headers (markdown #/##, numbered
+    // "1.2.", ALL-CAPS) interleaved deterministically with word slices
+    // of each doc, at target 60 — so header levels, "A > B > C" section
+    // paths, the greedy small-section merge (latest-path quirk), the
+    // paragraph packing (size-check-BEFORE-add), AND the offset
+    // arithmetic all reach the hash on multi-chunk output (~93% of
+    // docs yield >1 chunk). The DuckDB side replays the full pipeline:
+    // section detection via the fixed line layout, then the merge and
+    // packing greedy folds as recursive CTEs over per-doc section /
+    // paragraph lists (prototyped row-exact vs a Python port at all
+    // three SFs — tools/proto_g2s.py). Complements g2_semantic_chunks,
+    // whose structure-free corpus only exercises the single-section
+    // path (reference: chunking_service.py:166-481).
+    "g2_structured_chunks" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      def sl(start: Int, len: Int) = concat_ws(" ", slice(w, start, len))
+      val structuredText = concat(
+        lit("# Title "), col("doc_id").cast("string"), lit("\n"),
+        sl(1, 6), lit("\n## Section One\n"), sl(7, 10), lit("\n\n"), sl(17, 12),
+        lit("\n1.2. Numbered\n"), sl(29, 12), lit("\nAPPENDIX NOTES\n"), sl(41, 100000))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(semanticChunk60Udf(structuredText)).as("c"))
         .select(
           col("doc_id"),
           col("c._1").cast("long").as("chunk_index"),
@@ -397,6 +437,154 @@ object TextQueries {
       |)
       |""".stripMargin
 
+  /** g2_structured_chunks oracle: the full SemanticChunker replay
+    * over the constructed 4-section corpus — section rows from the
+    * fixed line layout (offsets by length arithmetic), then the
+    * greedy small-section merge and the paragraph packing as
+    * recursive CTEs folding per-doc lists, with both greedy quirks
+    * (merge keeps the LATEST path; packing checks size BEFORE add)
+    * mirrored. Prototyped row-exact against a Python port of the
+    * Scala chunker at sf0.001/0.01/0.1 (tools/proto_g2s.py).
+    */
+  private val g2StructuredSql: String =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |),
+      |parts AS (
+      |  SELECT doc_id,
+      |    coalesce(array_to_string(list_slice(ws, 1, 6), ' '), '')  AS a,
+      |    coalesce(array_to_string(list_slice(ws, 7, 16), ' '), '') AS b,
+      |    coalesce(array_to_string(list_slice(ws, 17, 28), ' '), '') AS c,
+      |    coalesce(array_to_string(list_slice(ws, 29, 40), ' '), '') AS d,
+      |    coalesce(array_to_string(list_slice(ws, 41, 100000), ' '), '') AS e
+      |  FROM w
+      |),
+      |-- section rows: offsets from the fixed line layout (header lens:
+      |-- '# Title <id>' = 8+len(id), '## Section One' = 14, '1.2. Numbered' = 13,
+      |-- 'APPENDIX NOTES' = 14); each line contributes len+1, final end = pos
+      |secs0 AS (
+      |  SELECT doc_id,
+      |    'Title ' || doc_id AS p1,
+      |    8 + length(doc_id::VARCHAR) + 1 AS sa, a, b, c, d, e
+      |  FROM parts
+      |),
+      |secs1 AS (
+      |  SELECT doc_id,
+      |    [
+      |      struct_pack(path := p1, t := a,
+      |                  s := sa::BIGINT, e := (sa + length(a) + 1)::BIGINT),
+      |      struct_pack(path := p1 || ' > Section One',
+      |                  t := CASE WHEN c = '' THEN b ELSE b || chr(10) || chr(10) || c END,
+      |                  s := (sa + length(a) + 1 + 15)::BIGINT,
+      |                  e := (sa + length(a) + 16 + length(b) + length(c) + 3)::BIGINT),
+      |      struct_pack(path := p1 || ' > Section One > 1.2. Numbered', t := d,
+      |                  s := (sa + length(a) + 16 + length(b) + length(c) + 3 + 14)::BIGINT,
+      |                  e := (sa + length(a) + 16 + length(b) + length(c) + 17 + length(d) + 1)::BIGINT),
+      |      struct_pack(path := 'Appendix Notes', t := e,
+      |                  s := (sa + length(a) + 16 + length(b) + length(c) + 17 + length(d) + 16)::BIGINT,
+      |                  e := (sa + length(a) + 16 + length(b) + length(c) + 17 + length(d) + 16 + length(e) + 1)::BIGINT)
+      |    ] AS raw
+      |  FROM secs0
+      |),
+      |secs AS (
+      |  SELECT doc_id, s.path AS path, s.t AS t, s.s AS s, s.e AS e,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS si,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS k
+      |  FROM (
+      |    SELECT doc_id, unnest(raw) AS s, generate_subscripts(raw, 1) AS ord
+      |    FROM secs1
+      |  ) WHERE s.t <> ''
+      |),
+      |-- greedy small-section merge: fold left, emit when acc >= target
+      |m AS (
+      |  SELECT doc_id, 1::BIGINT AS i, k, path AS apath, t AS atext,
+      |         s AS astart, e AS aend,
+      |         []::STRUCT(path VARCHAR, t VARCHAR, s BIGINT, e BIGINT)[] AS done
+      |  FROM secs WHERE si = 1
+      |  UNION ALL
+      |  SELECT m.doc_id, m.i + 1, m.k,
+      |    s.path,
+      |    CASE WHEN length(m.atext) < 60
+      |         THEN m.atext || chr(10) || chr(10) || s.t ELSE s.t END,
+      |    CASE WHEN length(m.atext) < 60 THEN m.astart ELSE s.s END,
+      |    s.e,
+      |    CASE WHEN length(m.atext) < 60 THEN m.done
+      |         ELSE list_append(m.done,
+      |                struct_pack(path := m.apath, t := m.atext,
+      |                            s := m.astart, e := m.aend)) END
+      |  FROM m JOIN secs s ON s.doc_id = m.doc_id AND s.si = m.i + 1
+      |),
+      |merged AS (
+      |  SELECT doc_id, ord AS mi, s.path AS path, s.t AS mtext,
+      |         s.s AS mstart, s.e AS mend
+      |  FROM (
+      |    SELECT doc_id, unnest(fin) AS s, generate_subscripts(fin, 1) AS ord
+      |    FROM (
+      |      SELECT doc_id,
+      |        list_append(done, struct_pack(path := apath, t := atext,
+      |                                      s := astart, e := aend)) AS fin
+      |      FROM m WHERE i = k
+      |    )
+      |  )
+      |),
+      |-- packing: sections at/below target pass through; larger ones pack
+      |-- paragraphs greedily with the size-check-BEFORE-add quirk
+      |small AS (
+      |  SELECT doc_id, mi, 1::BIGINT AS ci, mtext AS ctext, path,
+      |         mstart AS cs, mend AS ce
+      |  FROM merged WHERE length(mtext) <= 60
+      |),
+      |paras AS (
+      |  SELECT doc_id, mi, path, mstart, mend, para, ord AS pi,
+      |         COUNT(*) OVER (PARTITION BY doc_id, mi) AS np
+      |  FROM (
+      |    SELECT doc_id, mi, path, mstart, mend,
+      |      unnest(string_split(mtext, chr(10) || chr(10))) AS para,
+      |      generate_subscripts(string_split(mtext, chr(10) || chr(10)), 1) AS ord
+      |    FROM merged WHERE length(mtext) > 60
+      |  )
+      |),
+      |p AS (
+      |  SELECT doc_id, mi, path, mend, 1::BIGINT AS pi, np,
+      |         para AS cur, mstart AS curstart,
+      |         []::STRUCT(t VARCHAR, s BIGINT, e BIGINT)[] AS done
+      |  FROM paras WHERE pi = 1
+      |  UNION ALL
+      |  SELECT p.doc_id, p.mi, p.path, p.mend, p.pi + 1, p.np,
+      |    CASE WHEN length(p.cur) >= 60 THEN q.para
+      |         ELSE p.cur || chr(10) || chr(10) || q.para END,
+      |    CASE WHEN length(p.cur) >= 60
+      |         THEN p.curstart + length(p.cur) ELSE p.curstart END,
+      |    CASE WHEN length(p.cur) >= 60
+      |         THEN list_append(p.done, struct_pack(t := p.cur, s := p.curstart,
+      |                e := p.curstart + length(p.cur)))
+      |         ELSE p.done END
+      |  FROM p JOIN paras q
+      |    ON q.doc_id = p.doc_id AND q.mi = p.mi AND q.pi = p.pi + 1
+      |),
+      |packed AS (
+      |  SELECT doc_id, mi, ord AS ci, s.t AS ctext, path, s.s AS cs, s.e AS ce
+      |  FROM (
+      |    SELECT doc_id, mi, path, unnest(fin) AS s, generate_subscripts(fin, 1) AS ord
+      |    FROM (
+      |      SELECT doc_id, mi, path,
+      |        list_append(done, struct_pack(t := cur, s := curstart, e := mend)) AS fin
+      |      FROM p WHERE pi = np
+      |    )
+      |  )
+      |),
+      |allc AS (
+      |  SELECT * FROM small UNION ALL SELECT * FROM packed
+      |)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY mi, ci) - 1 AS BIGINT)
+      |    AS chunk_index,
+      |  ctext AS chunk_text, path AS section_path,
+      |  CAST(cs AS BIGINT) AS start_char, CAST(ce AS BIGINT) AS end_char
+      |FROM allc
+      |ORDER BY doc_id, chunk_index""".stripMargin
+
   private val g1Sql =
     g1Ctes("TRUE") +
       "SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, chunk_text, " +
@@ -477,6 +665,7 @@ object TextQueries {
         "'Document' AS section_path, CAST(0 AS BIGINT) AS start_char, " +
         "CAST(length(text) + 1 AS BIGINT) AS end_char " +
         "FROM documents WHERE trim(text) <> '' ORDER BY doc_id"),
+    "g2_structured_chunks" -> g2StructuredSql,
     "chunk_fixed" ->
       ("SELECT d.doc_id, s.start // 160 AS chunk_index, " +
         "substr(d.text, s.start + 1, 200) AS chunk_text, " +
