@@ -28,6 +28,19 @@ object Bench {
     */
   private val SecondPassFactor = 1.2
   private val MaxExtraPasses = 2
+  /** Contention CANARIES (VERDICT r10 #1): trivial single-projection
+    * queries whose plan cost cannot drift — if a canary's best-of-k
+    * still lands CanaryFactor above its own same-sf history median, the
+    * whole pass sat in a contended window that per-query reruns didn't
+    * flatten (the r10 artifact: p15_truncate 0.12 s → 1.00 s, 8×, while
+    * the suite total stayed under the SecondPassFactor trigger), so the
+    * run earns a full extra pass exactly like a blown total. Canary
+    * inflation can only be ambient — a real regression in a substr
+    * projection is not a thing — which is what makes this trigger safe
+    * to act on automatically.
+    */
+  private val Canaries = Seq("p15_truncate", "p16_char_count")
+  private val CanaryFactor = 3.0
 
   /** Parse per-query medians out of bench_history.jsonl. The file is written
     * only by this object, so a targeted regex over `"name":value` pairs inside
@@ -113,13 +126,20 @@ object Bench {
     // can't flatten a contended window that outlasts them. While this
     // run's total blows past the denoised best-known total, run a full
     // extra pass (bounded) and keep per-query minima across passes.
+    def contendedCanaries(rs: Map[String, Double]): Seq[String] =
+      Canaries.filter(c => rs.get(c).exists(v =>
+        v >= 0 && medians.get(c).exists(m => v > CanaryFactor * m)))
     var passes = 1
     var bk = bestKnownOf(results)
     while (passes <= MaxExtraPasses && bk > 0 &&
-           totalOf(results) > SecondPassFactor * bk) {
+           (totalOf(results) > SecondPassFactor * bk ||
+             contendedCanaries(results).nonEmpty)) {
       passes += 1
-      System.err.println(f"[bench] total ${totalOf(results)}%.1fs > " +
-        f"$SecondPassFactor%.1f x best_known ${bk}%.1fs — running full pass $passes")
+      val why =
+        if (totalOf(results) > SecondPassFactor * bk)
+          f"total ${totalOf(results)}%.1fs > $SecondPassFactor%.1f x best_known ${bk}%.1fs"
+        else s"canaries ${contendedCanaries(results).mkString(",")} > ${CanaryFactor}x their medians"
+      System.err.println(s"[bench] $why — running full pass $passes")
       results = results.map { case (name, prev) =>
         reruns += 1
         val t = timeOnce(spark, sfDir, SparkEntry.queries(name), name)
@@ -145,9 +165,13 @@ object Bench {
     // the full 106-entry per-query map (~4KB) can never parse there — it
     // lives in bench_history.jsonl instead (written below). Stdout carries
     // just the summary (<300 bytes).
+    // canaries_clean tells the round artifact's reader whether the final
+    // pass escaped the contended window (false = even the bounded extra
+    // passes couldn't flatten it — read best_known_total, not value)
+    val canariesClean = contendedCanaries(results).isEmpty
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,"passes":$passes,""" +
-        s""""nqueries":${results.size},"best_known_total":$bestKnown,"sf":"$sfDir"}"""
+        s""""nqueries":${results.size},"best_known_total":$bestKnown,"canaries_clean":$canariesClean,"sf":"$sfDir"}"""
     // Full per-query record to a file too: the driver's stdout capture
     // truncates long tails, which made round-2 timings unrecoverable.
     try {
