@@ -32,22 +32,24 @@ object CurationQueries {
   /** Stable token-to-feature bucket in [0, mod): the hashing trick over
     * md5, same formula family as [[hashBucket]]/dsir's 256-bucket hash.
     */
-  private def tokBucket(tok: org.apache.spark.sql.Column, mod: Int) =
+  private[operators] def tokBucket(tok: org.apache.spark.sql.Column, mod: Int) =
     (conv(substring(md5(tok.cast("binary")), 1, 4), 16, 10) % mod).cast("int")
 
   /** One exploded (doc_id, tok) relation — the single corpus scan every
     * stage of the NB classifier derives from.
     */
   private def docTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    docTokensOf(Tables.documents(s, d))
+
+  private[operators] def docTokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
 
   /** Per-doc pseudo-label + split flag for the quality classifier.
     * The label decision is INTEGER-exact (100·n_stop ≥ 7·n_toks): a
     * float ratio threshold would put boundary docs one ulp apart across
     * engines; scaled-integer compare cannot.
     */
-  private def nbLabels(toks: DataFrame): DataFrame =
+  private[operators] def nbLabels(toks: DataFrame): DataFrame =
     toks.groupBy(col("doc_id"))
       .agg((sum(when(col("tok").isInCollection(TextOps.Stopwords), 100L)
         .otherwise(0L)) >= count(lit(1)) * 7).cast("int").as("y"))
@@ -1205,8 +1207,10 @@ object CurationQueries {
 
   /** The exploded (doc_id, word) relation both BPE stages read. */
   private def bpeTokRel(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("word"))
+    bpeWordsOf(Tables.documents(s, d))
+
+  private[operators] def bpeWordsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("word"))
 
   /** Word-frequency top-V + driver-side merge loop (see bpe_merges). */
   private def trainBpe(s: SparkSession, d: String): Seq[(String, String)] = {

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted TRAINED-ARTIFACT stores (VERDICT r10 #6): the NB quality
+  * classifier and the BPE tokenizer were relations derived inline per
+  * query; these stores fold their SUFFICIENT STATISTICS per accepted
+  * batch with the same `batch_id`-partition idempotent-overwrite
+  * discipline as [[SourceSketch]]/[[DistinctSketch]], so a streaming
+  * corpus maintains both models incrementally and serves scoring from
+  * the stored artifact — no corpus rescan per train.
+  *
+  * Both statistics are exact monoids over disjoint doc batches:
+  *  - NB: per-bucket class token counts and per-class doc priors are
+  *    per-doc sums (labels are functions of the doc's own tokens), so
+  *    batch sums fold to the union's counts exactly;
+  *  - BPE: the merge loop is sequential, but it consumes only the
+  *    word-frequency table — counts sum across batches, and the (tiny)
+  *    top-V + merge derivation replays at read time from the folded
+  *    counts. Storing FULL per-batch vocab counts (not per-batch
+  *    top-V) is what keeps the fold exact: top-V of a union is not the
+  *    fold of per-batch top-Vs.
+  *
+  * ModelStoresSpec pins stored == inline for both artifacts, re-add
+  * idempotency, and compaction invariance.
+  */
+object NbModelStore {
+  private val B = 64
+
+  /** Per-batch sufficient statistics, bucketed class token counts over
+    * this batch's TRAIN docs: rows (b, c1, c0).
+    */
+  def counts(docs: DataFrame): DataFrame = {
+    val toks = CurationQueries.docTokensOf(docs)
+    val lb = CurationQueries.nbLabels(toks)
+    toks.select(col("doc_id"), CurationQueries.tokBucket(col("tok"), B).as("b"))
+      .join(lb, Seq("doc_id"))
+      .filter(col("tr"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+  }
+
+  /** Per-batch class priors over TRAIN docs: one row (n1, n0). */
+  def priors(docs: DataFrame): DataFrame = {
+    val lb = CurationQueries.nbLabels(CurationQueries.docTokensOf(docs))
+    lb.filter(col("tr"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+  }
+
+  def init(docs: DataFrame, dir: String): Unit = {
+    graft.BatchSink.writeBatch(counts(docs), 0L, s"$dir/counts", full = true)
+    graft.BatchSink.writeBatch(priors(docs), 0L, s"$dir/priors", full = true)
+  }
+
+  def addBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
+    graft.BatchSink.writeBatch(counts(docs), batchId, s"$dir/counts", full = false)
+    graft.BatchSink.writeBatch(priors(docs), batchId, s"$dir/priors", full = false)
+  }
+
+  /** Folded class counts (heals a torn compact swap first). */
+  def readCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/counts")
+    spark.read.parquet(s"$dir/counts")
+      .groupBy(col("b"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+  }
+
+  def readPriors(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/priors")
+    spark.read.parquet(s"$dir/priors")
+      .agg(coalesce(sum(col("n1")), lit(0L)).as("n1"),
+        coalesce(sum(col("n0")), lit(0L)).as("n0"))
+  }
+
+  /** The served model — same schema and smoothing as the oracled
+    * `quality_classifier_model` relation, derived from the STORE.
+    */
+  def model(spark: SparkSession, dir: String): DataFrame = {
+    val cc = readCounts(spark, dir)
+    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("b"), col("c1"), col("c0"),
+        round(log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
+          log((col("c0") + 1).cast("double") / (col("nt0") + B)), 6).as("log_odds"))
+      .orderBy("b")
+  }
+
+  /** Score any docs relation FROM the stored artifact — the serving
+    * path: one broadcast of the 64-row model + the priors row, no
+    * training subtree in the plan. Unrounded log-odds are re-derived
+    * from the stored integer counts, so stored scoring is bit-identical
+    * to the inline `quality_classifier` scores.
+    */
+  def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val cc = readCounts(spark, dir)
+    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
+    val mdl = cc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
+          log((col("c0") + 1).cast("double") / (col("nt0") + B))).as("lo"))
+    val toks = CurationQueries.docTokensOf(docs)
+    toks.select(col("doc_id"), CurationQueries.tokBucket(col("tok"), B).as("b"))
+      .join(broadcast(mdl), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("lo"), lit(0.0))).as("slo"))
+      .crossJoin(broadcast(readPriors(spark, dir)))
+      .select(col("doc_id"),
+        round(log(col("n1").cast("double") / col("n0")) + col("slo"), 6).as("score"))
+  }
+
+  /** Fold batch partitions (quiesced, like every compact here). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    graft.BatchSink.compact(spark, s"$dir/counts")
+    graft.BatchSink.compact(spark, s"$dir/priors")
+  }
+}
+
+/** Persisted BPE word-frequency statistics; see [[NbModelStore]] doc. */
+object BpeStatsStore {
+
+  /** This batch's FULL vocab word counts: rows (word, cnt). */
+  def counts(docs: DataFrame): DataFrame =
+    CurationQueries.bpeWordsOf(docs)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  def init(docs: DataFrame, dir: String): Unit =
+    graft.BatchSink.writeBatch(counts(docs), 0L, dir, full = true)
+
+  def addBatch(docs: DataFrame, dir: String, batchId: Long): Unit =
+    graft.BatchSink.writeBatch(counts(docs), batchId, dir, full = false)
+
+  /** Folded vocab counts (heals a torn compact swap first). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, dir)
+    spark.read.parquet(dir)
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Replay the (driver-side, vocab-capped) merge loop from the stored
+    * counts — the same sufficient-statistic collect the inline trainer
+    * does, now off the store instead of a corpus scan.
+    */
+  def merges(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val top = read(spark, dir)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(graft.text.BpeTokenizer.VocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.text.BpeTokenizer.train(top)
+  }
+
+  /** The served merge table — same schema as the oracled `bpe_merges`
+    * relation.
+    */
+  def mergesRel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    merges(spark, dir).zipWithIndex
+      .map { case ((p1, p2), i) => (i + 1, p1, p2) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .orderBy("merge_rank")
+  }
+
+  def compact(spark: SparkSession, dir: String): Unit =
+    graft.BatchSink.compact(spark, dir)
+}

@@ -35,6 +35,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val in = s"$tmp/in"; val dedupDir = s"$tmp/dedup"; val annDir = s"$tmp/ann"
     val lshDir = s"$tmp/lsh"; val cp = s"$tmp/cp"; val sketchDir = s"$tmp/sketch"
     val distinctDir = s"$tmp/distinct"
+    val nbDir = s"$tmp/nbmodel"; val bpeDir = s"$tmp/bpestats"
 
     // init both indexes from a 3-doc corpus (batch 0)
     val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
@@ -46,6 +47,8 @@ class StreamingIndexSpec extends AnyFunSuite {
     AnnLshIndex.init(embA, lshDir)
     graft.operators.SourceSketch.init(corpusA, sketchDir)
     graft.operators.DistinctSketch.init(corpusA, distinctDir)
+    graft.operators.NbModelStore.init(corpusA, nbDir)
+    graft.operators.BpeStatsStore.init(corpusA, bpeDir)
 
     // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
     // the initial corpus + one WITHIN-batch dup of the new doc (must
@@ -69,6 +72,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val q1 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
       sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir),
+      nbModelDir = Some(nbDir), bpeStatsDir = Some(bpeDir),
       betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q1.processAllAvailable()
@@ -81,7 +85,8 @@ class StreamingIndexSpec extends AnyFunSuite {
     // run 2: same checkpoint, no chaos — batch 1 replays, batch 2 runs
     val q2 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
-      sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir))
+      sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir),
+      nbModelDir = Some(nbDir), bpeStatsDir = Some(bpeDir))
     try q2.processAllAvailable() finally q2.stop()
 
     // survivors: doc 10 (batch 1) and doc 20 (batch 2); dups 11 and 21
@@ -132,6 +137,20 @@ class StreamingIndexSpec extends AnyFunSuite {
         graft.operators.SketchQueries.kmvSketch(grown.select(col("source"),
           explode(graft.functions.TextOps.shingles3Udf(col("text"))).as("sh")))),
       "streamed distinct sketch vs one-pass over accepted corpus")
+
+    // the trained-artifact stores rode the same cycle under the same
+    // crash: batch-folded sufficient statistics equal a one-pass
+    // derivation over the accepted corpus (sum-monoid over disjoint
+    // batches + replay-healed partitions)
+    assertSameTable(graft.operators.NbModelStore.readCounts(spark, nbDir),
+      graft.operators.NbModelStore.counts(grown),
+      "streamed NB counts vs one-pass over accepted corpus")
+    assertSameTable(graft.operators.NbModelStore.readPriors(spark, nbDir),
+      graft.operators.NbModelStore.priors(grown),
+      "streamed NB priors vs one-pass over accepted corpus")
+    assertSameTable(graft.operators.BpeStatsStore.read(spark, bpeDir),
+      graft.operators.BpeStatsStore.counts(grown),
+      "streamed BPE counts vs one-pass over accepted corpus")
 
     // a FRESH checkpoint against the already-grown indexes restarts
     // epochs at 0 — the relay must refuse instead of dynamic-
