@@ -435,6 +435,15 @@ object RelationalQueries {
       funnelSteps(Tables.events(s, d)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
     }),
+    // The PARAMETERIZED funnel on a different step list (signup →
+    // view → click → purchase) — proof the operator is the ClickHouse
+    // windowFunnel shape, not a 3-step fixture: same conditional-min
+    // frontier chain, one more fold step, hash-gated end to end.
+    "funnel_steps_4" -> ((s, d) => {
+      funnelSteps(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")),
+        steps = Seq("signup", "view", "click", "purchase"))
+    }),
     // Cohort retention over the event stream (the other classic
     // product-analytics table beside the funnel): users grouped by the
     // week of their FIRST event, then counted in every later week they
@@ -640,6 +649,21 @@ object RelationalQueries {
         "CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_depth " +
         "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id " +
         "ORDER BY s1.user_id"),
+    "funnel_steps_4" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "s1 AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t_signup FROM ev WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT ev.user_id, CAST(min(ev.us) AS BIGINT) AS t_view FROM ev JOIN s1 ON ev.user_id = s1.user_id " +
+        "WHERE ev.event_type = 'view' AND ev.us > s1.t_signup GROUP BY ev.user_id), " +
+        "s3 AS (SELECT ev.user_id, CAST(min(ev.us) AS BIGINT) AS t_click FROM ev JOIN s2 ON ev.user_id = s2.user_id " +
+        "WHERE ev.event_type = 'click' AND ev.us > s2.t_view GROUP BY ev.user_id), " +
+        "s4 AS (SELECT ev.user_id, CAST(min(ev.us) AS BIGINT) AS t_purchase FROM ev JOIN s3 ON ev.user_id = s3.user_id " +
+        "WHERE ev.event_type = 'purchase' AND ev.us > s3.t_click GROUP BY ev.user_id) " +
+        "SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_click, s4.t_purchase, " +
+        "CAST(1 + CASE WHEN s2.t_view IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN s3.t_click IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN s4.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_depth " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id " +
+        "LEFT JOIN s4 ON s1.user_id = s4.user_id ORDER BY s1.user_id"),
     "retention_cohorts" ->
       ("WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
         "f AS (SELECT user_id, min(us) // 604800000000 AS cohort_week FROM ev GROUP BY user_id), " +
