@@ -492,10 +492,6 @@ object AnnQueries {
     })
   )
 
-  /** Exact top-3 ground truth over a (queries, candidates) universe —
-    * the brute-force pass each recall audit compares against. Queries
-    * broadcast; the candidate side streams once.
-    */
   /** Deterministic CLUSTERED embedding derivation — the tuning curves'
     * design-regime corpus: vector v is pulled 75% toward its
     * hash-picked anchor (the embedding of vec_id `200 + v mod 8`),
@@ -610,6 +606,10 @@ object AnnQueries {
       .orderBy("planes")
   }
 
+  /** Exact top-3 ground truth over a (queries, candidates) universe —
+    * the brute-force pass each recall audit compares against. Queries
+    * broadcast; the candidate side streams once.
+    */
   private def exactTop3(queries: DataFrame, cands: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     cands.crossJoin(broadcast(queries))

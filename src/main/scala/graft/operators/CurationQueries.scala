@@ -44,6 +44,21 @@ object CurationQueries {
   private[operators] def docTokensOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
 
+  /** NB bucket count — ONE definition shared by the inline classifier,
+    * the oracled model relation, and [[NbModelStore]]; the oracle SQL
+    * hardcodes 64 in nbModelCtes, so a change here must change there.
+    */
+  private[operators] val NbBuckets = 64
+
+  /** Add-one-smoothed class-conditional log-odds — the single smoothing
+    * definition behind the inline classifier, the oracled model
+    * relation, and [[NbModelStore]]'s stored serving.
+    */
+  private[operators] def nbLogOdds(c1: org.apache.spark.sql.Column, c0: org.apache.spark.sql.Column,
+                                   nt1: org.apache.spark.sql.Column, nt0: org.apache.spark.sql.Column) =
+    log((c1 + 1).cast("double") / (nt1 + NbBuckets)) -
+      log((c0 + 1).cast("double") / (nt0 + NbBuckets))
+
   /** Per-doc pseudo-label + split flag for the quality classifier.
     * The label decision is INTEGER-exact (100·n_stop ≥ 7·n_toks): a
     * float ratio threshold would put boundary docs one ulp apart across
@@ -59,7 +74,7 @@ object CurationQueries {
     * per-doc label relation and the per-doc rounded NB score.
     */
   private def nbClassifier(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val B = 64
+    val B = NbBuckets
     val toks = docTokens(s, d)
     val lb = nbLabels(toks)
     val bt = toks.select(col("doc_id"), tokBucket(col("tok"), B).as("b"))
@@ -76,9 +91,7 @@ object CurationQueries {
     // never seen in train fall out of `cc`; the scoring left join treats
     // them as 0 evidence (both classes equally smoothed) — coalesce(0).
     val mdl = cc.crossJoin(broadcast(tot))
-      .select(col("b"),
-        (log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
-          log((col("c0") + 1).cast("double") / (col("nt0") + B))).as("lo"))
+      .select(col("b"), nbLogOdds(col("c1"), col("c0"), col("nt1"), col("nt0")).as("lo"))
     val sc = bt.select(col("doc_id"), col("b"))
       .join(broadcast(mdl), Seq("b"), "left")
       .groupBy(col("doc_id"))
@@ -593,7 +606,7 @@ object CurationQueries {
     // doc-level scores blur the cause. Also the artifact a production
     // pipeline would persist/version alongside the corpus snapshot.
     "quality_classifier_model" -> ((s, d) => {
-      val B = 64
+      val B = NbBuckets
       val toks = docTokens(s, d)
       val lb = nbLabels(toks)
       val cc = toks
@@ -606,8 +619,7 @@ object CurationQueries {
       val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
       cc.crossJoin(broadcast(tot))
         .select(col("b"), col("c1"), col("c0"),
-          round(log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
-            log((col("c0") + 1).cast("double") / (col("nt0") + B)), 6).as("log_odds"))
+          round(nbLogOdds(col("c1"), col("c0"), col("nt1"), col("nt0")), 6).as("log_odds"))
         .orderBy("b")
     }),
     // Per-source document quota (the C4/RefinedWeb-style domain cap):

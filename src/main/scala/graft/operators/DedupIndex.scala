@@ -320,6 +320,7 @@ object DedupIndex {
     // static overwrite would wipe every OTHER batch's partition), and
     // pinned explicitly rather than trusted from the session default
     val spark = accepted.sparkSession
+    Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
@@ -343,25 +344,65 @@ object DedupIndex {
     * `dedupBatch(..., batchId)`'s whole-cycle replay contract.
     */
   def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
-                         incoming: DataFrame): DataFrame =
+                         incoming: DataFrame): DataFrame = {
+    Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
     dedupAgainst(incoming, spark.table(fpTable), spark.table(bandsTable))
+  }
 
   def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
-                         incoming: DataFrame, batchId: Long): DataFrame =
+                         incoming: DataFrame, batchId: Long): DataFrame = {
+    Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
     dedupAgainst(incoming,
       spark.table(fpTable).filter(col("batch_id") < batchId),
       spark.table(bandsTable).filter(col("batch_id") < batchId))
+  }
+
+  private val SwapPendingProp = "graft.compact.swap.pending"
+
+  private def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.sessionState.catalog.tableExists(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+
+  /** Heal a torn [[compactBucketed]] swap — the catalog analog of
+    * [[graft.BatchSink.recoverSwap]]. The swap protocol marks the
+    * staging table [[SwapPendingProp]] BEFORE the DROP+RENAME pair and
+    * unsets it only after the post-rename partition repair, so every
+    * crash window is detectable:
+    *  - live table missing + pending staging present → finish the
+    *    rename (the crash landed between DROP and RENAME);
+    *  - live table present but still marked pending → the crash landed
+    *    between RENAME and the partition repair; re-run the repair.
+    * Idempotent; called automatically by every bucketed-store
+    * entry point.
+    */
+  def recoverBucketedSwap(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_compact_swap"
+    def pendingOn(t: String): Boolean =
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .properties.get(SwapPendingProp).contains("true")
+    if (!tableExists(spark, table) && tableExists(spark, staging) && pendingOn(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    if (tableExists(spark, table) && pendingOn(table)) {
+      spark.sql(s"MSCK REPAIR TABLE $table")
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('$SwapPendingProp')")
+      spark.catalog.refreshTable(table)
+    }
+  }
 
   /** Fold every batch partition of both bucketed tables into the
     * high-water batch id, PRESERVING the bucket spec (read from the
     * catalog, re-applied to the staging write) — small-file hygiene
     * after many accepted batches, after which increments still run
     * exchange-free on the index side (the spec re-asserts the plan
-    * post-compaction). Swap is staging-table + DROP + RENAME: quiesce
-    * required, as for the dir store's `compact`.
+    * post-compaction). The staging-table swap is crash-safe via the
+    * [[SwapPendingProp]] protocol ([[recoverBucketedSwap]] heals every
+    * window); quiesce is still required for the same replay-correctness
+    * reason as the dir store's `compact`.
     */
   def compactBucketed(spark: SparkSession, fpTable: String, bandsTable: String): Unit = {
     Seq(fpTable, bandsTable).foreach { table =>
+      recoverBucketedSwap(spark, table)
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
       val bucketSpec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
         .getOrElse(throw new IllegalStateException(
@@ -379,11 +420,18 @@ object DedupIndex {
         .repartition(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.map(col): _*)
       val staging = table + "_compact_swap"
       spark.sql(s"DROP TABLE IF EXISTS $staging")
-      folded.write.partitionBy("batch_id")
+      val writer0 = folded.write.partitionBy("batch_id")
         .bucketBy(bucketSpec.numBuckets,
           bucketSpec.bucketColumnNames.head, bucketSpec.bucketColumnNames.tail: _*)
-        .sortBy(bucketSpec.sortColumnNames.head, bucketSpec.sortColumnNames.tail: _*)
-        .format("parquet").saveAsTable(staging)
+      // a bucketed-but-unsorted table is legal — only sort when the
+      // live table's spec says so
+      val writer = bucketSpec.sortColumnNames match {
+        case h +: t => writer0.sortBy(h, t: _*)
+        case _      => writer0
+      }
+      writer.format("parquet").saveAsTable(staging)
+      // arm the heal protocol BEFORE the destructive pair
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$SwapPendingProp' = 'true')")
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
       // a managed-table rename moves the data directory but (in-memory
@@ -391,6 +439,7 @@ object DedupIndex {
       // re-discover partitions from the moved files and drop cached
       // listings so the next read sees the folded layout
       spark.sql(s"MSCK REPAIR TABLE $table")
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('$SwapPendingProp')")
       spark.catalog.refreshTable(table)
     }
   }

@@ -26,39 +26,53 @@ import org.apache.spark.sql.functions._
   * idempotency, and compaction invariance.
   */
 object NbModelStore {
-  private val B = 64
+  private def B = CurationQueries.NbBuckets
 
-  /** Per-batch sufficient statistics, bucketed class token counts over
-    * this batch's TRAIN docs: rows (b, c1, c0).
+  /** Per-batch sufficient statistics from a SHARED labels relation —
+    * the write path derives both tables from one tokenize+label pass
+    * instead of two.
     */
-  def counts(docs: DataFrame): DataFrame = {
-    val toks = CurationQueries.docTokensOf(docs)
-    val lb = CurationQueries.nbLabels(toks)
+  private def countsFrom(toks: DataFrame, lb: DataFrame): DataFrame =
     toks.select(col("doc_id"), CurationQueries.tokBucket(col("tok"), B).as("b"))
       .join(lb, Seq("doc_id"))
       .filter(col("tr"))
       .groupBy(col("b"))
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
-  }
 
-  /** Per-batch class priors over TRAIN docs: one row (n1, n0). */
-  def priors(docs: DataFrame): DataFrame = {
-    val lb = CurationQueries.nbLabels(CurationQueries.docTokensOf(docs))
+  private def priorsFrom(lb: DataFrame): DataFrame =
     lb.filter(col("tr"))
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+
+  /** Per-batch bucketed class token counts over this batch's TRAIN
+    * docs: rows (b, c1, c0).
+    */
+  def counts(docs: DataFrame): DataFrame = {
+    val toks = CurationQueries.docTokensOf(docs)
+    countsFrom(toks, CurationQueries.nbLabels(toks))
   }
 
-  def init(docs: DataFrame, dir: String): Unit = {
-    graft.BatchSink.writeBatch(counts(docs), 0L, s"$dir/counts", full = true)
-    graft.BatchSink.writeBatch(priors(docs), 0L, s"$dir/priors", full = true)
+  /** Per-batch class priors over TRAIN docs: one row (n1, n0). */
+  def priors(docs: DataFrame): DataFrame =
+    priorsFrom(CurationQueries.nbLabels(CurationQueries.docTokensOf(docs)))
+
+  private def writeBoth(docs: DataFrame, dir: String, batchId: Long,
+                        full: Boolean): Unit = {
+    // one tokenize+label pass feeds both statistic writes: the labels
+    // relation (doc-count-sized) is pinned, so the priors write never
+    // re-scans the batch and the counts write re-tokenizes once
+    val toks = CurationQueries.docTokensOf(docs)
+    val lb = CurationQueries.nbLabels(toks).localCheckpoint()
+    graft.BatchSink.writeBatch(countsFrom(toks, lb), batchId, s"$dir/counts", full)
+    graft.BatchSink.writeBatch(priorsFrom(lb), batchId, s"$dir/priors", full)
   }
 
-  def addBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
-    graft.BatchSink.writeBatch(counts(docs), batchId, s"$dir/counts", full = false)
-    graft.BatchSink.writeBatch(priors(docs), batchId, s"$dir/priors", full = false)
-  }
+  def init(docs: DataFrame, dir: String): Unit =
+    writeBoth(docs, dir, 0L, full = true)
+
+  def addBatch(docs: DataFrame, dir: String, batchId: Long): Unit =
+    writeBoth(docs, dir, batchId, full = false)
 
   /** Folded class counts (heals a torn compact swap first). */
   def readCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -83,8 +97,8 @@ object NbModelStore {
     val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
     cc.crossJoin(broadcast(tot))
       .select(col("b"), col("c1"), col("c0"),
-        round(log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
-          log((col("c0") + 1).cast("double") / (col("nt0") + B)), 6).as("log_odds"))
+        round(CurationQueries.nbLogOdds(col("c1"), col("c0"),
+          col("nt1"), col("nt0")), 6).as("log_odds"))
       .orderBy("b")
   }
 
@@ -99,8 +113,7 @@ object NbModelStore {
     val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
     val mdl = cc.crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((col("c1") + 1).cast("double") / (col("nt1") + B)) -
-          log((col("c0") + 1).cast("double") / (col("nt0") + B))).as("lo"))
+        CurationQueries.nbLogOdds(col("c1"), col("c0"), col("nt1"), col("nt0")).as("lo"))
     val toks = CurationQueries.docTokensOf(docs)
     toks.select(col("doc_id"), CurationQueries.tokBucket(col("tok"), B).as("b"))
       .join(broadcast(mdl), Seq("b"), "left")

@@ -422,7 +422,8 @@ object EventStreams {
           lshDir.map(l => s"$l/vectors" -> "AnnLshIndex.init") ++
           sketchDir.map(sd => sd -> "SourceSketch.init") ++
           distinctSketchDir.map(sd => sd -> "DistinctSketch.init") ++
-          nbModelDir.map(nd => s"$nd/counts" -> "NbModelStore.init") ++
+          nbModelDir.toSeq.flatMap(nd => Seq(s"$nd/counts" -> "NbModelStore.init",
+            s"$nd/priors" -> "NbModelStore.init")) ++
           bpeStatsDir.map(bd => bd -> "BpeStatsStore.init")).foreach { case (tbl, hint) =>
           val maxExisting = maxLandedBatch(tbl, hint)
           require(maxExisting <= batchId,

@@ -30,7 +30,9 @@ class DeterminismSpec extends AnyFunSuite {
     "mm_phash", "mm_phash_pairs", "quality_calibration", "pack_efficiency",
     "token_drift", "heavy_hitters_cms", "distinct_kmv",
     "length_quantiles", "ann_ivf_pq_residual", "ann_recall_curve",
-    "dedup_recall_curve", "ann_lsh_plane_curve")
+    "dedup_recall_curve", "ann_lsh_plane_curve", "ann_recall_clustered",
+    "ann_lsh_plane_curve_clustered", "g2_structured_chunks",
+    "funnel_steps_4")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
