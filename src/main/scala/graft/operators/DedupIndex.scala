@@ -357,6 +357,38 @@ object DedupIndex {
       spark.table(bandsTable).filter(col("batch_id") < batchId))
   }
 
+  /** PROMOTE the parquet-dir index into the bucketed catalog layout —
+    * the documented migration step once the index dwarfs the batches
+    * and the per-increment index-side shuffle becomes the linear term.
+    * Batch ids are carried over verbatim (normalized to long from
+    * partition inference), so the pinned `batch_id < n` replay
+    * contract continues across the layout switch: a relay can promote
+    * at a quiesce point and resume against the tables with the same
+    * batch history. DedupIndexBucketedSpec pins promoted == dir-store
+    * output and the zero-index-side-exchange plan on the promoted
+    * tables.
+    */
+  def promoteBucketed(spark: SparkSession, dir: String,
+                      fpTable: String, bandsTable: String,
+                      buckets: Int = 8): Unit = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/fp")
+    graft.BatchSink.recoverSwap(spark, s"$dir/bands")
+    spark.sql(s"DROP TABLE IF EXISTS $fpTable")
+    spark.sql(s"DROP TABLE IF EXISTS $bandsTable")
+    spark.read.parquet(s"$dir/fp")
+      .select(col("fp"), col("batch_id").cast("long").as("batch_id"))
+      .repartition(buckets, col("fp"))
+      .write.partitionBy("batch_id")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(fpTable)
+    spark.read.parquet(s"$dir/bands")
+      .select(col("band"), col("sig"), col("batch_id").cast("long").as("batch_id"))
+      .repartition(buckets, col("band"), col("sig"))
+      .write.partitionBy("batch_id")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .format("parquet").saveAsTable(bandsTable)
+  }
+
   private val SwapPendingProp = "graft.compact.swap.pending"
 
   private def tableExists(spark: SparkSession, table: String): Boolean =

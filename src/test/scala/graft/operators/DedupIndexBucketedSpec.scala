@@ -134,4 +134,48 @@ class DedupIndexBucketedSpec extends AnyFunSuite {
       dropTables("dbk_fp", "dbk_bands")
     }
   }
+
+  test("promotion: dir store -> bucketed layout keeps batch history and sheds the exchange") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-promote").toString
+    try {
+      dropTables("pbk_fp", "pbk_bands")
+      DedupIndex.init(docs(0 until 30, "a"), dir)
+      DedupIndex.accept(docs(30 until 60, "b"), dir, 1L)
+      DedupIndex.accept(docs(60 until 90, "c"), dir, 2L)
+      DedupIndex.promoteBucketed(s, dir, "pbk_fp", "pbk_bands")
+
+      // promoted table == dir table, batch history carried verbatim
+      assert(s.table("pbk_fp").select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+      val incoming = docs(30 until 35, "b").union(docs(200 until 205, "z"))
+      val viaDir = DedupIndex.dedupBatch(s, dir, incoming)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val viaTables = DedupIndex.dedupBatchBucketed(s, "pbk_fp", "pbk_bands", incoming)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(viaTables == viaDir && viaTables == (200L until 205L),
+        s"promoted store must reproduce the dir store: dir=$viaDir tables=$viaTables")
+
+      // the pinned-read replay contract survives the layout switch
+      val pinnedDir = DedupIndex.dedupBatch(s, dir, docs(60 until 65, "c"), batchId = 2L)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val pinnedTables = DedupIndex
+        .dedupBatchBucketed(s, "pbk_fp", "pbk_bands", docs(60 until 65, "c"), batchId = 2L)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(pinnedTables == pinnedDir && pinnedTables.size == 5,
+        "pinned read must not see the batch's own rows after promotion")
+
+      // and the whole point: the promoted layout runs exchange-free
+      val bad = indexSideExchanges(
+        DedupIndex.dedupBatchBucketed(s, "pbk_fp", "pbk_bands", incoming),
+        Set("pbk_fp", "pbk_bands"))
+      assert(bad.isEmpty, s"promoted index must not exchange:\n${bad.mkString("\n")}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      dropTables("pbk_fp", "pbk_bands")
+    }
+  }
 }

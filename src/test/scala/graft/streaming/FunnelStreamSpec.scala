@@ -86,6 +86,31 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(advances.map(_.user_id).toSet == batch.keySet)
   }
 
+  test("parameterized steps: 4-step streamed advances match the 4-step batch funnel") {
+    val s = spark
+    import s.implicits._
+    val steps4 = Seq("signup", "view", "click", "purchase")
+    val rows = Seq(
+      EventStreams.FunnelIn(1L, "signup", 5L), EventStreams.FunnelIn(1L, "view", 10L),
+      EventStreams.FunnelIn(1L, "purchase", 15L), EventStreams.FunnelIn(1L, "click", 20L),
+      EventStreams.FunnelIn(1L, "purchase", 30L),
+      EventStreams.FunnelIn(2L, "view", 10L), EventStreams.FunnelIn(2L, "click", 20L),
+      EventStreams.FunnelIn(3L, "click", 8L), EventStreams.FunnelIn(3L, "signup", 9L),
+      EventStreams.FunnelIn(3L, "view", 12L))
+    val advances = EventStreams.funnelAdvance(rows.toDS(), steps = steps4).collect()
+    val batch = graft.operators.RelationalQueries
+      .funnelSteps(rows.toDF("user_id", "event_type", "us"), steps = steps4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    batch.foreach { case (uid, r) =>
+      val streamed = advances.filter(_.user_id == uid).sortBy(_.step)
+      val expected = steps4.map(st => s"t_$st")
+        .flatMap(c => if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c)))
+      assert(streamed.map(_.tsMicros).toSeq == expected,
+        s"user $uid: streamed ${streamed.toSeq} vs batch $expected")
+    }
+    assert(advances.map(_.user_id).toSet == batch.keySet)
+  }
+
   test("bounded: completion clears state; a later view opens a new cycle") {
     val s = spark
     import s.implicits._
