@@ -444,6 +444,14 @@ object RelationalQueries {
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")),
         steps = Seq("signup", "view", "click", "purchase"))
     }),
+    // ClickHouse windowFunnel at a LIVE 2-day window (median
+    // first-view -> purchase span on this corpus is ~4 days, so the
+    // window genuinely prunes chains and the max-over-anchors
+    // semantics genuinely differs from the anchored funnel above).
+    "window_funnel" -> ((s, d) => {
+      windowFunnel(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+    }),
     // Cohort retention over the event stream (the other classic
     // product-analytics table beside the funnel): users grouped by the
     // week of their FIRST event, then counted in every later week they
@@ -495,6 +503,45 @@ object RelationalQueries {
     }
     joined
       .select(col("user_id") +: steps.map(st => col(s"t_$st")) :+ depth.as("funnel_depth"): _*)
+      .orderBy("user_id")
+  }
+
+  /** ClickHouse-semantics windowFunnel: the deepest strictly-ordered
+    * step chain per user whose events ALL land within `windowMicros`
+    * of the chain's own FIRST event — unlike [[funnelSteps]], which
+    * anchors once at the user's first step-1 event, every step-1 event
+    * is a candidate anchor and the user's level is the max over
+    * anchors (a later anchor can reach deeper when the first one's
+    * window expires — FunnelSpec pins exactly that case).
+    *
+    * Per anchor the greedy earliest-qualifying choice at each level is
+    * optimal: taking the min eligible timestamp maximizes the
+    * remaining window for every later step, so it dominates any other
+    * chain from the same anchor. Shape at scale: one type-filtered
+    * pushdown scan per step, each level a user-keyed join + (user,
+    * anchor)-keyed conditional-min agg — all shuffles on user_id (AQE
+    * reuses the exchange), candidate volume bounded by each user's own
+    * step-event × anchor counts, no window function over the raw
+    * stream, no per-user sort.
+    */
+  def windowFunnel(ev: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   windowMicros: Long = 2L * 86400L * 1000000L): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"windowFunnel: steps must be non-empty and distinct, got $steps")
+    val anchors = ev.filter(col("event_type") === steps.head)
+      .select(col("user_id"), col("us").as("t0"), col("us").as("tp"))
+    val chain = steps.tail.scanLeft(anchors) { (acc, st) =>
+      ev.filter(col("event_type") === st)
+        .join(acc, Seq("user_id"))
+        .filter(col("us") > col("tp") && col("us") <= col("t0") + windowMicros)
+        .groupBy(col("user_id"), col("t0"))
+        .agg(min(col("us")).as("tp"))
+    }
+    chain.zipWithIndex
+      .map { case (df, i) => df.select(col("user_id"), lit(i + 1).as("lvl")) }
+      .reduce(_ unionByName _)
+      .groupBy(col("user_id")).agg(max(col("lvl")).as("funnel_level"))
       .orderBy("user_id")
   }
 
@@ -664,6 +711,19 @@ object RelationalQueries {
         "CASE WHEN s4.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_depth " +
         "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id " +
         "LEFT JOIN s4 ON s1.user_id = s4.user_id ORDER BY s1.user_id"),
+    "window_funnel" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "a1 AS (SELECT user_id, us AS t0, us AS tp FROM ev WHERE event_type = 'view'), " +
+        "a2 AS (SELECT ev.user_id, a1.t0, min(ev.us) AS tp FROM ev JOIN a1 ON ev.user_id = a1.user_id " +
+        "WHERE ev.event_type = 'click' AND ev.us > a1.tp AND ev.us <= a1.t0 + 172800000000 " +
+        "GROUP BY ev.user_id, a1.t0), " +
+        "a3 AS (SELECT ev.user_id, a2.t0, min(ev.us) AS tp FROM ev JOIN a2 ON ev.user_id = a2.user_id " +
+        "WHERE ev.event_type = 'purchase' AND ev.us > a2.tp AND ev.us <= a2.t0 + 172800000000 " +
+        "GROUP BY ev.user_id, a2.t0), " +
+        "lv AS (SELECT user_id, 1 AS lvl FROM a1 " +
+        "UNION ALL SELECT user_id, 2 FROM a2 UNION ALL SELECT user_id, 3 FROM a3) " +
+        "SELECT user_id, CAST(max(lvl) AS INT) AS funnel_level FROM lv " +
+        "GROUP BY user_id ORDER BY user_id"),
     "retention_cohorts" ->
       ("WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
         "f AS (SELECT user_id, min(us) // 604800000000 AS cohort_week FROM ev GROUP BY user_id), " +

@@ -63,6 +63,27 @@ class FunnelSpec extends AnyFunSuite {
       "pre-view click must not advance the 4-step funnel")
   }
 
+  test("windowFunnel: a later anchor reaches deeper when the first anchor's window expires") {
+    val W = 100L
+    // user 1: first view's chain dies at the window (purchase at 150 >
+    //         0+100), but the SECOND view anchors a full in-window
+    //         chain — max-over-anchors must report 3 where a
+    //         first-anchor-only funnel reports 2
+    // user 2: full chain but the purchase lands exactly at t0+W+1 → 2
+    // user 3: purchase BEFORE the click never counts → 2
+    // user 4: click only, never views → absent
+    val out = RelationalQueries.windowFunnel(ev(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "view", 60L),
+      (1L, "click", 80L), (1L, "purchase", 150L),
+      (2L, "view", 0L), (2L, "click", 50L), (2L, "purchase", 101L),
+      (3L, "view", 0L), (3L, "purchase", 20L), (3L, "click", 40L),
+      (4L, "click", 10L)),
+      windowMicros = W)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("funnel_level")).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 2),
+      s"windowFunnel semantics broken: $out")
+  }
+
   test("default step list reproduces the original 3-step schema") {
     val out = RelationalQueries.funnelSteps(ev((1L, "view", 10L)))
     assert(out.schema.fieldNames.toSeq ==
