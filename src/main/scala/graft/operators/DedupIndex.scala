@@ -416,7 +416,10 @@ object DedupIndex {
     if (!tableExists(spark, table) && tableExists(spark, staging) && pendingOn(staging))
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     if (tableExists(spark, table) && pendingOn(table)) {
-      spark.sql(s"MSCK REPAIR TABLE $table")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      if (meta.partitionColumnNames.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $table")
       spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('$SwapPendingProp')")
       spark.catalog.refreshTable(table)
     }

@@ -135,6 +135,47 @@ class DedupIndexBucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("recoverBucketedSwap heals both compaction crash windows") {
+    val s = spark
+    try {
+      dropTables("hbk_fp", "hbk_bands", "hbk_fp_compact_swap")
+      DedupIndex.initBucketed(docs(0 until 20, "a"), "hbk_fp", "hbk_bands")
+      DedupIndex.acceptBucketed(docs(20 until 40, "b"), "hbk_fp", "hbk_bands", batchId = 1L)
+      val expect = s.table("hbk_fp").count()
+
+      // window 1: crash between DROP live and RENAME staging — live
+      // table gone, pending-marked staging present
+      s.table("hbk_fp").write.mode("overwrite")
+        .partitionBy("batch_id").bucketBy(8, "fp").sortBy("fp")
+        .format("parquet").saveAsTable("hbk_fp_compact_swap")
+      s.sql("ALTER TABLE hbk_fp_compact_swap SET TBLPROPERTIES " +
+        "('graft.compact.swap.pending' = 'true')")
+      s.sql("DROP TABLE hbk_fp")
+      DedupIndex.recoverBucketedSwap(s, "hbk_fp")
+      assert(s.table("hbk_fp").count() == expect,
+        "heal must promote the pending staging table")
+      assert(!s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier("hbk_fp"))
+        .properties.contains("graft.compact.swap.pending"),
+        "heal must clear the pending marker")
+
+      // window 2: crash between RENAME and the partition repair — live
+      // table present but still marked pending; heal must re-repair
+      // and unmark, and be a no-op on the data
+      s.sql("ALTER TABLE hbk_fp SET TBLPROPERTIES " +
+        "('graft.compact.swap.pending' = 'true')")
+      DedupIndex.recoverBucketedSwap(s, "hbk_fp")
+      assert(s.table("hbk_fp").count() == expect)
+      assert(!s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier("hbk_fp"))
+        .properties.contains("graft.compact.swap.pending"))
+
+      // and a healthy table passes through untouched
+      DedupIndex.recoverBucketedSwap(s, "hbk_fp")
+      assert(s.table("hbk_fp").count() == expect)
+    } finally dropTables("hbk_fp", "hbk_bands", "hbk_fp_compact_swap")
+  }
+
   test("promotion: dir store -> bucketed layout keeps batch history and sheds the exchange") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
