@@ -56,8 +56,12 @@ object EventStreams {
 
   /** Session aggregation via flatMapGroupsWithState (the custom-state
     * path the reference's job state machine maps to — SURVEY §2.9 T2).
-    * Emits a session row when a gap > `gapMicros` closes it, or on
-    * processing-timeout for idle keys.
+    * Emits a session row only when a LATER event crosses the gap —
+    * an idle user's final session stays in state indefinitely
+    * (NoTimeout), so this form suits bounded user cardinality and
+    * batch replays; the production form is [[sessionizeBounded]],
+    * which closes provably-finished sessions at the watermark and
+    * drains their state.
     */
   def sessionize(
       events: Dataset[EventIn],
@@ -80,6 +84,70 @@ object EventStreams {
           }
           if (st != null) state.update(st)
           closed.result().iterator
+      }
+  }
+
+  /** [[EventIn]] plus the event-time column the bounded variant
+    * watermarks on.
+    */
+  final case class EventInTs(user_id: Long, event_id: Long, tsMicros: Long,
+                             ts: java.sql.Timestamp)
+
+  /** Bounded-state form of [[sessionize]] — the same per-user gap fold,
+    * plus event-time-timeout session CLOSE: once the watermark passes
+    * `last-event + gap`, the pending session is EMITTED and its state
+    * removed. That is exact, not approximate — the watermark bounds
+    * event time from below, so any future event must carry
+    * `ts > last + gap` and would open a NEW session regardless; the
+    * timeout just delivers the close the unbounded form delays until
+    * the user's next arrival (possibly forever for a churned user, the
+    * r10-class state leak AND a latency bug: an idle user's final
+    * session otherwise never emits). State is bounded by users active
+    * within one gap horizon. EventStreamsSpec pins: timeout-emitted
+    * sessions equal the batch derivation, state drains to zero, and
+    * in-horizon parity with [[sessionize]]'s event-driven closes.
+    */
+  def sessionizeBounded(
+      events: Dataset[EventIn],
+      gapMicros: Long = 1800L * 1000000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val streaming = events.isStreaming
+    events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EventInTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventInTs], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is provably
+            // closed — emit it and drop the state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.start, st.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Vector.newBuilder[SessionOut]
+            for (e <- sorted) {
+              if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1L)
+              else if (e.tsMicros - st.last > gapMicros) {
+                closed += SessionOut(userId, st.start, st.n)
+                st = SessionState(e.tsMicros, e.tsMicros, 1L)
+              } else st = SessionState(st.start, e.tsMicros, st.n + 1L)
+            }
+            if (st != null) {
+              state.update(st)
+              if (streaming) {
+                val target = st.last / 1000L + gapMicros / 1000L
+                state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            closed.result().iterator
+          }
       }
   }
 

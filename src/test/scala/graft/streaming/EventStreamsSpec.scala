@@ -126,6 +126,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.toSet == Set(EventStreams.SessionOut(1L, 0L, 2L)))
   }
 
+  test("sessionizeBounded: watermark closes idle sessions, drains state, matches event-driven closes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val Sec = 1000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    // gap 100 s, zero-delay watermark so timing is deterministic
+    val q = EventStreams.sessionizeBounded(
+      mem.toDS().map(t => EventStreams.EventIn(t._1, t._2, t._3)),
+      gapMicros = 100L * Sec, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_b").outputMode("append").start()
+    try {
+      // user 1: two events 10 s apart (one session), then idle forever;
+      // user 2: one event — also idle
+      mem.addData((1L, 1L, 1000L * Sec), (1L, 2L, 1010L * Sec), (2L, 3L, 1020L * Sec))
+      q.processAllAvailable()
+      // nothing closed yet: no gap crossed, watermark at 1020 s < last+gap
+      assert(s.sql("SELECT count(*) FROM sess_b").head.getLong(0) == 0L)
+      // user 3's event pushes the watermark past both users' last+gap
+      mem.addData((3L, 4L, 2000L * Sec))
+      q.processAllAvailable()
+      mem.addData((3L, 5L, 2001L * Sec)) // a batch AFTER the watermark advance fires timeouts
+      q.processAllAvailable()
+      val closed = s.sql("SELECT user_id, session_start, n_events FROM sess_b ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(closed.toSeq == Seq((1L, 1000L * Sec, 2L), (2L, 1020L * Sec, 1L)),
+        s"watermark must close idle sessions exactly: ${closed.toSeq}")
+      // ... and their state is gone; only user 3's open session remains
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L,
+        "closed sessions must leave the state store")
+      // event-driven close still works: user 3 returns past the gap
+      mem.addData((3L, 6L, 2200L * Sec))
+      q.processAllAvailable()
+      val u3 = s.sql("SELECT session_start, n_events FROM sess_b WHERE user_id = 3")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(u3.toSeq == Seq((2000L * Sec, 2L)),
+        s"gap-crossing event must close the previous session: ${u3.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases attribute to prior views") {
     // watermarked stream-stream join — the attribution shape (purchase
     // joins views by the same user within the preceding hour); state on
