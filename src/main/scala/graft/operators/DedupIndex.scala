@@ -373,20 +373,29 @@ object DedupIndex {
                       buckets: Int = 8): Unit = {
     graft.BatchSink.recoverSwap(spark, s"$dir/fp")
     graft.BatchSink.recoverSwap(spark, s"$dir/bands")
-    spark.sql(s"DROP TABLE IF EXISTS $fpTable")
-    spark.sql(s"DROP TABLE IF EXISTS $bandsTable")
-    spark.read.parquet(s"$dir/fp")
-      .select(col("fp"), col("batch_id").cast("long").as("batch_id"))
-      .repartition(buckets, col("fp"))
-      .write.partitionBy("batch_id")
-      .bucketBy(buckets, "fp").sortBy("fp")
-      .format("parquet").saveAsTable(fpTable)
-    spark.read.parquet(s"$dir/bands")
-      .select(col("band"), col("sig"), col("batch_id").cast("long").as("batch_id"))
-      .repartition(buckets, col("band"), col("sig"))
-      .write.partitionBy("batch_id")
-      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
-      .format("parquet").saveAsTable(bandsTable)
+    Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
+    // phase 1: land BOTH staging tables (pending-marked) while the dir
+    // store and any existing live tables stay untouched — a crash here
+    // loses only staging work
+    def stage(src: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
+      val staging = table + "_compact_swap"
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      src
+        .repartition(buckets, bucketCols.map(col): _*)
+        .write.partitionBy("batch_id")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet").saveAsTable(staging)
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$SwapPendingProp' = 'true')")
+    }
+    stage(spark.read.parquet(s"$dir/fp")
+      .select(col("fp"), col("batch_id").cast("long").as("batch_id")), fpTable, Seq("fp"))
+    stage(spark.read.parquet(s"$dir/bands")
+      .select(col("band"), col("sig"), col("batch_id").cast("long").as("batch_id")),
+      bandsTable, Seq("band", "sig"))
+    // phase 2: swap both in — each window is detectable and healed by
+    // recoverBucketedSwap (same protocol as compactBucketed)
+    Seq(fpTable, bandsTable).foreach(commitSwap(spark, _))
   }
 
   private val SwapPendingProp = "graft.compact.swap.pending"
@@ -423,6 +432,25 @@ object DedupIndex {
       spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('$SwapPendingProp')")
       spark.catalog.refreshTable(table)
     }
+  }
+
+  /** Commit a pending-marked staging table over the live one: DROP the
+    * live table (if any), RENAME the staging in, repair partitions,
+    * clear the pending marker. Every crash window inside is healed by
+    * [[recoverBucketedSwap]] — shared by [[compactBucketed]] and
+    * [[promoteBucketed]].
+    */
+  private def commitSwap(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_compact_swap"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // a managed-table rename moves the data directory but (in-memory
+    // catalog) leaves partition metadata at the staging location —
+    // re-discover partitions from the moved files and drop cached
+    // listings so the next read sees the new layout
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('$SwapPendingProp')")
+    spark.catalog.refreshTable(table)
   }
 
   /** Fold every batch partition of both bucketed tables into the
@@ -465,17 +493,9 @@ object DedupIndex {
         case _      => writer0
       }
       writer.format("parquet").saveAsTable(staging)
-      // arm the heal protocol BEFORE the destructive pair
+      // arm the heal protocol BEFORE the destructive pair, then swap
       spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$SwapPendingProp' = 'true')")
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-      // a managed-table rename moves the data directory but (in-memory
-      // catalog) leaves partition metadata at the staging location —
-      // re-discover partitions from the moved files and drop cached
-      // listings so the next read sees the folded layout
-      spark.sql(s"MSCK REPAIR TABLE $table")
-      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('$SwapPendingProp')")
-      spark.catalog.refreshTable(table)
+      commitSwap(spark, table)
     }
   }
 }

@@ -63,6 +63,28 @@ object EventStreams {
     * which closes provably-finished sessions at the watermark and
     * drains their state.
     */
+  /** THE session gap fold — single source of truth for both sessionize
+    * variants (the bounded/unbounded parity claim rests on them
+    * sharing this definition). Events arrive as (tsMicros, event_id)
+    * pairs and are sorted here, so in-batch disorder is healed
+    * identically in both forms.
+    */
+  private def foldSessions(
+      userId: Long, prior: Option[SessionState],
+      events: Seq[(Long, Long)],
+      gapMicros: Long): (Vector[SessionOut], Option[SessionState]) = {
+    var st = prior.orNull
+    val closed = Vector.newBuilder[SessionOut]
+    for ((ts, _) <- events.sortBy(identity)) {
+      if (st == null) st = SessionState(ts, ts, 1L)
+      else if (ts - st.last > gapMicros) {
+        closed += SessionOut(userId, st.start, st.n)
+        st = SessionState(ts, ts, 1L)
+      } else st = SessionState(st.start, ts, st.n + 1L)
+    }
+    (closed.result(), Option(st))
+  }
+
   def sessionize(
       events: Dataset[EventIn],
       gapMicros: Long = 1800L * 1000000L): Dataset[SessionOut] = {
@@ -72,18 +94,10 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Vector.newBuilder[SessionOut]
-          for (e <- sorted) {
-            if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1L)
-            else if (e.tsMicros - st.last > gapMicros) {
-              closed += SessionOut(userId, st.start, st.n)
-              st = SessionState(e.tsMicros, e.tsMicros, 1L)
-            } else st = SessionState(st.start, e.tsMicros, st.n + 1L)
-          }
-          if (st != null) state.update(st)
-          closed.result().iterator
+          val (closed, st) = foldSessions(userId, state.getOption,
+            rows.map(e => (e.tsMicros, e.event_id)).toSeq, gapMicros)
+          st.foreach(state.update)
+          closed.iterator
       }
   }
 
@@ -129,24 +143,21 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionOut(userId, st.start, st.n))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
-            var st = state.getOption.orNull
-            val closed = Vector.newBuilder[SessionOut]
-            for (e <- sorted) {
-              if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1L)
-              else if (e.tsMicros - st.last > gapMicros) {
-                closed += SessionOut(userId, st.start, st.n)
-                st = SessionState(e.tsMicros, e.tsMicros, 1L)
-              } else st = SessionState(st.start, e.tsMicros, st.n + 1L)
-            }
-            if (st != null) {
+            val (closed, stOpt) = foldSessions(userId, state.getOption,
+              rows.map(e => (e.tsMicros, e.event_id)).toSeq, gapMicros)
+            stOpt.foreach { st =>
               state.update(st)
               if (streaming) {
-                val target = st.last / 1000L + gapMicros / 1000L
+                // CEIL the micros close instant to ms: flooring the two
+                // terms separately could fire the timeout up to ~2 ms
+                // before last+gap and split a session an in-gap event
+                // could still extend — the exactness claim requires the
+                // timeout strictly past the true close instant
+                val target = (st.last + gapMicros) / 1000L + 1L
                 state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
               }
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }
@@ -188,6 +199,33 @@ object EventStreams {
     * once-per-user-ever advances for bounded state (completion clears,
     * attribution horizon evicts).
     */
+  /** THE funnel advance fold — single source of truth for both funnel
+    * variants (their parity claims rest on sharing it); the one
+    * semantic switch is `clearOnComplete` (the bounded form's
+    * repeat-conversion reset). Events arrive as (tsMicros, event_type)
+    * pairs and are sorted here, healing in-batch disorder identically
+    * in both forms.
+    */
+  private def foldFunnel(
+      userId: Long, steps: Seq[String], times0: Vector[Long],
+      events: Seq[(Long, String)],
+      clearOnComplete: Boolean): (Vector[FunnelOut], Vector[Long]) = {
+    var times = times0
+    val out = Vector.newBuilder[FunnelOut]
+    for ((ts, tp) <- events.sortBy(identity)) {
+      val next = times.length
+      if (next < steps.length && tp == steps(next) &&
+        (times.isEmpty || ts > times.last)) {
+        times = times :+ ts
+        out += FunnelOut(userId, next + 1, tp, ts)
+        // completed: clear immediately — the next first-step event
+        // opens a fresh cycle
+        if (clearOnComplete && times.length == steps.length) times = Vector.empty
+      }
+    }
+    (out.result(), times)
+  }
+
   def funnelAdvance(
       events: Dataset[FunnelIn],
       steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelOut] = {
@@ -197,19 +235,11 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_type))
-          var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
-          val out = Vector.newBuilder[FunnelOut]
-          for (e <- sorted) {
-            val next = times.length
-            if (next < steps.length && e.event_type == steps(next) &&
-              (times.isEmpty || e.tsMicros > times.last)) {
-              times = times :+ e.tsMicros
-              out += FunnelOut(userId, next + 1, e.event_type, e.tsMicros)
-            }
-          }
+          val (out, times) = foldFunnel(userId, steps,
+            state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long]),
+            rows.map(e => (e.tsMicros, e.event_type)).toSeq, clearOnComplete = false)
           if (times.nonEmpty) state.update(FunnelState(times))
-          out.result().iterator
+          out.iterator
       }
   }
 
@@ -261,32 +291,22 @@ object EventStreams {
             state.remove() // idle past the horizon: evict the partial funnel
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_type))
-            var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long])
-            val out = Vector.newBuilder[FunnelOut]
-            for (e <- sorted) {
-              val next = times.length
-              if (next < steps.length && e.event_type == steps(next) &&
-                (times.isEmpty || e.tsMicros > times.last)) {
-                times = times :+ e.tsMicros
-                out += FunnelOut(userId, next + 1, e.event_type, e.tsMicros)
-                // completed: clear immediately — the next first-step
-                // event opens a fresh cycle
-                if (times.length == steps.length) times = Vector.empty
-              }
-            }
+            val (out, times) = foldFunnel(userId, steps,
+              state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long]),
+              rows.map(e => (e.tsMicros, e.event_type)).toSeq, clearOnComplete = true)
             if (times.nonEmpty) {
               state.update(FunnelState(times))
-              // evict once the watermark passes last-advance + horizon;
+              // evict once the watermark passes last-advance + horizon
+              // (CEIL to ms — flooring could evict up to ~2 ms early);
               // clamp above the current watermark (Spark rejects a
               // timeout already in the evictable past — an old event
               // whose horizon predates the watermark evicts next batch)
               if (streaming) {
-                val target = times.last / 1000L + horizonMicros / 1000L
+                val target = (times.last + horizonMicros) / 1000L + 1L
                 state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
               }
             } else state.remove()
-            out.result().iterator
+            out.iterator
           }
       }
   }
