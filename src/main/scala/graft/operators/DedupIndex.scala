@@ -364,7 +364,12 @@ object DedupIndex {
     * partition inference), so the pinned `batch_id < n` replay
     * contract continues across the layout switch: a relay can promote
     * at a quiesce point and resume against the tables with the same
-    * batch history. DedupIndexBucketedSpec pins promoted == dir-store
+    * batch history. Crash contract: each table's swap window heals via
+    * [[recoverBucketedSwap]], but a crash BETWEEN the two commits
+    * leaves a mixed pair (new fp, old bands) — re-run the promotion to
+    * completion before serving from the tables; it is idempotent (both
+    * tables re-stage from the dir store, which promotion never
+    * mutates). DedupIndexBucketedSpec pins promoted == dir-store
     * output and the zero-index-side-exchange plan on the promoted
     * tables.
     */
