@@ -329,6 +329,11 @@ object DedupIndex {
         .write.mode("overwrite").insertInto(fpTable)
       bandRows(accepted).select(col("band"), col("sig"), lit(batchId).as("batch_id"))
         .write.mode("overwrite").insertInto(bandsTable)
+      // a dynamic partition overwrite REPLACES the partition's files —
+      // drop cached listings so a reader in the same session (the
+      // relay's next epoch) never chases the replaced file names
+      spark.catalog.refreshTable(fpTable)
+      spark.catalog.refreshTable(bandsTable)
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -345,13 +350,22 @@ object DedupIndex {
     */
   def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
                          incoming: DataFrame): DataFrame = {
-    Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
+    Seq(fpTable, bandsTable).foreach { t =>
+      recoverBucketedSwap(spark, t)
+      // a concurrent/prior epoch's dynamic overwrite replaces partition
+      // FILES — drop cached listings so this read never plans against
+      // replaced file names (metadata-only; the scan itself re-lists)
+      spark.catalog.refreshTable(t)
+    }
     dedupAgainst(incoming, spark.table(fpTable), spark.table(bandsTable))
   }
 
   def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
                          incoming: DataFrame, batchId: Long): DataFrame = {
-    Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
+    Seq(fpTable, bandsTable).foreach { t =>
+      recoverBucketedSwap(spark, t)
+      spark.catalog.refreshTable(t)
+    }
     dedupAgainst(incoming,
       spark.table(fpTable).filter(col("batch_id") < batchId),
       spark.table(bandsTable).filter(col("batch_id") < batchId))

@@ -54,15 +54,6 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
 
-  /** Session aggregation via flatMapGroupsWithState (the custom-state
-    * path the reference's job state machine maps to — SURVEY §2.9 T2).
-    * Emits a session row only when a LATER event crosses the gap —
-    * an idle user's final session stays in state indefinitely
-    * (NoTimeout), so this form suits bounded user cardinality and
-    * batch replays; the production form is [[sessionizeBounded]],
-    * which closes provably-finished sessions at the watermark and
-    * drains their state.
-    */
   /** THE session gap fold — single source of truth for both sessionize
     * variants (the bounded/unbounded parity claim rests on them
     * sharing this definition). Events arrive as (tsMicros, event_id)
@@ -85,6 +76,15 @@ object EventStreams {
     (closed.result(), Option(st))
   }
 
+  /** Session aggregation via flatMapGroupsWithState (the custom-state
+    * path the reference's job state machine maps to — SURVEY §2.9 T2).
+    * Emits a session row only when a LATER event crosses the gap —
+    * an idle user's final session stays in state indefinitely
+    * (NoTimeout), so this form suits bounded user cardinality and
+    * batch replays; the production form is [[sessionizeBounded]],
+    * which closes provably-finished sessions at the watermark and
+    * drains their state.
+    */
   def sessionize(
       events: Dataset[EventIn],
       gapMicros: Long = 1800L * 1000000L): Dataset[SessionOut] = {
@@ -465,11 +465,23 @@ object EventStreams {
       sketchDir: Option[String] = None,
       distinctSketchDir: Option[String] = None,
       nbModelDir: Option[String] = None,
-      bpeStatsDir: Option[String] = None): StreamingQuery = {
+      bpeStatsDir: Option[String] = None,
+      bucketedDedup: Option[(String, String)] = None): StreamingQuery = {
     require(compactEvery.forall(_ >= 1), s"compactEvery must be >= 1, got $compactEvery")
     require(auditEvery.forall(_ >= 1), s"auditEvery must be >= 1, got $auditEvery")
     require(auditEvery.isEmpty || (auditQueries.nonEmpty && auditDir.nonEmpty),
       "indexMaintenanceRelay: auditEvery needs auditQueries and auditDir")
+    // bucketedDedup = Some((fpTable, bandsTable)): the dedup leg runs
+    // against the BUCKETED catalog store (zero index-side exchange per
+    // increment — the post-promotion far-scale mode); `dedupDir` is
+    // then unused. Same pinned-read + idempotent-partition replay
+    // contract (DedupIndex.dedupBatchBucketed/acceptBucketed), same
+    // stale-checkpoint guard (answered from SHOW PARTITIONS — a
+    // catalog metadata op, no data scan). In-stream compaction is NOT
+    // run for the bucketed store: compactBucketed folds the WHOLE
+    // batch history (the quiesce-only contract, like BatchSink.compact
+    // — a live epoch's crashed first attempt must never be folded), so
+    // bucketed compaction belongs at a quiesce point.
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
@@ -505,8 +517,30 @@ object EventStreams {
             .map(_.stripPrefix("batch_id=").toLong)
             .foldLeft(0L)(math.max)
         }
-        (Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init",
-          s"$annDir/cells" -> "AnnIndex.init") ++
+        def maxLandedBatchTable(tbl: String, initHint: String): Long = {
+          require(spark.catalog.tableExists(tbl),
+            s"indexMaintenanceRelay: index table $tbl does not exist — " +
+              s"index not initialized; run $initHint first")
+          spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0))
+            .filter(_.startsWith("batch_id="))
+            .map(_.stripPrefix("batch_id=").toLong)
+            .foldLeft(0L)(math.max)
+        }
+        bucketedDedup.foreach { case (fp, bands) =>
+          Seq(fp -> "DedupIndex.initBucketed", bands -> "DedupIndex.initBucketed")
+            .foreach { case (tbl, hint) =>
+              val maxExisting = maxLandedBatchTable(tbl, hint)
+              require(maxExisting <= batchId,
+                s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
+                  s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
+                  "location than the one that built the index? Re-init the indexes or restore " +
+                  "the original checkpoint directory")
+            }
+        }
+        (bucketedDedup.fold(
+          Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init"))(
+          _ => Seq.empty) ++
+          Seq(s"$annDir/cells" -> "AnnIndex.init") ++
           lshDir.map(l => s"$l/vectors" -> "AnnLshIndex.init") ++
           sketchDir.map(sd => sd -> "SourceSketch.init") ++
           distinctSketchDir.map(sd => sd -> "DistinctSketch.init") ++
@@ -524,8 +558,10 @@ object EventStreams {
         // epoch touches anything (see the compactEvery scaladoc note on
         // why the in-stream fold must be compactBelow, never compact)
         compactEvery.filter(n => batchId % n == 0).foreach { _ =>
-          graft.BatchSink.compactBelow(spark, s"$dedupDir/fp", batchId)
-          graft.BatchSink.compactBelow(spark, s"$dedupDir/bands", batchId)
+          if (bucketedDedup.isEmpty) {
+            graft.BatchSink.compactBelow(spark, s"$dedupDir/fp", batchId)
+            graft.BatchSink.compactBelow(spark, s"$dedupDir/bands", batchId)
+          }
           graft.BatchSink.compactBelow(spark, s"$annDir/cells", batchId, Seq("cell"))
           lshDir.foreach { l =>
             graft.BatchSink.compactBelow(spark, s"$l/vectors", batchId, Seq("sigp"))
@@ -547,10 +583,18 @@ object EventStreams {
           }
           bpeStatsDir.foreach(bd => graft.BatchSink.compactBelow(spark, bd, batchId))
         }
-        val survivors = graft.operators.DedupIndex
-          .dedupBatch(spark, dedupDir, batch, batchId)
+        val survivors = bucketedDedup.fold(
+            graft.operators.DedupIndex.dedupBatch(spark, dedupDir, batch, batchId)) {
+            case (fp, bands) =>
+              graft.operators.DedupIndex.dedupBatchBucketed(spark, fp, bands, batch, batchId)
+          }
           .localCheckpoint() // one materialized derivation feeds both index writes
-        graft.operators.DedupIndex.accept(survivors, dedupDir, batchId)
+        bucketedDedup match {
+          case Some((fp, bands)) =>
+            graft.operators.DedupIndex.acceptBucketed(survivors, fp, bands, batchId)
+          case None =>
+            graft.operators.DedupIndex.accept(survivors, dedupDir, batchId)
+        }
         betweenSinks(batchId)
         val vectors = IngestPipeline.embedStage(
             survivors.select(col("doc_id"), col("text").as("embedded_text")), provider)

@@ -167,6 +167,78 @@ class StreamingIndexSpec extends AnyFunSuite {
       s"stale-checkpoint guard must fire: $msgs")
   }
 
+  test("bucketed-dedup relay: crash heals on restart, cross-batch dup caught, guard fires") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bkt").toString
+    val in = s"$tmp/in"; val annDir = s"$tmp/ann"; val cp = s"$tmp/cp"
+    def dropT(): Unit = Seq("srel_fp", "srel_bands").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    dropT()
+    try {
+      val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
+        .unionByName(doc(2, "eta theta iota kappa lambda mu"))
+      DedupIndex.initBucketed(corpusA, "srel_fp", "srel_bands")
+      val embA = embedOf(corpusA)
+      AnnIndex.init(embA, annDir, quantizer = Some(AnnIndex.kmeans(embA, k = 2, iters = 2)))
+
+      // file 1 (batch 1): new doc + exact dup of the initial corpus;
+      // file 2 (batch 2): new doc + dup of FILE 1's new doc — only
+      // catchable if batch 1's acceptBucketed is visible to batch 2
+      doc(10, "tau upsilon phi chi psi omega")
+        .unionByName(doc(11, "alpha beta gamma delta epsilon zeta"))
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1200)
+      doc(20, "aleph bet gimel dalet he vav")
+        .unionByName(doc(21, "tau upsilon phi chi psi omega"))
+        .coalesce(1).write.mode("append").parquet(in)
+
+      // run 1: crash between the bucketed accept and the ANN add
+      val q1 = EventStreams.indexMaintenanceRelay(s, in, s"$tmp/unused-dedup", annDir, cp,
+        maxFilesPerTrigger = Some(1),
+        bucketedDedup = Some(("srel_fp", "srel_bands")),
+        betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      q1.stop()
+      // torn: batch 1's fp landed in the TABLE, its vectors did not
+      assert(s.table("srel_fp").count() === 3L)
+      assert(spark.read.parquet(s"$annDir/cells").count() === 2L)
+
+      // run 2: same checkpoint — batch 1 replays (pinned read derives
+      // the same survivors; acceptBucketed overwrites its own
+      // partition), batch 2 runs
+      val q2 = EventStreams.indexMaintenanceRelay(s, in, s"$tmp/unused-dedup", annDir, cp,
+        maxFilesPerTrigger = Some(1),
+        bucketedDedup = Some(("srel_fp", "srel_bands")))
+      try q2.processAllAvailable() finally q2.stop()
+
+      val grown = corpusA.unionByName(doc(10, "tau upsilon phi chi psi omega"))
+        .unionByName(doc(20, "aleph bet gimel dalet he vav"))
+      assertSameTable(s.table("srel_fp").select("fp"),
+        DedupIndex.fingerprints(grown), "bucketed fp table vs rebuild")
+      val storedCents = spark.read.parquet(s"$annDir/centroids").select("c_id", "cv")
+      assertSameTable(
+        spark.read.parquet(s"$annDir/cells").select("vec_id", "embedding", "cell"),
+        AnnIndex.assign(embedOf(grown), storedCents),
+        "inverted file vs rebuild (bucketed dedup leg)")
+
+      // fresh checkpoint against the grown bucketed tables → the
+      // table-partition stale-checkpoint guard must refuse
+      val q3 = EventStreams.indexMaintenanceRelay(s, in, s"$tmp/unused-dedup", annDir,
+        s"$tmp/cp-fresh", maxFilesPerTrigger = Some(1),
+        bucketedDedup = Some(("srel_fp", "srel_bands")))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      q3.stop()
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("Re-init the indexes")),
+        s"bucketed stale-checkpoint guard must fire: $msgs")
+    } finally dropT()
+  }
+
   test("cadence hooks: identical search results, fewer batch partitions, audit rows land") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cadence").toString
