@@ -312,15 +312,19 @@ object DedupIndex {
     * (positional: partition column last, matching the catalog schema),
     * which preserves the catalog bucket spec on the written files.
     * Retry-idempotent per batch id, like the dir store's `accept`.
+    * `heal = false` skips the torn-swap recovery pass — for callers
+    * (the streaming relay) that already healed both tables this epoch;
+    * each recover is up to three catalog lookups per table, an RPC
+    * each against a real metastore.
     */
   def acceptBucketed(accepted: DataFrame, fpTable: String, bandsTable: String,
-                     batchId: Long): Unit = {
+                     batchId: Long, heal: Boolean = true): Unit = {
     // the overwrite mode must be DYNAMIC for insertInto on a catalog
     // table (the per-write option is not honored on this path — a
     // static overwrite would wipe every OTHER batch's partition), and
     // pinned explicitly rather than trusted from the session default
     val spark = accepted.sparkSession
-    Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
+    if (heal) Seq(fpTable, bandsTable).foreach(recoverBucketedSwap(spark, _))
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
@@ -361,8 +365,9 @@ object DedupIndex {
   }
 
   def dedupBatchBucketed(spark: SparkSession, fpTable: String, bandsTable: String,
-                         incoming: DataFrame, batchId: Long): DataFrame = {
-    Seq(fpTable, bandsTable).foreach { t =>
+                         incoming: DataFrame, batchId: Long,
+                         heal: Boolean = true): DataFrame = {
+    if (heal) Seq(fpTable, bandsTable).foreach { t =>
       recoverBucketedSwap(spark, t)
       spark.catalog.refreshTable(t)
     }

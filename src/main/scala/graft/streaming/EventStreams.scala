@@ -518,24 +518,40 @@ object EventStreams {
             .foldLeft(0L)(math.max)
         }
         def maxLandedBatchTable(tbl: String, initHint: String): Long = {
+          // heal a torn quiesce-point swap (compactBucketed /
+          // promoteBucketed) BEFORE the existence check — a table
+          // mid-swap would otherwise be misdiagnosed as "not
+          // initialized", and following that hint (initBucketed) DROPs
+          // the tables, destroying the batch history the swap protocol
+          // preserved. This is also the epoch's ONE heal point: the
+          // dedupBatchBucketed/acceptBucketed calls below skip their
+          // own recover pass (heal = false) — single writer, so no new
+          // torn swap can appear mid-epoch.
+          graft.operators.DedupIndex.recoverBucketedSwap(spark, tbl)
           require(spark.catalog.tableExists(tbl),
             s"indexMaintenanceRelay: index table $tbl does not exist — " +
               s"index not initialized; run $initHint first")
+          // drop cached listings: a prior epoch's dynamic partition
+          // overwrite replaced this partition's FILES
+          spark.catalog.refreshTable(tbl)
           spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0))
             .filter(_.startsWith("batch_id="))
             .map(_.stripPrefix("batch_id=").toLong)
             .foldLeft(0L)(math.max)
         }
+        // one stale-checkpoint contract for BOTH store layouts — the
+        // dir path and the bucketed path must never diverge in wording
+        // or threshold (a replay of the current epoch legitimately sees
+        // its own partition: max == batchId)
+        def assertNotStale(tbl: String, maxExisting: Long): Unit =
+          require(maxExisting <= batchId,
+            s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
+              s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
+              "location than the one that built the index? Re-init the indexes or restore " +
+              "the original checkpoint directory")
         bucketedDedup.foreach { case (fp, bands) =>
-          Seq(fp -> "DedupIndex.initBucketed", bands -> "DedupIndex.initBucketed")
-            .foreach { case (tbl, hint) =>
-              val maxExisting = maxLandedBatchTable(tbl, hint)
-              require(maxExisting <= batchId,
-                s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
-                  s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
-                  "location than the one that built the index? Re-init the indexes or restore " +
-                  "the original checkpoint directory")
-            }
+          Seq(fp, bands).foreach(tbl =>
+            assertNotStale(tbl, maxLandedBatchTable(tbl, "DedupIndex.initBucketed")))
         }
         (bucketedDedup.fold(
           Seq(s"$dedupDir/fp" -> "DedupIndex.init", s"$dedupDir/bands" -> "DedupIndex.init"))(
@@ -547,12 +563,7 @@ object EventStreams {
           nbModelDir.toSeq.flatMap(nd => Seq(s"$nd/counts" -> "NbModelStore.init",
             s"$nd/priors" -> "NbModelStore.init")) ++
           bpeStatsDir.map(bd => bd -> "BpeStatsStore.init")).foreach { case (tbl, hint) =>
-          val maxExisting = maxLandedBatch(tbl, hint)
-          require(maxExisting <= batchId,
-            s"indexMaintenanceRelay: index table $tbl already holds batch_id=$maxExisting " +
-              s"but this stream is at batch_id=$batchId — the checkpoint at a different " +
-              "location than the one that built the index? Re-init the indexes or restore " +
-              "the original checkpoint directory")
+          assertNotStale(tbl, maxLandedBatch(tbl, hint))
         }
         // cadence: fold strictly-earlier batch partitions BEFORE this
         // epoch touches anything (see the compactEvery scaladoc note on
@@ -586,12 +597,16 @@ object EventStreams {
         val survivors = bucketedDedup.fold(
             graft.operators.DedupIndex.dedupBatch(spark, dedupDir, batch, batchId)) {
             case (fp, bands) =>
-              graft.operators.DedupIndex.dedupBatchBucketed(spark, fp, bands, batch, batchId)
+              // heal = false: the stale-checkpoint guard above already
+              // ran this epoch's one recover + refresh pass per table
+              graft.operators.DedupIndex.dedupBatchBucketed(
+                spark, fp, bands, batch, batchId, heal = false)
           }
           .localCheckpoint() // one materialized derivation feeds both index writes
         bucketedDedup match {
           case Some((fp, bands)) =>
-            graft.operators.DedupIndex.acceptBucketed(survivors, fp, bands, batchId)
+            graft.operators.DedupIndex.acceptBucketed(
+              survivors, fp, bands, batchId, heal = false)
           case None =>
             graft.operators.DedupIndex.accept(survivors, dedupDir, batchId)
         }

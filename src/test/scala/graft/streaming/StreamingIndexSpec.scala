@@ -171,7 +171,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bkt").toString
     val in = s"$tmp/in"; val annDir = s"$tmp/ann"; val cp = s"$tmp/cp"
-    def dropT(): Unit = Seq("srel_fp", "srel_bands").foreach(t =>
+    def dropT(): Unit = Seq("srel_fp", "srel_bands", "srel_fp_compact_swap").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"))
     dropT()
     try {
@@ -205,6 +205,17 @@ class StreamingIndexSpec extends AnyFunSuite {
       assert(s.table("srel_fp").count() === 3L)
       assert(spark.read.parquet(s"$annDir/cells").count() === 2L)
 
+      // additionally manufacture a torn quiesce-point swap on the fp
+      // table (crash between compactBucketed's DROP-live and
+      // RENAME-staging: live table gone, pending-marked staging
+      // present). The restart's stale-checkpoint guard must HEAL this
+      // before its existence check — a guard that checks first would
+      // misreport "not initialized" and its hint (initBucketed) would
+      // destroy the batch history
+      s.sql("ALTER TABLE srel_fp SET TBLPROPERTIES " +
+        "('graft.compact.swap.pending' = 'true')")
+      s.sql("ALTER TABLE srel_fp RENAME TO srel_fp_compact_swap")
+
       // run 2: same checkpoint — batch 1 replays (pinned read derives
       // the same survivors; acceptBucketed overwrites its own
       // partition), batch 2 runs
@@ -212,6 +223,13 @@ class StreamingIndexSpec extends AnyFunSuite {
         maxFilesPerTrigger = Some(1),
         bucketedDedup = Some(("srel_fp", "srel_bands")))
       try q2.processAllAvailable() finally q2.stop()
+
+      // the torn swap healed: live table back, pending marker cleared
+      assert(!s.catalog.tableExists("srel_fp_compact_swap"))
+      assert(!s.sessionState.catalog.getTableMetadata(
+          s.sessionState.sqlParser.parseTableIdentifier("srel_fp"))
+        .properties.contains("graft.compact.swap.pending"),
+        "relay restart must clear the swap-pending marker")
 
       val grown = corpusA.unionByName(doc(10, "tau upsilon phi chi psi omega"))
         .unionByName(doc(20, "aleph bet gimel dalet he vav"))
