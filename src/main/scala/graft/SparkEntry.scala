@@ -36,7 +36,8 @@ object SparkEntry {
       CurationQueries.queries ++
       SketchQueries.queries ++
       DriftQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++
+      EditDistanceQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -52,5 +53,6 @@ object SparkEntry {
       CurationQueries.oracles ++
       SketchQueries.oracles ++
       DriftQueries.oracles ++
-      SourceQueries.oracles
+      SourceQueries.oracles ++
+      EditDistanceQueries.oracles
 }
