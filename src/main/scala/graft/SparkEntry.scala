@@ -37,7 +37,8 @@ object SparkEntry {
       SketchQueries.queries ++
       DriftQueries.queries ++
       SourceQueries.queries ++
-      EditDistanceQueries.queries
+      EditDistanceQueries.queries ++
+      GovernanceQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -54,5 +55,6 @@ object SparkEntry {
       SketchQueries.oracles ++
       DriftQueries.oracles ++
       SourceQueries.oracles ++
-      EditDistanceQueries.oracles
+      EditDistanceQueries.oracles ++
+      GovernanceQueries.oracles
 }

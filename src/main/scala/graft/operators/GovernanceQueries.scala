@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators — the audit surface a production corpus
+  * pipeline runs BEFORE training ever sees the data:
+  *
+  *  - `dq_suite`: a Deequ-style declarative constraint suite (range,
+  *    domain, completeness, key-uniqueness checks) computed in ONE
+  *    aggregate pass over the table — violation counts are sums of
+  *    per-row indicator expressions plus one distinct-count for the
+  *    key constraint, so the only data-sized exchange is the partial
+  *    aggregate. At 100 TB this is the pattern: N checks never cost N
+  *    scans.
+  *  - `k_anonymity`: quasi-identifier group-size audit (Sweeney 2002).
+  *    Rows whose (nationkey, mktsegment) combination is shared by
+  *    fewer than k customers are re-identifiable at that k; the audit
+  *    reports groups/rows at risk across a k ladder. Plan: one
+  *    aggregate over the QI columns, then the tiny group relation
+  *    cross-joins the 4-row k ladder — the only data-sized exchange
+  *    is the first groupBy.
+  *  - `unicode_normalize`: NFC canonicalization + accent folding (the
+  *    text-curation step that makes "café" written with a combining
+  *    acute equal "café" written precomposed, and both fold to
+  *    "cafe"). Spark has no normalizer builtin, so the kernel is a
+  *    sanctioned per-row UDF over `java.text.Normalizer` (SURVEY
+  *    §2.10 discipline) — shuffle-free map stage; DuckDB mirrors with
+  *    `nfc_normalize`/`strip_accents`. Combining marks are injected
+  *    in-query (the derived-corpus discipline) since the generated
+  *    corpus is pure ASCII.
+  */
+object GovernanceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  private val nfdUdf = udf((s: String) =>
+    if (s == null) null else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD))
+
+  val queries: Map[String, Q] = Map(
+    "dq_suite" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        sum(expr("CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END")).as("v_qty"),
+        sum(expr("CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END")).as("v_disc"),
+        sum(expr("CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END")).as("v_price"),
+        sum(expr("CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END")).as("v_flag"),
+        (count(lit(1)) - count(col("l_shipdate"))).as("v_ship"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"))
+      m.select(expr(
+          "stack(6, " +
+            "'l_quantity_range', v_qty, " +
+            "'l_discount_range', v_disc, " +
+            "'l_extendedprice_positive', v_price, " +
+            "'l_returnflag_domain', v_flag, " +
+            "'l_shipdate_complete', v_ship, " +
+            "'pk_unique', v_pk) AS (check_name, violations)"))
+        .select(col("check_name"), col("violations").cast("long").as("violations"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy("check_name")
+    }),
+    "k_anonymity" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val ks = s.range(0, 4).select(
+        element_at(array(lit(2L), lit(5L), lit(10L), lit(20L)), col("id").cast("int") + 1).as("k"))
+      g.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(
+          coalesce(sum(when(col("n") < col("k"), 1L)), lit(0L)).cast("long")
+            .as("groups_at_risk"),
+          coalesce(sum(when(col("n") < col("k"), col("n"))), lit(0L)).cast("long")
+            .as("rows_at_risk"))
+        .orderBy("k")
+    }),
+    "unicode_normalize" -> ((s, d) => {
+      val dirty = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(expr("substring(text, 1, 8)"), lit("caf"), lit("e\u0301"), // e + combining acute (escaped: no encoding ambiguity)
+            expr("substring(text, 9, 8)")).as("dirty"))
+      dirty
+        .withColumn("nfc", nfcUdf(col("dirty")))
+        .withColumn("folded", regexp_replace(nfdUdf(col("dirty")), "\\p{Mn}", ""))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("len_dirty"),
+          length(col("nfc")).cast("long").as("len_nfc"),
+          (col("nfc") =!= col("dirty")).as("changed"),
+          expr("substring(nfc, 6, 8)").as("nfc_probe"),
+          expr("substring(folded, 6, 8)").as("folded_probe"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dq_suite" ->
+      ("WITH m AS (SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty, " +
+        "CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc, " +
+        "CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price, " +
+        "CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v_flag, " +
+        "CAST(count(*) - count(l_shipdate) AS BIGINT) AS v_ship, " +
+        "CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_pk " +
+        "FROM lineitem) " +
+        "SELECT check_name, violations, violations = 0 AS pass FROM (" +
+        "SELECT 'l_quantity_range' AS check_name, v_qty AS violations FROM m " +
+        "UNION ALL SELECT 'l_discount_range', v_disc FROM m " +
+        "UNION ALL SELECT 'l_extendedprice_positive', v_price FROM m " +
+        "UNION ALL SELECT 'l_returnflag_domain', v_flag FROM m " +
+        "UNION ALL SELECT 'l_shipdate_complete', v_ship FROM m " +
+        "UNION ALL SELECT 'pk_unique', v_pk FROM m) ORDER BY check_name"),
+    "k_anonymity" ->
+      ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n " +
+        "FROM customer GROUP BY 1, 2), " +
+        "ks AS (SELECT CAST(unnest([2, 5, 10, 20]) AS BIGINT) AS k) " +
+        "SELECT ks.k, " +
+        "CAST(coalesce(sum(CASE WHEN g.n < ks.k THEN 1 END), 0) AS BIGINT) AS groups_at_risk, " +
+        "CAST(coalesce(sum(CASE WHEN g.n < ks.k THEN g.n END), 0) AS BIGINT) AS rows_at_risk " +
+        "FROM ks CROSS JOIN g GROUP BY ks.k ORDER BY ks.k"),
+    "unicode_normalize" ->
+      ("WITH dirty AS (SELECT doc_id, " +
+        "concat(substr(text, 1, 8), 'caf', 'e' || chr(769), substr(text, 9, 8)) AS dirty " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(length(dirty) AS BIGINT) AS len_dirty, " +
+        "CAST(length(nfc_normalize(dirty)) AS BIGINT) AS len_nfc, " +
+        "nfc_normalize(dirty) <> dirty AS changed, " +
+        "substr(nfc_normalize(dirty), 6, 8) AS nfc_probe, " +
+        "substr(strip_accents(dirty), 6, 8) AS folded_probe " +
+        "FROM dirty ORDER BY doc_id")
+  )
+}

@@ -232,6 +232,33 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("asof_view_id"), col("asof_view_value"))
         .orderBy("event_id")
     }),
+    // SCD Type-2 point-in-time join: enrich each event with the
+    // dimension VERSION valid at event time — the warehouse pattern for
+    // versioned reference data (customer tier history, model configs).
+    // The versioned dimension is derived in-query (the derived-corpus
+    // oracle discipline): each user's event-time span splits into 3
+    // tiers with integer-micros boundaries, exact in both engines.
+    // Plan shape at scale: one agg shuffle builds the dim, then the
+    // point-in-time lookup is an EQUI join on user_id with the validity
+    // range as an in-bucket filter — never a theta join; the range
+    // never touches the join key, so there is no interval blow-up. The
+    // version count per key is bounded (3), so the join fan-out is
+    // bounded before the range filter prunes it to exactly one row.
+    "scd2_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val dim = e.groupBy("user_id")
+        .agg(min(col("us")).as("mn"), (max(col("us")) - min(col("us")) + 1).as("len"))
+        .select(col("user_id"), col("mn"), col("len"),
+          explode(sequence(lit(0L), lit(2L))).as("tier"))
+        .select(col("user_id"), col("tier"),
+          expr("mn + (len * tier) DIV 3").as("valid_from"),
+          expr("mn + (len * (tier + 1)) DIV 3").as("valid_to"))
+      e.join(dim, Seq("user_id"))
+        .filter(col("us") >= col("valid_from") && col("us") < col("valid_to"))
+        .select(col("event_id"), col("user_id"), col("tier"), col("valid_from"))
+        .orderBy("event_id")
+    }),
     // Range join, bucketized: events within 1 hour after each purchase.
     // Naive theta-join is O(n²); bucketing ts to the hour means each
     // probe only joins its own and the next bucket (equi-join on
@@ -620,6 +647,15 @@ object RelationalQueries {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
         "ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id"),
+    "scd2_join" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events), " +
+        "b AS (SELECT user_id, min(us) AS mn, max(us) - min(us) + 1 AS len FROM e GROUP BY user_id), " +
+        "dim AS (SELECT user_id, v.tier, mn + (len * v.tier) // 3 AS valid_from, " +
+        "mn + (len * (v.tier + 1)) // 3 AS valid_to " +
+        "FROM b, (SELECT unnest(range(0, 3)) AS tier) v) " +
+        "SELECT e.event_id, e.user_id, d.tier, d.valid_from " +
+        "FROM e JOIN dim d ON e.user_id = d.user_id " +
+        "AND e.us >= d.valid_from AND e.us < d.valid_to ORDER BY e.event_id"),
     "range_join_1h" ->
       ("SELECT p.event_id, count(e.user_id) AS n_follow " +
         "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
