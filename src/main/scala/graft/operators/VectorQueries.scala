@@ -174,6 +174,51 @@ object VectorQueries {
         .select(col("q_id"), col("vec_id"), col("label"), col("rnk"), col("score"))
         .orderBy("q_id", "rnk")
     }),
+    // Bitext mining via margin scoring (Artetxe & Schwenk, ACL 2019 —
+    // the parallel-corpus miner behind CCMatrix/WikiMatrix): a raw
+    // cosine threshold over-selects hubs (vectors close to EVERYTHING),
+    // so each candidate pair is scored by its cosine RELATIVE to both
+    // sides' average top-k neighborhoods: margin = cos(x,y) /
+    // ((avgTopK(x→T) + avgTopK(y→A)) / 2); a pair mines only when it
+    // stands out from both local densities (ratio margin > 1). Sides
+    // are derived by id parity (the derived-corpus discipline); the
+    // anchor set is bounded and broadcast, the candidate side streams
+    // once, and BOTH direction averages come from the one scored
+    // relation (two rank windows, no second scan). At 100 TB this
+    // composes with the ANN index like sim_knn_join: probe cells first,
+    // score within — margins only ever need the top-k neighborhood,
+    // which is exactly what the index returns.
+    "bitext_margin" -> ((s, d) => {
+      val e = emb(s, d)
+      val anchors = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val scored = e.filter(col("vec_id") % 2 === 1)
+        .crossJoin(broadcast(anchors))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+      val wf = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      val wb = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("q_id"))
+      val ranked = scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rb", row_number().over(wb))
+      // round the raw top-4 SUMS (exact multiples of 1e-6 — no
+      // half-boundary cases) and fold the /4 into the final quotient;
+      // an early sum/4 lands on quarter-millionth steps whose exact
+      // .5 halves round differently across engines (measured: one
+      // margin flipped 1.201093 vs 1.201091)
+      val fwd = ranked.filter(col("rf") <= 4).groupBy("q_id")
+        .agg(round(sum(col("score")), 6).as("sa"))
+      val bwd = ranked.filter(col("rb") <= 4).groupBy("vec_id")
+        .agg(round(sum(col("score")), 6).as("sb"))
+      val margins = scored.join(fwd, "q_id").join(bwd, "vec_id")
+        .withColumn("margin",
+          round(col("score") * 8.0 / (col("sa") + col("sb")), 6))
+      val wt = Window.partitionBy(col("q_id")).orderBy(col("margin").desc, col("vec_id"))
+      margins.withColumn("r", row_number().over(wt))
+        .filter(col("r") === 1 && col("margin") > 1.0)
+        .select(col("q_id"), col("vec_id"), col("margin"))
+        .orderBy("q_id")
+    }),
     // Leading principal component by DETERMINISTIC power iteration —
     // the dimensionality-reduction primitive an embedding pipeline runs
     // before whitening/quantization (and the 1-D shadow of a full PCA:
@@ -282,6 +327,21 @@ object VectorQueries {
         "ORDER BY stage1_score DESC, vec_id LIMIT 50) " +
         s"SELECT c.vec_id, c.stage1_score, ${cos("c.embedding", "q1.qv1")} AS rerank_score " +
         "FROM cand c, q1 ORDER BY rerank_score DESC, vec_id LIMIT 10"),
+    "bitext_margin" ->
+      ("WITH a AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings " +
+        "WHERE vec_id % 2 = 0 AND vec_id < 100), " +
+        "t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1), " +
+        s"scored AS (SELECT a.q_id, t.vec_id, ${cos("t.embedding", "a.qv")} AS score FROM t, a), " +
+        "rk AS (SELECT q_id, vec_id, score, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rf, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, q_id) AS rb FROM scored), " +
+        "fwd AS (SELECT q_id, round(sum(score), 6) AS sa FROM rk WHERE rf <= 4 GROUP BY q_id), " +
+        "bwd AS (SELECT vec_id, round(sum(score), 6) AS sb FROM rk WHERE rb <= 4 GROUP BY vec_id), " +
+        "m AS (SELECT s.q_id, s.vec_id, round(s.score * 8.0 / (f.sa + b.sb), 6) AS margin " +
+        "FROM scored s JOIN fwd f ON s.q_id = f.q_id JOIN bwd b ON s.vec_id = b.vec_id), " +
+        "top AS (SELECT q_id, vec_id, margin, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, vec_id) AS r FROM m) " +
+        "SELECT q_id, vec_id, margin FROM top WHERE r = 1 AND margin > 1.0 ORDER BY q_id"),
     "sim_knn_join" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
         "scored AS (SELECT q.q_id, e.vec_id, " +
