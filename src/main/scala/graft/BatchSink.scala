@@ -147,6 +147,19 @@ object BatchSink {
     val written = spark.read.parquet(swapPath).count() // parquet footers only
     require(written == expected,
       s"BatchSink.replaceTable: swap table at $swapPath has $written rows, expected $expected — aborting swap")
+    commitSwapDir(spark, path)
+  }
+
+  /** Commit a fully-written `.swap` directory over the live one:
+    * sentinel, move-aside, promote, sweep — the tail of the
+    * write-then-swap protocol, shared by [[replaceTable]] and
+    * [[graft.pipeline.ShardedExport]]. Every crash window inside is
+    * healed by [[recoverSwap]].
+    */
+  def commitSwapDir(spark: SparkSession, path: String): Unit = {
+    val swapPath = path + ".swap"
+    val (fs, p) = fsOf(spark, path)
+    val swap = new org.apache.hadoop.fs.Path(swapPath)
     fs.create(new org.apache.hadoop.fs.Path(s"$swapPath/$CommitSentinel"), true).close()
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     if (fs.exists(old)) fs.delete(old, true)
@@ -154,9 +167,9 @@ object BatchSink {
     // would report success while the live table was never replaced
     if (fs.exists(p))
       require(fs.rename(p, old),
-        s"BatchSink.replaceTable: failed to move live table $path aside — table unchanged")
+        s"BatchSink.commitSwapDir: failed to move live table $path aside — table unchanged")
     require(fs.rename(swap, p),
-      s"BatchSink.replaceTable: failed to promote swap $swapPath to $path — " +
+      s"BatchSink.commitSwapDir: failed to promote swap $swapPath to $path — " +
         "live table was moved to .old; recoverSwap will heal on the next read")
     fs.delete(old, true)
     spark.catalog.refreshByPath(path) // drop cached file listings of the old table

@@ -36,6 +36,25 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("double") * x.cast("double"))), 3).as("norm"))
         .orderBy("doc_id", "chunk_index")
     }),
+    // The physical shard sink round-trip: pack documents into 8 shards,
+    // EXPORT them through ShardedExport (one file per shard + swap
+    // commit), and return the landed `_manifest`. The manifest is
+    // derived from the written parquet (footers + partition dirs), so
+    // hash-equality with the oracle's direct aggregation proves the
+    // files themselves landed complete — the one query here that
+    // exercises a real disk sink end-to-end.
+    "shard_export_manifest" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-shard-export")
+        .toString + "/exp"
+      graft.pipeline.ShardedExport.export(
+        Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_chars")),
+        out, "shard", Seq("doc_id"))
+      graft.pipeline.ShardedExport.manifest(s, out)
+        .select(col("shard").cast("long").as("shard"), col("n_rows"),
+          col("min_key"), col("max_key"))
+        .orderBy("shard")
+    }),
     // T2/T5 job ledger as data: terminal status, error capture, counters.
     "pipeline_ledger" -> ((s, d) => {
       IngestPipeline.ledger(Tables.documents(s, d))
@@ -137,6 +156,10 @@ object PipelineQueries {
       "CASE WHEN regexp_matches(chunk_text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END)"
 
   val oracles: Map[String, String] = Map(
+    "shard_export_manifest" ->
+      ("SELECT doc_id % 8 AS shard, count(*) AS n_rows, " +
+        "min(doc_id) AS min_key, max(doc_id) AS max_key " +
+        "FROM documents GROUP BY 1 ORDER BY shard"),
     "p14_dimension_table" ->
       ("SELECT provider, model, dim FROM (VALUES " +
         "('Local (Ollama)', 'nomic-embed-text', 768), " +

@@ -232,6 +232,39 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("asof_view_id"), col("asof_view_value"))
         .orderBy("event_id")
     }),
+    // Snapshot diff (the CDC primitive): added / removed / changed rows
+    // between two table versions, via ONE full-outer join on the key
+    // with column comparison inside — the pattern a 100 TB pipeline
+    // uses to audit a reload or derive an incremental feed without
+    // keeping per-row history. The "new" snapshot is derived in-query
+    // (deterministic deletes via %97, updates via %13, inserts under
+    // NEGATED keys — synthetic ids must never alias real ones). Plan:
+    // one sort-merge join keyed on o_orderkey; no window, no second
+    // scan of either side.
+    "snapshot_diff" -> ((s, d) => {
+      val old = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val nw = old
+        .filter(col("o_orderkey") % 97 =!= 0) // deletes
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.5))
+            .otherwise(col("o_totalprice"))) // updates
+        .unionByName(
+          old.filter(col("o_orderkey") % 101 === 0)
+            .select((-col("o_orderkey")).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus"))) // inserts
+      old.as("o").join(nw.as("n"), col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("o.o_orderkey"), col("n.o_orderkey")).as("o_orderkey"),
+          when(col("o.o_orderkey").isNull, "added")
+            .when(col("n.o_orderkey").isNull, "removed")
+            .otherwise("changed").as("status"),
+          round(col("o.o_totalprice"), 6).as("old_price"),
+          round(col("n.o_totalprice"), 6).as("new_price"))
+        .filter(col("status") =!= "changed" ||
+          col("old_price") =!= col("new_price"))
+        .orderBy("o_orderkey")
+    }),
     // SCD Type-2 point-in-time join: enrich each event with the
     // dimension VERSION valid at event time — the warehouse pattern for
     // versioned reference data (customer tier history, model configs).
@@ -647,6 +680,18 @@ object RelationalQueries {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
         "ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id"),
+    "snapshot_diff" ->
+      ("WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders), " +
+        "nw AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderstatus FROM old WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT -o_orderkey, o_totalprice, o_orderstatus FROM old WHERE o_orderkey % 101 = 0) " +
+        "SELECT * FROM (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'added' " +
+        "WHEN n.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS status, " +
+        "round(o.o_totalprice, 6) AS old_price, round(n.o_totalprice, 6) AS new_price " +
+        "FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey) " +
+        "WHERE status <> 'changed' OR old_price <> new_price ORDER BY o_orderkey"),
     "scd2_join" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events), " +
         "b AS (SELECT user_id, min(us) AS mn, max(us) - min(us) + 1 AS len FROM e GROUP BY user_id), " +

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The physical training-shard SINK — the step after the packing
+  * manifests (`shard_packing`/`shard_packing2`/`sequence_pack` assign
+  * shard ids; this writes the shards): one parquet file per shard under
+  * `dir/<shardCol>=N/`, rows sorted by the order columns inside, plus a
+  * `_manifest` accounting table a trainer or auditor reads without
+  * touching the data.
+  *
+  * Layout guarantees:
+  *  - ONE data file per shard: rows are hash-repartitioned by the shard
+  *    column first, so every shard's rows sit in exactly one task and
+  *    the partitioned writer opens exactly one file per shard directory
+  *    (the alternative — tasks × shards files — is the classic
+  *    partitioned-write failure mode at scale);
+  *  - deterministic file contents: rows are sorted by (shard, order
+  *    cols) within each task, so a re-export of the same relation is
+  *    byte-stable;
+  *  - `_manifest` (underscore-prefixed: invisible to a plain
+  *    `spark.read.parquet(dir)` of the shard data) holds one row per
+  *    shard — row count and order-key span — derived from the SAME
+  *    relation in the same job, and verified against what actually
+  *    landed before the export commits;
+  *  - crash-safe: the whole layout is written beside the live dir and
+  *    swapped in via [[graft.BatchSink]]'s sentinel + two-rename
+  *    protocol — a reader never observes a half-written export, and
+  *    every crash window heals on the next [[read]]/[[manifest]] call
+  *    (`recoverSwap`);
+  *  - an EMPTY export is refused loudly (a drained corpus replacing a
+  *    live export with nothing is never intended).
+  */
+object ShardedExport {
+
+  /** Write `packed` (must carry `shardCol`) as one-file-per-shard
+    * parquet + `_manifest`. Returns the number of shards written.
+    */
+  def export(packed: DataFrame, dir: String, shardCol: String,
+             orderCols: Seq[String]): Long = {
+    require(orderCols.nonEmpty, "ShardedExport.export: orderCols must be non-empty")
+    val spark = packed.sparkSession
+    graft.BatchSink.recoverSwap(spark, dir)
+    val swap = dir + ".swap"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(swap), true)
+    val obs = org.apache.spark.sql.Observation()
+    packed
+      .repartition(col(shardCol))
+      .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(swap)
+    val expected = obs.get("n").asInstanceOf[Long]
+    if (expected == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(swap), true)
+      throw new IllegalArgumentException(
+        s"ShardedExport.export: refusing to export 0 rows to $dir — corpus drained? " +
+          "The live export (if any) is untouched")
+    }
+    // the manifest derives from what LANDED (parquet footers + partition
+    // values), so it can never disagree with the files it describes
+    val landed = spark.read.parquet(swap)
+    val man = landed.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(orderCols.head)).as("min_key"),
+        max(col(orderCols.head)).as("max_key"))
+    val manifestRows = man.agg(
+        coalesce(sum(col("n_rows")), lit(0L)).as("n"), count(lit(1)).as("shards"))
+      .head()
+    require(manifestRows.getLong(0) == expected,
+      s"ShardedExport.export: landed ${manifestRows.getLong(0)} rows, expected $expected")
+    man.coalesce(1).write.mode("overwrite").parquet(s"$swap/_manifest")
+    graft.BatchSink.commitSwapDir(spark, dir)
+    manifestRows.getLong(1)
+  }
+
+  /** The shard data (heals a torn swap first). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, dir)
+    spark.read.parquet(dir)
+  }
+
+  /** The per-shard accounting table (heals a torn swap first). */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, dir)
+    spark.read.parquet(s"$dir/_manifest")
+  }
+}

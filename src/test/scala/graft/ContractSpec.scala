@@ -24,7 +24,8 @@ class ContractSpec extends AnyFunSuite {
       graft.operators.PipelineQueries.queries, graft.operators.AnnQueries.queries,
       graft.operators.MultimodalQueries.queries, graft.operators.CurationQueries.queries,
       graft.operators.SketchQueries.queries, graft.operators.DriftQueries.queries,
-      graft.operators.SourceQueries.queries)
+      graft.operators.SourceQueries.queries, graft.operators.EditDistanceQueries.queries,
+      graft.operators.GovernanceQueries.queries)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
     assert(dupes.isEmpty, s"duplicate query names across files: $dupes")
