@@ -75,7 +75,9 @@ object EditDistanceQueries {
           "substring(s1, (id % 11 + 3) + 1)), s1)"))
       .withColumn("s3",
         expr("IF(id % 7 = 0, concat(substring(s2, 1, 23), 'qq', substring(s2, 24)), s2)"))
-      .select((-col("id")).as("id"), col("s3").as("key"))
+      // -(id+1), not -id: doc_id starts at 0 and -0 == 0 would alias
+      // the base row's id (the synthetic-id discipline)
+      .select((-(col("id") + 1)).as("id"), col("s3").as("key"))
     base.unionByName(mut).filter(length(col("key")) >= 6)
   }
 
@@ -151,7 +153,7 @@ object EditDistanceQueries {
       ("""WITH base AS (
          |  SELECT doc_id AS id, substr(text, 1, 30) AS key FROM documents
          |), mut AS (
-         |  SELECT -id AS id,
+         |  SELECT -(id + 1) AS id,
          |    CASE WHEN id % 7 = 0 THEN concat(substr(s2,1,23),'qq',substr(s2,24)) ELSE s2 END AS key
          |  FROM (
          |    SELECT id,

@@ -44,8 +44,12 @@ object PipelineQueries {
     // files themselves landed complete — the one query here that
     // exercises a real disk sink end-to-end.
     "shard_export_manifest" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-shard-export")
-        .toString + "/exp"
+      // FIXED per-sf path, not a fresh temp dir: bench/verify re-run
+      // each query many times, and the swap protocol already makes the
+      // re-export an atomic in-place replace — a per-call temp dir
+      // would leak a full corpus copy on every rerun
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft-shard-export-" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.pipeline.ShardedExport.export(
         Tables.documents(s, d)
           .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_chars")),

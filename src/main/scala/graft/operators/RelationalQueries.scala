@@ -251,7 +251,10 @@ object RelationalQueries {
             .otherwise(col("o_totalprice"))) // updates
         .unionByName(
           old.filter(col("o_orderkey") % 101 === 0)
-            .select((-col("o_orderkey")).as("o_orderkey"),
+            // -(key+1): o_orderkey starts at 0, and -0 == 0 would alias
+            // the real key (key 0 is deleted by %97 AND re-added as -0,
+            // silently cancelling both out of the diff)
+            .select((-(col("o_orderkey") + 1)).as("o_orderkey"),
               col("o_totalprice"), col("o_orderstatus"))) // inserts
       old.as("o").join(nw.as("n"), col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
         .select(
@@ -685,7 +688,7 @@ object RelationalQueries {
         "nw AS (SELECT o_orderkey, " +
         "CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice, " +
         "o_orderstatus FROM old WHERE o_orderkey % 97 <> 0 " +
-        "UNION ALL SELECT -o_orderkey, o_totalprice, o_orderstatus FROM old WHERE o_orderkey % 101 = 0) " +
+        "UNION ALL SELECT -(o_orderkey + 1), o_totalprice, o_orderstatus FROM old WHERE o_orderkey % 101 = 0) " +
         "SELECT * FROM (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
         "CASE WHEN o.o_orderkey IS NULL THEN 'added' " +
         "WHEN n.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS status, " +

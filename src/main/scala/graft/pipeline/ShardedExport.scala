@@ -60,20 +60,24 @@ object ShardedExport {
           "The live export (if any) is untouched")
     }
     // the manifest derives from what LANDED (parquet footers + partition
-    // values), so it can never disagree with the files it describes
+    // values), so it can never disagree with the files it describes;
+    // it is one row per shard — tiny by construction — so collect it
+    // ONCE and write from the collected rows rather than scanning the
+    // just-written export a second time
     val landed = spark.read.parquet(swap)
     val man = landed.groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"),
         min(col(orderCols.head)).as("min_key"),
         max(col(orderCols.head)).as("max_key"))
-    val manifestRows = man.agg(
-        coalesce(sum(col("n_rows")), lit(0L)).as("n"), count(lit(1)).as("shards"))
-      .head()
-    require(manifestRows.getLong(0) == expected,
-      s"ShardedExport.export: landed ${manifestRows.getLong(0)} rows, expected $expected")
-    man.coalesce(1).write.mode("overwrite").parquet(s"$swap/_manifest")
+    val collected = man.collect().toSeq
+    val landedRows = collected.map(_.getLong(1)).sum
+    require(landedRows == expected,
+      s"ShardedExport.export: landed $landedRows rows, expected $expected")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(collected, 1), man.schema)
+      .write.mode("overwrite").parquet(s"$swap/_manifest")
     graft.BatchSink.commitSwapDir(spark, dir)
-    manifestRows.getLong(1)
+    collected.size.toLong
   }
 
   /** The shard data (heals a torn swap first). */
