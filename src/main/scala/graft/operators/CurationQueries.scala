@@ -130,6 +130,27 @@ object CurationQueries {
         round(avg(col("nll")), 6).as("avg_nll"))
   }
 
+  /** A-ES weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006), exposed for specs: top-k rows per `group` by the key
+    * ln(u)/w with hash-uniform u — deterministic, replayable, one rank
+    * window. Rows with non-positive weight are excluded (zero weight
+    * means "never sample"; the ES key is undefined there). The ln-key
+    * is rounded to 6dp BEFORE ranking (tie-broken by id) so the
+    * cross-engine ordering can never flap on a last-ulp ln difference.
+    */
+  def weightedSample(items: DataFrame, group: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = items.filter(col(weightCol) > 0)
+      .select(col(group), col(idCol),
+        round(log((h + 1).cast("double") / 1152921504606846977.0) /
+          col(weightCol).cast("double"), 6).as("ky"))
+    val w = Window.partitionBy(col(group)).orderBy(col("ky").desc, col(idCol))
+    keyed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   val queries: Map[String, Q] = Map(
     // Deterministic train/val/test assignment (80/10/10 by id hash):
     // membership is a pure function of doc_id — stable across reruns,
@@ -152,6 +173,22 @@ object CurationQueries {
         .filter(hashBucket(col("doc_id")) < 30)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+    // Weighted sampling WITHOUT replacement, exact and deterministic —
+    // Efraimidis & Spirakis (IPL 2006) A-ES: each item draws a
+    // hash-uniform u in (0,1) and ranks by ln(u)/w (equivalently
+    // u^(1/w)); the top-k per group IS a weighted sample without
+    // replacement. The hash-derived u (not rand()) makes every rerun —
+    // and the DuckDB replay — reproduce the identical sample, the same
+    // property corpus_shuffle insists on. One pass, one per-source rank
+    // window over k·sources rows after a map-side key computation; the
+    // ln-key is rounded to 6dp BEFORE ranking so the cross-engine
+    // ordering is tie-safe (the dsir ln-discipline). Weights here are
+    // n_chars: longer docs proportionally likelier, the usual
+    // token-budget-aware corpus draw.
+    "weighted_sample" -> ((s, d) => {
+      weightedSample(Tables.documents(s, d), "source", "doc_id", "n_chars", 10)
+        .orderBy("source", "rank")
     }),
     // Token-budget shard packing: per language, docs in doc_id order are
     // packed into shards of ≤2000 whitespace tokens (a doc starts a new
@@ -1285,6 +1322,15 @@ object CurationQueries {
     "stratified_sample" ->
       (s"SELECT doc_id, lang FROM (SELECT doc_id, lang, $bucketSql AS b FROM documents) " +
         "WHERE b < 30 ORDER BY doc_id"),
+    "weighted_sample" ->
+      ("WITH keyed AS (SELECT source, doc_id, " +
+        "round(ln(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1 AS DOUBLE) " +
+        "/ 1152921504606846977.0) / CAST(n_chars AS DOUBLE), 6) AS ky " +
+        "FROM documents WHERE n_chars > 0) " +
+        "SELECT source, doc_id, ky, rank FROM (" +
+        "SELECT source, doc_id, ky, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY ky DESC, doc_id) AS BIGINT) AS rank FROM keyed) " +
+        "WHERE rank <= 10 ORDER BY source, rank"),
     "shard_packing" ->
       ("SELECT doc_id, lang, toks, CAST(floor((cum - toks) / 2000) AS BIGINT) AS shard_id FROM (" +
         "SELECT doc_id, lang, toks, sum(toks) OVER " +

@@ -32,7 +32,7 @@ class DeterminismSpec extends AnyFunSuite {
     "length_quantiles", "ann_ivf_pq_residual", "ann_recall_curve",
     "dedup_recall_curve", "ann_lsh_plane_curve", "ann_recall_clustered",
     "ann_lsh_plane_curve_clustered", "g2_structured_chunks",
-    "funnel_steps_4", "bitext_margin")
+    "funnel_steps_4", "bitext_margin", "weighted_sample")
 
   test("tie-prone ranked queries are run-to-run deterministic") {
     val qs = graft.SparkEntry.queries
