@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.multimodal.MultimodalOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column query surface: `documents.text` cast to binary
@@ -108,7 +109,109 @@ object MultimodalQueries {
     }
   }
 
+  import graft.sources.AudioCodec
+
+  /** Per-doc deterministic waveform parameters (the audio analog of the
+    * gradient-PNG fixture): `pad` leading + `trail` trailing silence
+    * around an integer sawtooth of period `p`, amplitude `a` — every
+    * sample an exact integer, so features over the DECODED signal
+    * replay arithmetically in DuckDB while the bytes ride the real
+    * RIFF/PCM16 codec.
+    */
+  private def audioParams(docId: Long, nChars: Long): (Int, Int, Int, Int, Int) =
+    ((400 + nChars % 256).toInt, (16 + docId % 32).toInt,
+      (4000 + docId % 1000).toInt, (docId % 50).toInt, (nChars % 30).toInt)
+
+  private val AudioRate = 8000
+
+  /** WAV write → parse roundtrip, header metadata from the PARSED form. */
+  val audioMetaUdf = udf { (docId: Long, nChars: Long) =>
+    val (n, p, a, pad, trail) = audioParams(docId, nChars)
+    val wav = AudioCodec.writeWav(AudioCodec.sawtooth(n, p, a, pad, trail), AudioRate)
+    AudioCodec.decodeWav(wav) match {
+      case Some((sr, samples)) =>
+        (sr.toLong, samples.length.toLong, wav.length.toLong,
+          samples.length.toLong * 1000000L / sr)
+      case None => (-1L, -1L, -1L, -1L)
+    }
+  }
+
+  /** The decoded sample stream (roundtripped through the real codec) —
+    * exploded downstream so framing/feature aggregation is genuine
+    * Spark, not hidden inside the kernel.
+    */
+  val audioSamplesUdf = udf { (docId: Long, nChars: Long) =>
+    val (n, p, a, pad, trail) = audioParams(docId, nChars)
+    val wav = AudioCodec.writeWav(AudioCodec.sawtooth(n, p, a, pad, trail), AudioRate)
+    AudioCodec.decodeWav(wav).map(_._2.toSeq.map(_.toInt)).getOrElse(Seq.empty[Int])
+  }
+
+  /** doc_id, sample index i, sample value v — the relation the audio
+    * feature queries aggregate. Codec failure yields NO rows for the
+    * doc, which the row-count side of the oracle gate flags loudly.
+    */
+  private def audioSamples(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(audioSamplesUdf(col("doc_id"), col("n_chars"))).as(Seq("i", "v")))
+
   val queries: Map[String, Q] = Map(
+    // Audio metadata through the real RIFF/PCM16 roundtrip: rate,
+    // sample count, byte size, integer duration — the header columns
+    // an audio table carries. Per-row map work, no shuffle.
+    "audio_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), audioMetaUdf(col("doc_id"), col("n_chars")).as("m"))
+        .select(col("doc_id"), col("m._1").as("sample_rate"),
+          col("m._2").as("n_samples"), col("m._3").as("n_bytes"),
+          col("m._4").as("duration_us"))
+        .orderBy("doc_id")
+    }),
+    // Waveform features over the decoded stream: strict-sign zero
+    // crossings (lag window per doc), peak, integer energy, RMS (sqrt
+    // is IEEE-exact, so the only float is the final rounded division).
+    "audio_features" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      audioSamples(s, d)
+        .withColumn("pv", lag(col("v"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("pv") * col("v") < 0, 1L).otherwise(0L)).cast("long")
+            .as("zero_crossings"),
+          max(abs(col("v"))).cast("long").as("peak"),
+          sum(col("v") * col("v")).cast("long").as("sum_sq"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"), col("zero_crossings"), col("peak"), col("sum_sq"),
+          round(sqrt(col("sum_sq").cast("double") / col("n").cast("double")), 6).as("rms"))
+        .orderBy("doc_id")
+    }),
+    // 10 ms framing (80 samples at 8 kHz): per-frame energy/peak — the
+    // windowing every audio feature extractor starts from (the audio
+    // analog of mm_frame_sample). One keyed aggregation.
+    "audio_frames" -> ((s, d) => {
+      audioSamples(s, d)
+        .withColumn("frame_no", (col("i") / 80).cast("long"))
+        .groupBy(col("doc_id"), col("frame_no"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("v")).cast("long").as("energy"),
+          max(abs(col("v"))).cast("long").as("peak"))
+        .orderBy("doc_id", "frame_no")
+    }),
+    // Leading/trailing silence detection (the trim pass a speech corpus
+    // runs before feature extraction): first/last nonzero sample per
+    // doc, in one aggregation over the decoded stream.
+    "audio_silence_trim" -> ((s, d) => {
+      audioSamples(s, d)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total"),
+          min(when(col("v") =!= 0, col("i"))).as("first_nz"),
+          max(when(col("v") =!= 0, col("i"))).as("last_nz"))
+        .select(col("doc_id"),
+          col("first_nz").cast("long").as("lead_silence"),
+          (col("total") - 1 - col("last_nz")).cast("long").as("trail_silence"),
+          (col("last_nz") - col("first_nz") + 1).cast("long").as("trimmed_len"))
+        .orderBy("doc_id")
+    }),
     // Opaque-binary handling: size, content hash, base64 head — the
     // metadata columns any media table carries.
     "mm_binary_meta" -> ((s, d) => {
@@ -275,7 +378,43 @@ object MultimodalQueries {
       "1 + ascii(substr(md5(text), 4, 1)) % 4 AS n_frames " +
       "FROM documents"
 
+  /** The oracle's arithmetic replay of the decoded sample stream —
+    * byte-path-free by design: Spark's numbers ride the real codec, so
+    * equality proves the RIFF roundtrip, not just the formula.
+    */
+  private val audioSamplesSql: String =
+    "(SELECT d.doc_id, g.i, CASE WHEN g.i < d.pad OR g.i >= d.pad + d.n THEN 0 " +
+      "ELSE -d.a + (2 * d.a * ((g.i - d.pad) % d.p)) // (d.p - 1) END AS v, " +
+      "d.pad + d.n + d.trail AS total " +
+      "FROM (SELECT doc_id, 400 + n_chars % 256 AS n, 16 + doc_id % 32 AS p, " +
+      "4000 + doc_id % 1000 AS a, doc_id % 50 AS pad, n_chars % 30 AS trail " +
+      "FROM documents) d, unnest(range(0, d.pad + d.n + d.trail)) AS g(i))"
+
   val oracles: Map[String, String] = Map(
+    "audio_meta" ->
+      ("SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(pad + n + trail AS BIGINT) AS n_samples, " +
+        "CAST(44 + 2 * (pad + n + trail) AS BIGINT) AS n_bytes, " +
+        "CAST((pad + n + trail) * 125 AS BIGINT) AS duration_us " +
+        "FROM (SELECT doc_id, 400 + n_chars % 256 AS n, doc_id % 50 AS pad, " +
+        "n_chars % 30 AS trail FROM documents) ORDER BY doc_id"),
+    "audio_features" ->
+      (s"WITH sm AS (SELECT * FROM $audioSamplesSql), " +
+        "lagd AS (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM sm) " +
+        "SELECT doc_id, " +
+        "CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings, " +
+        "CAST(max(abs(v)) AS BIGINT) AS peak, CAST(sum(v * v) AS BIGINT) AS sum_sq, " +
+        "round(sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS rms " +
+        "FROM lagd GROUP BY doc_id ORDER BY doc_id"),
+    "audio_frames" ->
+      (s"SELECT doc_id, CAST(i // 80 AS BIGINT) AS frame_no, count(*) AS n, " +
+        "CAST(sum(v * v) AS BIGINT) AS energy, CAST(max(abs(v)) AS BIGINT) AS peak " +
+        s"FROM $audioSamplesSql GROUP BY doc_id, i // 80 ORDER BY doc_id, frame_no"),
+    "audio_silence_trim" ->
+      (s"SELECT doc_id, CAST(min(CASE WHEN v <> 0 THEN i END) AS BIGINT) AS lead_silence, " +
+        "CAST(count(*) - 1 - max(CASE WHEN v <> 0 THEN i END) AS BIGINT) AS trail_silence, " +
+        "CAST(max(CASE WHEN v <> 0 THEN i END) - min(CASE WHEN v <> 0 THEN i END) + 1 AS BIGINT) AS trimmed_len " +
+        s"FROM $audioSamplesSql GROUP BY doc_id ORDER BY doc_id"),
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "md5(text) AS content_md5, " +
