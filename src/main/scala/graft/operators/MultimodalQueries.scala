@@ -155,7 +155,54 @@ object MultimodalQueries {
       .select(col("doc_id"),
         posexplode(audioSamplesUdf(col("doc_id"), col("n_chars"))).as(Seq("i", "v")))
 
+  /** Per-frame decoded gray sums of the doc's synthetic "video": F
+    * frames, gray level constant within a shot and jumping at the
+    * planted cut frames — each frame rides the REAL PNG encode→decode
+    * path, so the scene-cut numbers prove the codec, not just the
+    * fixture arithmetic.
+    */
+  val videoFrameSumsUdf = udf { (docId: Long, nChars: Long) =>
+    val frames = (6 + docId % 4).toInt
+    val c1 = (2 + docId % 3).toInt
+    val c2 = (5 + nChars % 2).toInt
+    (0 until frames).map { f =>
+      val shot = (if (f >= c1) 1 else 0) + (if (c2 < frames && f >= c2) 1 else 0)
+      val g = ((docId * 37 + shot * 83) % 256).toInt
+      ImageCodec.decodeImage(ImageCodec.writeGradientPng(8, 8, g)) match {
+        case Some(img) =>
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          sum
+        case None => -1L
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // Shot-boundary (scene cut) detection — the video segmentation
+    // pass a video-training pipeline runs before sampling clips: a cut
+    // is a jump in consecutive frames' decoded feature (here the exact
+    // gray sum; within a shot consecutive frames are identical, so any
+    // nonzero delta is a boundary). One lag window per video over the
+    // per-frame relation; all per-frame decode is map-side.
+    "video_scene_cuts" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(videoFrameSumsUdf(col("doc_id"), col("n_chars")))
+            .as(Seq("frame_idx", "sum_gray")))
+        .withColumn("prev", lag(col("sum_gray"), 1).over(w))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("sum_gray"),
+          coalesce(abs(col("sum_gray") - col("prev")), lit(0L)).cast("long").as("diff"),
+          coalesce(abs(col("sum_gray") - col("prev")) > 0, lit(false)).as("cut"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // Audio metadata through the real RIFF/PCM16 roundtrip: rate,
     // sample count, byte size, integer duration — the header columns
     // an audio table carries. Per-row map work, no shuffle.
@@ -391,6 +438,23 @@ object MultimodalQueries {
       "FROM documents) d, unnest(range(0, d.pad + d.n + d.trail)) AS g(i))"
 
   val oracles: Map[String, String] = Map(
+    "video_scene_cuts" ->
+      ("WITH v AS (SELECT doc_id, 6 + doc_id % 4 AS nf, 2 + doc_id % 3 AS c1, " +
+        "5 + n_chars % 2 AS c2 FROM documents), " +
+        "fr AS (SELECT v.doc_id, f.i AS frame_idx, " +
+        "(v.doc_id * 37 + (CASE WHEN f.i >= v.c1 THEN 1 ELSE 0 END + " +
+        "CASE WHEN v.c2 < v.nf AND f.i >= v.c2 THEN 1 ELSE 0 END) * 83) % 256 AS g " +
+        "FROM v, unnest(range(v.nf)) AS f(i)), " +
+        "sums AS (SELECT fr.doc_id, fr.frame_idx, " +
+        "CAST(sum((fr.g + x.i + y.i) % 256) AS BIGINT) AS sum_gray " +
+        "FROM fr, unnest(range(8)) AS x(i), unnest(range(8)) AS y(i) " +
+        "GROUP BY fr.doc_id, fr.frame_idx), " +
+        "lagd AS (SELECT doc_id, frame_idx, sum_gray, " +
+        "lag(sum_gray) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM sums) " +
+        "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, sum_gray, " +
+        "CAST(coalesce(abs(sum_gray - prev), 0) AS BIGINT) AS diff, " +
+        "coalesce(abs(sum_gray - prev) > 0, FALSE) AS cut " +
+        "FROM lagd ORDER BY doc_id, frame_idx"),
     "audio_meta" ->
       ("SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
         "CAST(pad + n + trail AS BIGINT) AS n_samples, " +
