@@ -62,6 +62,43 @@ object GovernanceQueries {
           (col("violations") === 0L).as("pass"))
         .orderBy("check_name")
     }),
+    // Cross-table suite (VERDICT r11 #6): referential integrity + row
+    // reconciliation — the checks a single-table pass cannot express.
+    // Each check is ONE aggregate-then-anti-join: the fact side
+    // pre-aggregates to (fk, row_count) — corpus-sized input, key-sized
+    // output — so the anti-join against the dimension's key set moves
+    // key-cardinality rows, never fact rows, and `violations` still
+    // counts orphan ROWS (sum of counts), not just orphan keys. Eight
+    // checks = eight keyed joins over six tables; there is no
+    // single-scan form for cross-table constraints.
+    "dq_suite_fk" -> ((s, d) => {
+      def fk(name: String, fact: DataFrame, fkCol: String,
+             dim: DataFrame, pkCol: String): DataFrame =
+        fact.groupBy(col(fkCol)).agg(count(lit(1)).as("cnt"))
+          .join(dim.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+          .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val checks = Seq(
+        fk("fk_customer_nationkey", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        fk("fk_lineitem_orderkey", li, "l_orderkey", ord, "o_orderkey"),
+        fk("fk_lineitem_partkey", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+        fk("fk_lineitem_suppkey", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+        fk("fk_nation_regionkey", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"),
+        fk("fk_orders_custkey", ord, "o_custkey", Tables.customer(s, d), "c_custkey"),
+        fk("fk_supplier_nationkey", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        // reconciliation: every order must have at least one lineitem
+        fk("recon_orders_have_lineitems", ord, "o_orderkey",
+          li.select(col("l_orderkey")), "l_orderkey"))
+      checks.reduce(_ unionByName _)
+        .select(col("check_name"), col("violations"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy("check_name")
+    }),
     "k_anonymity" -> ((s, d) => {
       val g = Tables.customer(s, d)
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
@@ -112,6 +149,25 @@ object GovernanceQueries {
         "UNION ALL SELECT 'l_returnflag_domain', v_flag FROM m " +
         "UNION ALL SELECT 'l_shipdate_complete', v_ship FROM m " +
         "UNION ALL SELECT 'pk_unique', v_pk FROM m) ORDER BY check_name"),
+    "dq_suite_fk" ->
+      ("SELECT check_name, violations, violations = 0 AS pass FROM (" +
+        "SELECT 'fk_customer_nationkey' AS check_name, CAST((SELECT count(*) FROM customer f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = f.c_nationkey)) AS BIGINT) AS violations " +
+        "UNION ALL SELECT 'fk_lineitem_orderkey', CAST((SELECT count(*) FROM lineitem f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = f.l_orderkey)) AS BIGINT) " +
+        "UNION ALL SELECT 'fk_lineitem_partkey', CAST((SELECT count(*) FROM lineitem f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = f.l_partkey)) AS BIGINT) " +
+        "UNION ALL SELECT 'fk_lineitem_suppkey', CAST((SELECT count(*) FROM lineitem f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = f.l_suppkey)) AS BIGINT) " +
+        "UNION ALL SELECT 'fk_nation_regionkey', CAST((SELECT count(*) FROM nation f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = f.n_regionkey)) AS BIGINT) " +
+        "UNION ALL SELECT 'fk_orders_custkey', CAST((SELECT count(*) FROM orders f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = f.o_custkey)) AS BIGINT) " +
+        "UNION ALL SELECT 'fk_supplier_nationkey', CAST((SELECT count(*) FROM supplier f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = f.s_nationkey)) AS BIGINT) " +
+        "UNION ALL SELECT 'recon_orders_have_lineitems', CAST((SELECT count(*) FROM orders f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem p WHERE p.l_orderkey = f.o_orderkey)) AS BIGINT)" +
+        ") ORDER BY check_name"),
     "k_anonymity" ->
       ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n " +
         "FROM customer GROUP BY 1, 2), " +
