@@ -198,24 +198,53 @@ object MultimodalQueries {
     }
   }
 
+  /** Shot-boundary (scene cut) detection — the video segmentation pass a
+    * video-training pipeline runs before sampling clips: a cut is a jump
+    * in consecutive frames' decoded feature (here the exact gray sum;
+    * within a shot consecutive frames are identical, so any nonzero
+    * delta is a boundary). One lag window per video over the per-frame
+    * relation; all per-frame decode is map-side. Shared by
+    * `video_scene_cuts` and `video_clip_sample`.
+    */
+  private def videoFrameCuts(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(videoFrameSumsUdf(col("doc_id"), col("n_chars")))
+          .as(Seq("frame_idx", "sum_gray")))
+      .withColumn("prev", lag(col("sum_gray"), 1).over(w))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("sum_gray"),
+        coalesce(abs(col("sum_gray") - col("prev")), lit(0L)).cast("long").as("diff"),
+        coalesce(abs(col("sum_gray") - col("prev")) > 0, lit(false)).as("cut"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // Shot-boundary (scene cut) detection — the video segmentation
-    // pass a video-training pipeline runs before sampling clips: a cut
-    // is a jump in consecutive frames' decoded feature (here the exact
-    // gray sum; within a shot consecutive frames are identical, so any
-    // nonzero delta is a boundary). One lag window per video over the
-    // per-frame relation; all per-frame decode is map-side.
-    "video_scene_cuts" -> ((s, d) => {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(videoFrameSumsUdf(col("doc_id"), col("n_chars")))
-            .as(Seq("frame_idx", "sum_gray")))
-        .withColumn("prev", lag(col("sum_gray"), 1).over(w))
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          col("sum_gray"),
-          coalesce(abs(col("sum_gray") - col("prev")), lit(0L)).cast("long").as("diff"),
-          coalesce(abs(col("sum_gray") - col("prev")) > 0, lit(false)).as("cut"))
+    "video_scene_cuts" -> ((s, d) =>
+      videoFrameCuts(s, d).orderBy("doc_id", "frame_idx")),
+    // Clip sampling — the training step AFTER shot detection (VERDICT
+    // r11 #7 closes the video arc): K=2 frames per detected shot,
+    // midpoint-uniform within the shot (offset ⌊len·(2j+1)/(2K)⌋,
+    // exact integer arithmetic, so a 1-frame shot samples its only
+    // frame once). Runs off the SAME per-frame relation as the cut
+    // detector — shot ids are a running sum of cut flags, and the
+    // per-shot rank/length are windows on the (doc, shot) key, so no
+    // second decode pass happens (the frame decode is the memoized
+    // content-addressed path) and no join-back is needed: sampling is
+    // a filter, not an explode.
+    "video_clip_sample" -> ((s, d) => {
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wShot = Window.partitionBy(col("doc_id"), col("shot_id"))
+      val wShotSeq = wShot.orderBy(col("frame_idx"))
+      videoFrameCuts(s, d)
+        .withColumn("shot_id", sum(when(col("cut"), 1L).otherwise(0L)).over(wRun))
+        .withColumn("pos", row_number().over(wShotSeq).cast("long") - 1L)
+        .withColumn("shot_len", count(lit(1)).over(wShot).cast("long"))
+        .filter(col("pos") === expr("shot_len div 4") ||
+          col("pos") === expr("(3 * shot_len) div 4"))
+        .select(col("doc_id"), col("shot_id"), col("frame_idx"),
+          col("sum_gray"), col("shot_len"))
         .orderBy("doc_id", "frame_idx")
     }),
     // Audio metadata through the real RIFF/PCM16 roundtrip: rate,
@@ -253,6 +282,35 @@ object MultimodalQueries {
     "audio_frames" -> ((s, d) => {
       audioSamples(s, d)
         .withColumn("frame_no", (col("i") / 80).cast("long"))
+        .groupBy(col("doc_id"), col("frame_no"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("v")).cast("long").as("energy"),
+          max(abs(col("v"))).cast("long").as("peak"))
+        .orderBy("doc_id", "frame_no")
+    }),
+    // 8 kHz → 16 kHz upsample (VERDICT r11 #8 — the one audio step
+    // every speech pipeline runs that the family lacked): 2× linear
+    // interpolation at fixed rational positions — out[2i] = v[i],
+    // out[2i+1] = ⌊(v[i]+v[i+1])/2⌋ (no extrapolation past the last
+    // sample, so n_out = 2n−1). The midpoint uses an OFFSET floor
+    // (`(v+vn+20000) div 2 − 10000`): amplitudes are ≤ 5000, so the
+    // numerator is nonnegative and Spark's truncating `div` equals
+    // DuckDB's flooring `//` — a bare (v+vn) div 2 diverges between
+    // the engines on negative odd sums. The resampled stream is then
+    // framed at 10 ms (160 samples at 16 kHz) like `audio_frames`, so
+    // every interpolated sample lands in an exact integer energy sum.
+    // Source samples ride the real RIFF/PCM16 roundtrip; one lead
+    // window + one keyed aggregation.
+    "audio_resample" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val withNext = audioSamples(s, d).withColumn("vn", lead(col("v"), 1).over(w))
+      val even = withNext.select(col("doc_id"),
+        (col("i") * 2).cast("long").as("j"), col("v").cast("long").as("v"))
+      val odd = withNext.filter(col("vn").isNotNull)
+        .select(col("doc_id"), (col("i") * 2 + 1).cast("long").as("j"),
+          (expr("(v + vn + 20000) div 2") - 10000).cast("long").as("v"))
+      even.unionByName(odd)
+        .withColumn("frame_no", expr("j div 160").cast("long"))
         .groupBy(col("doc_id"), col("frame_no"))
         .agg(count(lit(1)).as("n"),
           sum(col("v") * col("v")).cast("long").as("energy"),
@@ -470,6 +528,31 @@ object MultimodalQueries {
         "CAST(coalesce(abs(sum_gray - prev), 0) AS BIGINT) AS diff, " +
         "coalesce(abs(sum_gray - prev) > 0, FALSE) AS cut " +
         "FROM lagd ORDER BY doc_id, frame_idx"),
+    "video_clip_sample" ->
+      ("WITH v AS (SELECT doc_id, 6 + doc_id % 4 AS nf, 2 + doc_id % 3 AS c1, " +
+        "5 + n_chars % 2 AS c2 FROM documents), " +
+        "fr AS (SELECT v.doc_id, f.i AS frame_idx, " +
+        "(v.doc_id * 37 + (CASE WHEN f.i >= v.c1 THEN 1 ELSE 0 END + " +
+        "CASE WHEN v.c2 < v.nf AND f.i >= v.c2 THEN 1 ELSE 0 END) * 83) % 256 AS g " +
+        "FROM v, unnest(range(v.nf)) AS f(i)), " +
+        "sums AS (SELECT fr.doc_id, fr.frame_idx, " +
+        "CAST(sum((fr.g + x.i + y.i) % 256) AS BIGINT) AS sum_gray " +
+        "FROM fr, unnest(range(8)) AS x(i), unnest(range(8)) AS y(i) " +
+        "GROUP BY fr.doc_id, fr.frame_idx), " +
+        "lagd AS (SELECT doc_id, frame_idx, sum_gray, " +
+        "lag(sum_gray) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM sums), " +
+        "cuts AS (SELECT doc_id, frame_idx, sum_gray, " +
+        "CASE WHEN coalesce(abs(sum_gray - prev) > 0, FALSE) THEN 1 ELSE 0 END AS cut FROM lagd), " +
+        "shots AS (SELECT doc_id, frame_idx, sum_gray, " +
+        "sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS shot_id FROM cuts), " +
+        "ranked AS (SELECT doc_id, shot_id, frame_idx, sum_gray, " +
+        "row_number() OVER (PARTITION BY doc_id, shot_id ORDER BY frame_idx) - 1 AS pos, " +
+        "count(*) OVER (PARTITION BY doc_id, shot_id) AS shot_len FROM shots) " +
+        "SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id, " +
+        "CAST(frame_idx AS BIGINT) AS frame_idx, sum_gray, " +
+        "CAST(shot_len AS BIGINT) AS shot_len FROM ranked " +
+        "WHERE pos = shot_len // 4 OR pos = (3 * shot_len) // 4 " +
+        "ORDER BY doc_id, frame_idx"),
     "audio_meta" ->
       ("SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
         "CAST(pad + n + trail AS BIGINT) AS n_samples, " +
@@ -489,6 +572,14 @@ object MultimodalQueries {
       (s"SELECT doc_id, CAST(i // 80 AS BIGINT) AS frame_no, count(*) AS n, " +
         "CAST(sum(v * v) AS BIGINT) AS energy, CAST(max(abs(v)) AS BIGINT) AS peak " +
         s"FROM $audioSamplesSql GROUP BY doc_id, i // 80 ORDER BY doc_id, frame_no"),
+    "audio_resample" ->
+      (s"WITH sm AS (SELECT * FROM $audioSamplesSql), " +
+        "led AS (SELECT doc_id, i, v, lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS vn FROM sm), " +
+        "up AS (SELECT doc_id, 2 * i AS j, v FROM led " +
+        "UNION ALL SELECT doc_id, 2 * i + 1, (v + vn + 20000) // 2 - 10000 FROM led WHERE vn IS NOT NULL) " +
+        "SELECT doc_id, CAST(j // 160 AS BIGINT) AS frame_no, count(*) AS n, " +
+        "CAST(sum(v * v) AS BIGINT) AS energy, CAST(max(abs(v)) AS BIGINT) AS peak " +
+        "FROM up GROUP BY doc_id, j // 160 ORDER BY doc_id, frame_no"),
     "audio_silence_trim" ->
       (s"SELECT doc_id, CAST(min(CASE WHEN v <> 0 THEN i END) AS BIGINT) AS lead_silence, " +
         "CAST(count(*) - 1 - max(CASE WHEN v <> 0 THEN i END) AS BIGINT) AS trail_silence, " +
