@@ -235,9 +235,14 @@ object Bench {
     // pass escaped the contended window (false = even the bounded extra
     // passes couldn't flatten it — read best_known_total, not value)
     val canariesClean = contendedCanaries(results).isEmpty
+    // The headline `value` IS the raw this-run total (VERDICT r12 "what's
+    // wrong" #2 / ADVICE r12: the gate rule "use run_total if the merged
+    // number diverges" belongs in the harness, not in prose). The
+    // history-merged denoised total is reported separately as
+    // merged_total — strictly telemetry, never the gated number.
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","ts":"$ts","reruns":$reruns,"passes":$passes,""" +
-        s""""nqueries":${results.size},"run_total":$runTotal,"merged_from_history":$nMerged,""" +
+      s"""{"metric":"total","value":$runTotal,"unit":"sec","ts":"$ts","reruns":$reruns,"passes":$passes,""" +
+        s""""nqueries":${results.size},"run_total":$runTotal,"merged_total":$total,"merged_from_history":$nMerged,""" +
         s""""best_known_total":$bestKnown,"canaries_clean":$canariesClean,"sf":"$sfDir"}"""
     // Full per-query record to a file too: the driver's stdout capture
     // truncates long tails, which made round-2 timings unrecoverable.
