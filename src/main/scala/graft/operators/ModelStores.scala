@@ -131,6 +131,73 @@ object NbModelStore {
   }
 }
 
+/** Persisted language-ID NB statistics (VERDICT r12 ask #1) — the same
+  * per-batch sum-monoid discipline as [[NbModelStore]], over the
+  * multi-class sufficient statistics: per-(lang, bucket) TRAIN token
+  * counts and per-lang TRAIN doc priors. Both are per-doc sums (the
+  * label is the doc's own lang column), so batch partitions fold to the
+  * union's statistics exactly; serving (the dense model table and the
+  * per-doc argmax scores) goes through the SAME
+  * [[CurationQueries.langDenseModel]]/[[CurationQueries.langScoreDocs]]
+  * definitions as the oracled inline queries — one math, two backings.
+  */
+object LangModelStore {
+
+  /** This batch's per-(lang, bucket) TRAIN token counts. */
+  def counts(docs: DataFrame): DataFrame = CurationQueries.langCountsOf(docs)
+
+  /** This batch's per-lang TRAIN doc priors. */
+  def priors(docs: DataFrame): DataFrame = CurationQueries.langPriorsOf(docs)
+
+  private def writeBoth(docs: DataFrame, dir: String, batchId: Long,
+                        full: Boolean): Unit = {
+    graft.BatchSink.writeBatch(counts(docs), batchId, s"$dir/counts", full)
+    graft.BatchSink.writeBatch(priors(docs), batchId, s"$dir/priors", full)
+  }
+
+  def init(docs: DataFrame, dir: String): Unit =
+    writeBoth(docs, dir, 0L, full = true)
+
+  def addBatch(docs: DataFrame, dir: String, batchId: Long): Unit =
+    writeBoth(docs, dir, batchId, full = false)
+
+  /** Folded (lang, b, c) counts (heals a torn compact swap first). */
+  def readCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/counts")
+    spark.read.parquet(s"$dir/counts")
+      .groupBy(col("lang"), col("b"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Folded per-lang priors. */
+  def readPriors(spark: SparkSession, dir: String): DataFrame = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/priors")
+    spark.read.parquet(s"$dir/priors")
+      .groupBy(col("lang"))
+      .agg(sum(col("np")).as("np"))
+  }
+
+  /** The served model — same schema, smoothing, and ordering as the
+    * oracled `lang_classifier_model` relation, derived from the STORE.
+    */
+  def model(spark: SparkSession, dir: String): DataFrame =
+    CurationQueries.langDenseModel(readCounts(spark, dir))
+      .select(col("lang"), col("b"), col("c"),
+        round(CurationQueries.langLogLik(col("c"), col("ntl")), 6).as("log_lik"))
+      .orderBy("lang", "b")
+
+  /** Score any docs relation FROM the stored statistics — identical
+    * math to the inline `lang_classifier` (doc_id, pred_lang, score).
+    */
+  def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    CurationQueries.langScoreDocs(docs, readCounts(spark, dir), readPriors(spark, dir))
+
+  def compact(spark: SparkSession, dir: String): Unit = {
+    graft.BatchSink.compact(spark, s"$dir/counts")
+    graft.BatchSink.compact(spark, s"$dir/priors")
+  }
+}
+
 /** Persisted BPE word-frequency statistics; see [[NbModelStore]] doc. */
 object BpeStatsStore {
 

@@ -517,6 +517,7 @@ object EventStreams {
       distinctSketchDir: Option[String] = None,
       nbModelDir: Option[String] = None,
       bpeStatsDir: Option[String] = None,
+      langModelDir: Option[String] = None,
       bucketedDedup: Option[(String, String)] = None): StreamingQuery = {
     require(compactEvery.forall(_ >= 1), s"compactEvery must be >= 1, got $compactEvery")
     require(auditEvery.forall(_ >= 1), s"auditEvery must be >= 1, got $auditEvery")
@@ -613,6 +614,8 @@ object EventStreams {
           distinctSketchDir.map(sd => sd -> "DistinctSketch.init") ++
           nbModelDir.toSeq.flatMap(nd => Seq(s"$nd/counts" -> "NbModelStore.init",
             s"$nd/priors" -> "NbModelStore.init")) ++
+          langModelDir.toSeq.flatMap(ld => Seq(s"$ld/counts" -> "LangModelStore.init",
+            s"$ld/priors" -> "LangModelStore.init")) ++
           bpeStatsDir.map(bd => bd -> "BpeStatsStore.init")).foreach { case (tbl, hint) =>
           assertNotStale(tbl, maxLandedBatch(tbl, hint))
         }
@@ -642,6 +645,10 @@ object EventStreams {
           nbModelDir.foreach { nd =>
             graft.BatchSink.compactBelow(spark, s"$nd/counts", batchId)
             graft.BatchSink.compactBelow(spark, s"$nd/priors", batchId)
+          }
+          langModelDir.foreach { ld =>
+            graft.BatchSink.compactBelow(spark, s"$ld/counts", batchId)
+            graft.BatchSink.compactBelow(spark, s"$ld/priors", batchId)
           }
           bpeStatsDir.foreach(bd => graft.BatchSink.compactBelow(spark, bd, batchId))
         }
@@ -689,6 +696,7 @@ object EventStreams {
         // replay-heals story — and the NB model / BPE merge table stay
         // current with the stream (VERDICT r10 #6)
         nbModelDir.foreach(nd => graft.operators.NbModelStore.addBatch(survivors, nd, batchId))
+        langModelDir.foreach(ld => graft.operators.LangModelStore.addBatch(survivors, ld, batchId))
         bpeStatsDir.foreach(bd => graft.operators.BpeStatsStore.addBatch(survivors, bd, batchId))
         // cadence: READ-ONLY drift audit over the just-updated stored
         // index, landed under this epoch's own batch partition (replay

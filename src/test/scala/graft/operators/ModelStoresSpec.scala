@@ -56,6 +56,37 @@ class ModelStoresSpec extends AnyFunSuite {
       "model after compaction")
   }
 
+  test("Lang store: batch-folded model == inline; stored scoring == inline predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lang-store").toString
+    val (docs, b0, b1, b2) = batches
+    LangModelStore.init(b0, dir)
+    LangModelStore.addBatch(b1, dir, 1L)
+    LangModelStore.addBatch(b2, dir, 2L)
+
+    // served model == the oracled inline relation
+    assertSameTable(LangModelStore.model(spark, dir),
+      graft.SparkEntry.queries("lang_classifier_model")(spark, d),
+      "stored model vs inline lang_classifier_model")
+
+    // stored-artifact scoring == the inline classifier's predictions
+    val inline = graft.SparkEntry.queries("lang_classifier")(spark, d)
+      .select(col("doc_id"), col("pred_lang"), col("score"))
+    assertSameTable(LangModelStore.score(spark, dir, docs).orderBy("doc_id"),
+      inline.orderBy("doc_id"), "stored scoring vs inline predictions")
+
+    // crash-retry: re-landing a batch overwrites its own partition
+    LangModelStore.addBatch(b1, dir, 1L)
+    assertSameTable(LangModelStore.model(spark, dir),
+      graft.SparkEntry.queries("lang_classifier_model")(spark, d),
+      "re-added batch is a no-op")
+
+    // compaction folds partitions without changing the served model
+    LangModelStore.compact(spark, dir)
+    assertSameTable(LangModelStore.model(spark, dir),
+      graft.SparkEntry.queries("lang_classifier_model")(spark, d),
+      "model after compaction")
+  }
+
   test("BPE store: batch-folded counts serve the inline merge table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-store").toString
     val (docs, b0, b1, b2) = batches

@@ -36,6 +36,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val lshDir = s"$tmp/lsh"; val cp = s"$tmp/cp"; val sketchDir = s"$tmp/sketch"
     val distinctDir = s"$tmp/distinct"
     val nbDir = s"$tmp/nbmodel"; val bpeDir = s"$tmp/bpestats"
+    val langDir = s"$tmp/langmodel"
 
     // init both indexes from a 3-doc corpus (batch 0)
     val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
@@ -49,6 +50,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     graft.operators.DistinctSketch.init(corpusA, distinctDir)
     graft.operators.NbModelStore.init(corpusA, nbDir)
     graft.operators.BpeStatsStore.init(corpusA, bpeDir)
+    graft.operators.LangModelStore.init(corpusA, langDir)
 
     // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
     // the initial corpus + one WITHIN-batch dup of the new doc (must
@@ -73,6 +75,7 @@ class StreamingIndexSpec extends AnyFunSuite {
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
       sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir),
       nbModelDir = Some(nbDir), bpeStatsDir = Some(bpeDir),
+      langModelDir = Some(langDir),
       betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q1.processAllAvailable()
@@ -86,7 +89,8 @@ class StreamingIndexSpec extends AnyFunSuite {
     val q2 = EventStreams.indexMaintenanceRelay(s, in, dedupDir, annDir, cp,
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
       sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir),
-      nbModelDir = Some(nbDir), bpeStatsDir = Some(bpeDir))
+      nbModelDir = Some(nbDir), bpeStatsDir = Some(bpeDir),
+      langModelDir = Some(langDir))
     try q2.processAllAvailable() finally q2.stop()
 
     // survivors: doc 10 (batch 1) and doc 20 (batch 2); dups 11 and 21
@@ -151,6 +155,12 @@ class StreamingIndexSpec extends AnyFunSuite {
     assertSameTable(graft.operators.BpeStatsStore.read(spark, bpeDir),
       graft.operators.BpeStatsStore.counts(grown),
       "streamed BPE counts vs one-pass over accepted corpus")
+    assertSameTable(graft.operators.LangModelStore.readCounts(spark, langDir),
+      graft.operators.LangModelStore.counts(grown),
+      "streamed lang counts vs one-pass over accepted corpus")
+    assertSameTable(graft.operators.LangModelStore.readPriors(spark, langDir),
+      graft.operators.LangModelStore.priors(grown),
+      "streamed lang priors vs one-pass over accepted corpus")
 
     // a FRESH checkpoint against the already-grown indexes restarts
     // epochs at 0 — the relay must refuse instead of dynamic-
