@@ -117,8 +117,15 @@ object AnnPq {
     */
   def search(e: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val cbs = codebooks(e)
-    val codes = encode(e, cbs)
-    val luts = lut(queries, cbs)
+    searchCodes(encode(e, cbs), lut(queries, cbs), k)
+  }
+
+  /** The ADC ranking over an ALREADY-ENCODED codes relation — shared by
+    * the inline [[search]] (codes derived in-plan) and
+    * [[AnnPqStore.search]] (codes read from the persisted store), so
+    * the two backings can never drift on the scoring.
+    */
+  def searchCodes(codes: DataFrame, luts: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
     codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("q_id"))

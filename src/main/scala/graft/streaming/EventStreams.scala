@@ -518,6 +518,7 @@ object EventStreams {
       nbModelDir: Option[String] = None,
       bpeStatsDir: Option[String] = None,
       langModelDir: Option[String] = None,
+      pqDir: Option[String] = None,
       bucketedDedup: Option[(String, String)] = None): StreamingQuery = {
     require(compactEvery.forall(_ >= 1), s"compactEvery must be >= 1, got $compactEvery")
     require(auditEvery.forall(_ >= 1), s"auditEvery must be >= 1, got $auditEvery")
@@ -610,6 +611,7 @@ object EventStreams {
           _ => Seq.empty) ++
           Seq(s"$annDir/cells" -> "AnnIndex.init") ++
           lshDir.map(l => s"$l/vectors" -> "AnnLshIndex.init") ++
+          pqDir.map(p => s"$p/codes" -> "AnnPqStore.init") ++
           sketchDir.map(sd => sd -> "SourceSketch.init") ++
           distinctSketchDir.map(sd => sd -> "DistinctSketch.init") ++
           nbModelDir.toSeq.flatMap(nd => Seq(s"$nd/counts" -> "NbModelStore.init",
@@ -635,6 +637,9 @@ object EventStreams {
             // rows, so the fold is sum-invariant
             graft.BatchSink.compactBelow(spark, s"$l/stats", batchId)
           }
+          // PQ codes are per-vector rows keyed by batch — folding is
+          // row-identity like the IVF cells table
+          pqDir.foreach(p => graft.BatchSink.compactBelow(spark, s"$p/codes", batchId))
           // both sketch readers fold rows through their own monoid
           // (elementwise min / KMV merge), so partition folding is
           // trivially answer-invariant
@@ -678,6 +683,10 @@ object EventStreams {
         // partition overwrite — a replay after a crash between the IVF
         // and LSH adds heals the tear exactly like the dedup/IVF pair
         lshDir.foreach(l => graft.operators.AnnLshIndex.addBatch(spark, vectors, l, batchId))
+        // the optional PQ code store: arriving vectors are encoded
+        // against the STORED codebooks (trained at init; retrain is a
+        // re-init) — same batch id, same idempotent partition overwrite
+        pqDir.foreach(p => graft.operators.AnnPqStore.addBatch(spark, vectors, p, batchId))
         // the optional source-overlap sketch rides the same cycle over
         // the ACCEPTED survivors (the sketch tracks the corpus the
         // indexes hold, not raw arrivals): same batch id, idempotent

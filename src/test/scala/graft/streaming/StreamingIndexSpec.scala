@@ -37,6 +37,7 @@ class StreamingIndexSpec extends AnyFunSuite {
     val distinctDir = s"$tmp/distinct"
     val nbDir = s"$tmp/nbmodel"; val bpeDir = s"$tmp/bpestats"
     val langDir = s"$tmp/langmodel"
+    val pqDir = s"$tmp/pq"
 
     // init both indexes from a 3-doc corpus (batch 0)
     val corpusA = doc(1, "alpha beta gamma delta epsilon zeta")
@@ -51,6 +52,11 @@ class StreamingIndexSpec extends AnyFunSuite {
     graft.operators.NbModelStore.init(corpusA, nbDir)
     graft.operators.BpeStatsStore.init(corpusA, bpeDir)
     graft.operators.LangModelStore.init(corpusA, langDir)
+    // only 3 vectors exist, so the id-slice stand-in is empty — pass
+    // the codebooks explicitly (K fewer than 8 entries is fine: encode
+    // argmins over what exists, the LUT arrays shrink to match)
+    graft.operators.AnnPqStore.init(embA, pqDir,
+      codebooks = Some(graft.operators.AnnPq.codebooks(embA, baseId = 1L)))
 
     // stream file 1 (epoch 0 → batch 1): one new doc + one exact dup of
     // the initial corpus + one WITHIN-batch dup of the new doc (must
@@ -75,7 +81,7 @@ class StreamingIndexSpec extends AnyFunSuite {
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
       sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir),
       nbModelDir = Some(nbDir), bpeStatsDir = Some(bpeDir),
-      langModelDir = Some(langDir),
+      langModelDir = Some(langDir), pqDir = Some(pqDir),
       betweenSinks = bid => if (bid == 1L) throw new RuntimeException("injected crash"))
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q1.processAllAvailable()
@@ -90,7 +96,7 @@ class StreamingIndexSpec extends AnyFunSuite {
       maxFilesPerTrigger = Some(1), lshDir = Some(lshDir),
       sketchDir = Some(sketchDir), distinctSketchDir = Some(distinctDir),
       nbModelDir = Some(nbDir), bpeStatsDir = Some(bpeDir),
-      langModelDir = Some(langDir))
+      langModelDir = Some(langDir), pqDir = Some(pqDir))
     try q2.processAllAvailable() finally q2.stop()
 
     // survivors: doc 10 (batch 1) and doc 20 (batch 2); dups 11 and 21
@@ -161,6 +167,14 @@ class StreamingIndexSpec extends AnyFunSuite {
     assertSameTable(graft.operators.LangModelStore.readPriors(spark, langDir),
       graft.operators.LangModelStore.priors(grown),
       "streamed lang priors vs one-pass over accepted corpus")
+
+    // the PQ code store rode the same cycle: stored codes == a one-pass
+    // encode of the accepted corpus against the STORED codebooks
+    assertSameTable(
+      graft.operators.AnnPqStore.readCodes(spark, pqDir).orderBy("vec_id"),
+      graft.operators.AnnPq.encode(embedOf(grown),
+        graft.operators.AnnPqStore.readCodebooks(spark, pqDir)).orderBy("vec_id"),
+      "streamed PQ codes vs one-pass encode over accepted corpus")
 
     // a FRESH checkpoint against the already-grown indexes restarts
     // epochs at 0 — the relay must refuse instead of dynamic-
