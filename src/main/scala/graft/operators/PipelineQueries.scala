@@ -117,6 +117,25 @@ object PipelineQueries {
       IngestPipeline.cascadeDelete(points, deleted)
         .orderBy("source_drive_file", "chunk_index")
     }),
+    // CDC merge of the point collection (CollectionStore — the consumer
+    // the snapshot-diff pair gained in r13): an old docs snapshot
+    // (doc_id % 5 == 1 missing = to-be-added; % 5 == 3 truncated =
+    // changed) is diffed at the DOC level against the new one
+    // (% 5 == 2 missing = removed), and the diff drives a point-level
+    // Delta-MERGE of the old collection. The ORACLE derives the points
+    // DIRECTLY from the new snapshot — i.e. the cross-engine gate IS
+    // the merge law apply-then-read == direct-new-snapshot.
+    "collection_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 5 =!= 1)
+        .withColumn("text", when(col("doc_id") % 5 === 3,
+          substring(col("text"), 1, 100)).otherwise(col("text")))
+      val nw = docs.filter(col("doc_id") % 5 =!= 2)
+      graft.pipeline.CollectionStore.applyDocDiff(
+          graft.pipeline.CollectionStore.pointsOf(old),
+          graft.pipeline.CollectionStore.docDiff(old, nw), nw)
+        .orderBy("doc_id", "chunk_index")
+    }),
     // P14 dimension resolver as a RELATION: every static-table entry
     // resolved through the fallback ladder, plus one probe per ladder
     // rung (unknown model per provider, smart-pipeline cross-table
@@ -261,6 +280,13 @@ object PipelineQueries {
         "UNION ALL SELECT 'table:documents', count(*) > 0, 'readable' FROM documents " +
         "UNION ALL SELECT 'table:embeddings', count(*) > 0, 'readable' FROM embeddings" +
         ") ORDER BY component"),
+    "collection_merge" ->
+      ("SELECT d.doc_id, s.start // 160 AS chunk_index, " +
+        "md5(d.doc_id::VARCHAR || ':' || (s.start // 160)::VARCHAR) AS point_id, " +
+        "CAST(length(substr(d.text, s.start + 1, 200)) AS BIGINT) AS character_count " +
+        "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2) d, " +
+        "unnest(generate_series(0, length(d.text) - 1, 160)) AS s(start) " +
+        "WHERE length(trim(d.text)) > 0 ORDER BY doc_id, chunk_index"),
     "k3_cascade_delete" ->
       (s"WITH c AS ($chunkRel) " +
         "SELECT doc_id AS source_drive_file, chunk_index, " +
