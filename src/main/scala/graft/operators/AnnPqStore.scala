@@ -25,24 +25,54 @@ import org.apache.spark.sql.functions._
   * reads ONLY the 4-byte codes (never an embedding) with the LUT side
   * queries-sized and broadcast. Reference anchor: the reference's
   * vector service persists its collection artifacts across requests
-  * (frappe_data_pipelines/services/vector_service.py) — recomputing a
+  * (frappe_data_pipelines/services/qdrant_service.py) — recomputing a
   * quantizer per query has no production analogue.
   */
 object AnnPqStore {
 
+  /** Marker file recording which SPACE the stored codes live in: "raw"
+    * or "residual" (ADVICE r13: whether a store holds residual-space or
+    * raw-space codes used to exist only in the caller's head — a
+    * mismatched `residualStore` flag silently returned a plausible but
+    * wrong ranking, since both paths type-check against the same
+    * schema). Written at [[init]]; [[searchInCells]] derives the search
+    * path from it instead of trusting an argument.
+    */
+  private val SpaceMarker = "_GRAFT_PQ_SPACE"
+
   /** Build the store: codebooks from the deterministic id-slice
     * convention (or pass `codebooks` explicitly, e.g. per-subspace
     * k-means output or a residual-space slice), codes for the initial
-    * corpus as batch 0.
+    * corpus as batch 0. Set `residual = true` when `vectors` is the
+    * residualized relation — the store records the space and the read
+    * path dispatches on the record.
     */
   def init(vectors: DataFrame, dir: String, baseId: Long = 100L,
-           codebooks: Option[DataFrame] = None): Unit = {
+           codebooks: Option[DataFrame] = None, residual: Boolean = false): Unit = {
     val cbs = codebooks.getOrElse(AnnPq.codebooks(vectors, baseId)).localCheckpoint()
     require(!cbs.isEmpty,
       "AnnPqStore.init: codebooks are empty — the id-range stand-in found no codebook " +
         "vectors in this corpus; pass codebooks = Some(...) explicitly")
     graft.BatchSink.writeBatch(cbs, 0L, s"$dir/codebooks", full = true)
     graft.BatchSink.writeBatch(AnnPq.encode(vectors, cbs), 0L, s"$dir/codes", full = true)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$SpaceMarker")
+    val fs = p.getFileSystem(vectors.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write((if (residual) "residual" else "raw").getBytes("UTF-8")); out.close()
+  }
+
+  /** The space the stored codes live in, from the [[SpaceMarker]]. A
+    * store written before the marker existed reads as raw-space (the
+    * only kind those stores held).
+    */
+  def storedResidual(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$SpaceMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    in.close()
+    s == "residual"
   }
 
   /** Encode a batch of NEW vectors against the STORED codebooks and land
@@ -79,20 +109,21 @@ object AnnPqStore {
   /** IVFADC from PURELY stored artifacts: PQ codes + codebooks from this
     * store, coarse centroids + cell assignments from an [[AnnIndex]]
     * store — the production read path where no query ever touches an
-    * embedding column or recomputes a quantizer. `residualStore` adds
-    * the per-cell q·centroid integer term (the residual decomposition);
-    * set it when the store was built over the residual relation.
+    * embedding column or recomputes a quantizer. Whether the per-cell
+    * q·centroid integer term (the residual decomposition) applies is
+    * read from the store's own [[SpaceMarker]] — not an argument, so a
+    * caller can never search a residual store down the raw path (or
+    * vice versa) and get a plausible-but-wrong ranking.
     */
   def searchInCells(spark: SparkSession, dir: String, annDir: String,
-                    queries: DataFrame, nprobe: Int, k: Int,
-                    residualStore: Boolean = false): DataFrame = {
+                    queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val cbs = readCodebooks(spark, dir)
     val cents = readHealed(spark, s"$annDir/centroids").select("c_id", "cv")
     val cells = readHealed(spark, s"$annDir/cells").select("vec_id", "cell")
     val codesWithCell = readCodes(spark, dir).join(cells, Seq("vec_id"))
     val probes = AnnIndex.probe(queries, cents, nprobe)
-    if (residualStore) {
+    if (storedResidual(spark, dir)) {
       val cellCv = cents.select(col("c_id").as("cell"), col("cv"))
       val probeLuts = probes
         .join(broadcast(cellCv), Seq("cell"))

@@ -74,13 +74,63 @@ object EventStreams {
     * overflow signal (0 on every sane corpus; a nonzero value means a
     * bot key hit the cap and its funnel/session output is truncated to
     * the cap's earliest events). Local-mode exact (driver and executors
-    * share the JVM); on a cluster each executor counts and warns
-    * locally — production wires this to the metrics sink.
+    * share the JVM). The QUERYABLE per-key channel is
+    * [[hotKeyDropMetrics]]; this stays the cheap process total.
     */
   def hotKeyDropped: Long = droppedCounter.get()
   private val droppedCounter = new java.util.concurrent.atomic.AtomicLong
 
-  private def cappedSmallest[T](rows: Iterator[T], cap: Int, tag: => String)
+  /** One guard overflow: which operator, which key, how many events. */
+  final case class HotKeyDrop(op: String, user_id: Long, dropped_events: Long)
+
+  /** Per-application accumulator carrying every guard overflow back to
+    * the driver (VERDICT r12 ask #6 / r13 #3: truncation used to be a
+    * JVM-local counter + a stderr line — invisible to any query on a
+    * cluster, where executor-local state never reaches the driver). An
+    * accumulator IS Spark's executor→driver metrics channel: tasks add
+    * (op, key, dropped) on overflow, the driver folds them into the
+    * [[hotKeyDropMetrics]] relation. Emission is overflow-only, so the
+    * payload is bounded by the number of BOT keys (rare by
+    * construction), never by corpus size. Standard accumulator caveat:
+    * a re-run task may re-add its update — acceptable for a truncation
+    * alarm (zero stays exactly zero; nonzero keys are the signal).
+    */
+  private val dropAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.CollectionAccumulator[HotKeyDrop]]()
+  private def dropAcc(sc: org.apache.spark.SparkContext) =
+    dropAccs.computeIfAbsent(sc.applicationId,
+      _ => sc.collectionAccumulator[HotKeyDrop]("graft.hotKeyDrops"))
+
+  /** The hot-key truncation METRICS RELATION: (op, user_id,
+    * dropped_events) per over-cap key since the last [[flushHotKeyDrops]]
+    * — what a dashboard joins against the session/funnel output to mark
+    * truncated keys. In-cap keys emit NOTHING (HotKeyDropSpec pins
+    * both). Empty on every sane corpus.
+    */
+  def hotKeyDropMetrics(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    dropAcc(spark.sparkContext).value.asScala.toSeq.toDS()
+      .groupBy(col("op"), col("user_id"))
+      .agg(sum(col("dropped_events")).as("dropped_events"))
+  }
+
+  /** Land the current drop metrics as a `batch_id` partition beside the
+    * relay's other maintained relations (idempotent per batch like every
+    * [[graft.BatchSink.writeBatch]] sink) and clear the accumulator.
+    * No-op when nothing overflowed — no empty partitions. Call from a
+    * foreachBatch cadence or an operational sweep.
+    */
+  def flushHotKeyDrops(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val acc = dropAcc(spark.sparkContext)
+    if (!acc.isZero) {
+      writeBatchPartition(hotKeyDropMetrics(spark), batchId, dir)
+      acc.reset()
+    }
+  }
+
+  private def cappedSmallest[T](rows: Iterator[T], cap: Int, op: String, key: Long,
+                                acc: org.apache.spark.util.CollectionAccumulator[HotKeyDrop])
                                (implicit ord: Ordering[T]): Seq[T] = {
     val heap = new scala.collection.mutable.PriorityQueue[T]()(ord) // max-heap → smallest survive
     var dropped = 0L
@@ -93,7 +143,8 @@ object EventStreams {
     }
     if (dropped > 0L) {
       droppedCounter.addAndGet(dropped)
-      System.err.println(s"[graft] hot-key guard: dropped $dropped over-cap events ($tag)")
+      acc.add(HotKeyDrop(op, key, dropped))
+      System.err.println(s"[graft] hot-key guard: dropped $dropped over-cap events ($op user=$key)")
     }
     heap.dequeueAll.reverse // ascending event time
   }
@@ -134,6 +185,7 @@ object EventStreams {
       gapMicros: Long = 1800L * 1000000L,
       hotKeyCap: Int = HotKeyCap): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val acc = dropAcc(events.sparkSession.sparkContext)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -141,7 +193,7 @@ object EventStreams {
         (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
           val (closed, st) = foldSessions(userId, state.getOption,
             cappedSmallest(rows.map(e => (e.tsMicros, e.event_id)), hotKeyCap,
-              s"sessionize user=$userId"), gapMicros)
+              "sessionize", userId, acc), gapMicros)
           st.foreach(state.update)
           closed.iterator
       }
@@ -175,6 +227,7 @@ object EventStreams {
     val s = events.sparkSession
     import s.implicits._
     val streaming = events.isStreaming
+    val acc = dropAcc(s.sparkContext)
     events
       .withColumn("ts", timestamp_micros(col("tsMicros")))
       .withWatermark("ts", watermarkDelay)
@@ -192,7 +245,7 @@ object EventStreams {
           } else {
             val (closed, stOpt) = foldSessions(userId, state.getOption,
               cappedSmallest(rows.map(e => (e.tsMicros, e.event_id)), hotKeyCap,
-                s"sessionizeBounded user=$userId"), gapMicros)
+                "sessionizeBounded", userId, acc), gapMicros)
             stOpt.foreach { st =>
               state.update(st)
               if (streaming) {
@@ -279,6 +332,7 @@ object EventStreams {
       steps: Seq[String] = Seq("view", "click", "purchase"),
       hotKeyCap: Int = HotKeyCap): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
+    val acc = dropAcc(events.sparkSession.sparkContext)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -287,7 +341,7 @@ object EventStreams {
           val (out, times) = foldFunnel(userId, steps,
             state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long]),
             cappedSmallest(rows.map(e => (e.tsMicros, e.event_type)), hotKeyCap,
-              s"funnelAdvance user=$userId"), clearOnComplete = false)
+              "funnelAdvance", userId, acc), clearOnComplete = false)
           if (times.nonEmpty) state.update(FunnelState(times))
           out.iterator
       }
@@ -329,6 +383,7 @@ object EventStreams {
     // batch execution has no watermark and never fires timeouts — skip
     // the timeout bookkeeping there (getCurrentWatermarkMs throws)
     val streaming = events.isStreaming
+    val acc = dropAcc(s.sparkContext)
     events
       .withColumn("ts", timestamp_micros(col("tsMicros")))
       .withWatermark("ts", watermarkDelay)
@@ -344,7 +399,7 @@ object EventStreams {
             val (out, times) = foldFunnel(userId, steps,
               state.getOption.map(_.times.toVector).getOrElse(Vector.empty[Long]),
               cappedSmallest(rows.map(e => (e.tsMicros, e.event_type)), hotKeyCap,
-                s"funnelAdvanceBounded user=$userId"), clearOnComplete = true)
+                "funnelAdvanceBounded", userId, acc), clearOnComplete = true)
             if (times.nonEmpty) {
               state.update(FunnelState(times))
               // evict once the watermark passes last-advance + horizon

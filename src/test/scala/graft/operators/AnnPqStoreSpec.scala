@@ -80,10 +80,13 @@ class AnnPqStoreSpec extends AnyFunSuite {
       .select(col("vec_id"),
         zip_with(col("embedding"), col("cv"),
           (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
-    AnnPqStore.init(resid, pqDir, baseId = 10L)
+    AnnPqStore.init(resid, pqDir, baseId = 10L, residual = true)
+    // the store records its own space (ADVICE r13): the search path is
+    // derived from the marker, not from a caller-supplied flag
+    assert(AnnPqStore.storedResidual(spark, pqDir))
     assertSameTable(
-      AnnPqStore.searchInCells(spark, pqDir, annDir, queriesRel, nprobe = 2, k = 3,
-        residualStore = true).orderBy("q_id", "rnk"),
+      AnnPqStore.searchInCells(spark, pqDir, annDir, queriesRel, nprobe = 2, k = 3)
+        .orderBy("q_id", "rnk"),
       graft.SparkEntry.queries("ann_ivf_pq_residual")(spark, d),
       "stored residual IVFADC vs inline ann_ivf_pq_residual")
   }

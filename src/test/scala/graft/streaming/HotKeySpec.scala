@@ -63,6 +63,34 @@ class HotKeySpec extends AnyFunSuite {
     assert(EventStreams.hotKeyDropped - before == 103L) // 203 hot rows - cap 100
   }
 
+  test("truncation is QUERYABLE: the hot key surfaces in hotKeyDropMetrics; in-cap keys emit nothing") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // isolate this test's rows from earlier suites' accumulated drops by
+    // flushing whatever is pending first (flush clears the accumulator)
+    val preDir = java.nio.file.Files.createTempDirectory("graft-hkpre").toString + "/m"
+    EventStreams.flushHotKeyDrops(spark, preDir, 0L)
+    val hot = (0 until 300).map(i => EventStreams.EventIn(41L, i.toLong, 1000000L * i))
+    val quiet = (0 until 5).map(i => EventStreams.EventIn(42L, i.toLong, 1000000L * i))
+    EventStreams.sessionize((hot ++ quiet).toDS(), hotKeyCap = 100).collect()
+    val m = EventStreams.hotKeyDropMetrics(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m == Set(("sessionize", 41L, 200L)),
+      s"expected exactly the hot key's drop row, got $m") // in-cap key 42 absent
+    // flush lands the relation as an idempotent batch partition and clears
+    val dir = java.nio.file.Files.createTempDirectory("graft-hk").toString + "/metrics"
+    EventStreams.flushHotKeyDrops(spark, dir, 7L)
+    val landed = spark.read.parquet(dir)
+      .select("op", "user_id", "dropped_events", "batch_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(landed == Set(("sessionize", 41L, 200L, 7)))
+    assert(EventStreams.hotKeyDropMetrics(spark).isEmpty, "flush clears the accumulator")
+    // nothing pending → flush is a no-op (no empty partition)
+    EventStreams.flushHotKeyDrops(spark, dir, 8L)
+    assert(spark.read.parquet(dir).filter(col("batch_id") === 8).count() == 0L)
+  }
+
   test("bounded variants: guard parity with their unbounded twins for in-cap keys") {
     val s = spark
     import s.implicits._
