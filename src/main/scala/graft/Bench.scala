@@ -187,7 +187,13 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     var reruns = 0
-    var results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic SORTED run order: reproducible pass-to-pass timing,
+    // and the cold artifact-build owners (bloom_index_build,
+    // dedup_artifact_build) run before the consumers that read the
+    // session caches they seed — so each shared artifact is built
+    // exactly once per pass, charged to its recorded owner (VERDICT r13
+    // "what's wrong" #2).
+    var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = timeOnce(spark, sfDir, fn, name)
       val ref = medians.get(name)
       var budget = 1 + MaxExtraReruns // unconditional best-of-2, then outlier retries
@@ -205,19 +211,20 @@ object Bench {
       }
       name -> best // persistent failures stay -1 so they can't masquerade as fast queries
     }
-    def totalOf(rs: Map[String, Double]): Double = rs.values.filter(_ >= 0).sum
-    def bestKnownOf(rs: Map[String, Double]): Double = rs.collect {
+    def totalOf(rs: Seq[(String, Double)]): Double =
+      rs.collect { case (_, v) if v >= 0 => v }.sum
+    def bestKnownOf(rs: Seq[(String, Double)]): Double = rs.collect {
       case (k, v) if v >= 0 => medians.get(k).fold(v)(math.min(v, _))
     }.sum
     // Whole-suite contention escape (VERDICT r6 #1): per-query retries
     // can't flatten a contended window that outlasts them. While this
     // run's total blows past the denoised best-known total, run a full
     // extra pass (bounded) and keep per-query minima across passes.
-    def contendedCanaries(rs: Map[String, Double]): Seq[String] =
-      Canaries.filter(c => rs.get(c).exists(v =>
+    def contendedCanaries(rs: Seq[(String, Double)]): Seq[String] =
+      Canaries.filter(c => rs.collectFirst { case (`c`, v) => v }.exists(v =>
         v >= 0 && medians.get(c).exists(m => v > CanaryFactor * m)))
     val baseline = baselineTotal(historyPath, sfDir)
-    def gateBreached(rs: Map[String, Double]): Boolean =
+    def gateBreached(rs: Seq[(String, Double)]): Boolean =
       baseline > 0 && totalOf(rs) > GateFactor * baseline &&
         bestKnownOf(rs) <= GateFactor * baseline
     var passes = 1
