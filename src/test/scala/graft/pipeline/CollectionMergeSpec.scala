@@ -105,6 +105,30 @@ class CollectionMergeSpec extends AnyFunSuite {
       "affected partition was not rewritten")
   }
 
+  test("merge creates a NEW range partition for added docs and DELETES an emptied one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-collr").toString + "/points"
+    val docs = Tables.documents(spark, d)
+    val spread = docs.withColumn("doc_id", col("doc_id") * lit(CollectionStore.RangeSize / 10))
+    // old: ranges 0..49 (ids 0..49900 step 100); new: range 0 fully
+    // removed (ids < 1000 dropped), range 60 added (one doc moved past
+    // every existing range)
+    val old = spread
+    val nw = spread.filter(col("doc_id") >= CollectionStore.RangeSize)
+      .unionByName(spread.filter(col("doc_id") === 0)
+        .withColumn("doc_id", col("doc_id") + lit(60 * CollectionStore.RangeSize)))
+    CollectionStore.init(old, dir)
+    assert(!fs.exists(liveRange(dir, 60)))
+    CollectionStore.merge(spark, dir, CollectionStore.docDiff(old, nw), nw)
+    assertSameTable(CollectionStore.read(spark, dir).orderBy("doc_id", "chunk_index"),
+      CollectionStore.pointsOf(nw).orderBy("doc_id", "chunk_index"),
+      "range add/empty merged collection vs direct points")
+    assert(fs.exists(liveRange(dir, 60)), "added docs' new range partition exists")
+    assert(!fs.exists(liveRange(dir, 0)), "fully-emptied range partition deleted")
+  }
+
+  private def liveRange(dir: String, r: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/batch_id=0/doc_range=$r")
+
   test("a merge that would empty the collection is refused; live table intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-colle").toString + "/points"
     val (old, _) = snapshots
