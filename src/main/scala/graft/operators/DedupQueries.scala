@@ -540,12 +540,21 @@ object DedupQueries {
     // DedupIndex.dedupAgainst — the SAME definition the parquet-backed
     // index path runs, so the two forms cannot drift (DedupIndexSpec
     // pins persisted == inline on top).
+    // r14: the existing-side fp/band relations are the SAME artifacts
+    // [[bloomIndexCache]] holds (the stored-index twin
+    // `bloom_index_build` owns, builds cold, and seeds) — read the
+    // cache instead of re-deriving them per query.
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val incoming = docs.filter(col("doc_id") % 5 === 0)
-      val existing = docs.filter(col("doc_id") % 5 =!= 0)
-      DedupIndex.dedupAgainst(incoming,
-        DedupIndex.fingerprints(existing), DedupIndex.bandRows(existing))
+      val (fp, bands, _, _) = cached(bloomIndexCache, s, "bloom", d) {
+        val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        val fpC = DedupIndex.fingerprints(existing).localCheckpoint()
+        val bandsC = DedupIndex.bandRows(existing).localCheckpoint()
+        val (fb, bb) = DedupIndex.buildBlooms(fpC, bandsC)
+        (fpC, bandsC, fb, bb)
+      }
+      DedupIndex.dedupAgainst(incoming, fp, bands)
         .select(col("doc_id"), col("fp"))
         .orderBy("doc_id")
     }),
