@@ -84,7 +84,7 @@ object Bench {
     * values are never written back, so the estimator can't ratchet on
     * itself, and any source change invalidates the whole merge set).
     */
-  private def historySameCodeMins(path: java.nio.file.Path, sfDir: String,
+  private[graft] def historySameCodeMins(path: java.nio.file.Path, sfDir: String,
                                   srcFp: String): Map[String, Double] = {
     if (srcFp == "none" || !java.nio.file.Files.exists(path)) return Map.empty
     val pair = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
@@ -114,7 +114,7 @@ object Bench {
     * [[historyMedians]]). Returns -1 when no such line exists, which
     * disables the gate trigger rather than guessing.
     */
-  private def baselineTotal(path: java.nio.file.Path, sfDir: String): Double = {
+  private[graft] def baselineTotal(path: java.nio.file.Path, sfDir: String): Double = {
     if (!java.nio.file.Files.exists(path)) return -1.0
     val value = """"value":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
     try {
@@ -133,7 +133,7 @@ object Bench {
     * only by this object, so a targeted regex over `"name":value` pairs inside
     * the queries object is reliable; failed queries (-1) are skipped.
     */
-  private def historyMedians(path: java.nio.file.Path, sfDir: String): Map[String, Double] = {
+  private[graft] def historyMedians(path: java.nio.file.Path, sfDir: String): Map[String, Double] = {
     if (!java.nio.file.Files.exists(path)) return Map.empty
     val pair = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
