@@ -147,7 +147,21 @@ object CollectionStore {
     *
     * Crash before the sentinel → live table untouched, stale staging
     * swept by [[recoverMerge]]; crash during promotion → replayed from
-    * the journal. A merge that would EMPTY the collection is refused
+    * the journal.
+    *
+    * CONSISTENCY MODEL (the deliberate trade vs the whole-table swap):
+    * each RANGE is replaced atomically (rename), so no reader ever sees
+    * a torn range — but a reader scanning DURING promotion can observe
+    * some ranges new and others still old (range-level read-committed,
+    * not cross-range snapshot isolation). That is the standard contract
+    * of partition-overwrite tables (Hive/Spark dynamic overwrite,
+    * Delta/Iceberg without a snapshot log) and the price of O(affected)
+    * writes; a deployment needing cross-range snapshots layers a
+    * manifest/version pointer on top — the journaled manifest here is
+    * the natural seed for one. Crash consistency is unaffected: the
+    * journal replays to the fully-new state before any post-crash read.
+    *
+    * A merge that would EMPTY the collection is refused
     * loudly with the staging discarded (the [[graft.BatchSink]]
     * non-empty invariant: silently replacing a live collection with
     * nothing is never what a CDC feed meant — ADVICE r13 documents this
