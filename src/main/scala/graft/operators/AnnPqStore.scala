@@ -55,20 +55,37 @@ object AnnPqStore {
         "vectors in this corpus; pass codebooks = Some(...) explicitly")
     graft.BatchSink.writeBatch(cbs, 0L, s"$dir/codebooks", full = true)
     graft.BatchSink.writeBatch(AnnPq.encode(vectors, cbs), 0L, s"$dir/codes", full = true)
+    markSpace(vectors.sparkSession, dir, residual)
+  }
+
+  /** Stamp the space marker on a store. [[init]] always does; the
+    * public form is the MIGRATION path for a store written before the
+    * marker existed (those were built by the then-public init, which
+    * could hold either space — the builder knows which, nothing else
+    * does, so the fix is a one-time explicit stamp, never a default).
+    */
+  def markSpace(spark: SparkSession, dir: String, residual: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$SpaceMarker")
-    val fs = p.getFileSystem(vectors.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     out.write((if (residual) "residual" else "raw").getBytes("UTF-8")); out.close()
   }
 
   /** The space the stored codes live in, from the [[SpaceMarker]]. A
-    * store written before the marker existed reads as raw-space (the
-    * only kind those stores held).
+    * marker-less store is AMBIGUOUS — pre-marker stores held whichever
+    * space their builder passed, and guessing raw would silently run a
+    * residual store down the raw path (the exact plausible-but-wrong-
+    * ranking hazard the marker exists to kill; review finding r14) —
+    * so the read REFUSES and names the migration ([[markSpace]]).
     */
   def storedResidual(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$SpaceMarker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return false
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"AnnPqStore: no $SpaceMarker at $dir — pre-marker store of unknown space; " +
+          "stamp it once with AnnPqStore.markSpace(spark, dir, residual = ...) " +
+          "(the store's builder knows which space it encoded)")
     val in = fs.open(p)
     val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     in.close()

@@ -419,8 +419,7 @@ object AnnQueries {
       val e = Tables.embeddings(s, d)
       val cbs = AnnPq.codebooks(e).localCheckpoint()
       val codes = AnnPq.encode(e, cbs).localCheckpoint()
-      if (pqArtifactsCache.size > 12) pqArtifactsCache.clear()
-      pqArtifactsCache.put(s.sparkContext.applicationId + "|" + d, (cbs, codes))
+      SessionArtifacts.seed(pqArtifactsCache, s, "pq", d, (cbs, codes))
       val narrow = (0 until AnnPq.M).map(m =>
         codes.select(lit(m).as("m"), col(s"c$m").as("code"))).reduce(_ unionByName _)
       val usage = narrow.groupBy(col("m"))
@@ -730,27 +729,23 @@ object AnnQueries {
     * hazard, not just a perf one). Codes are corpus-rows × (1 id +
     * M bytes) — the smallest corpus-sized relation in the suite.
     */
+  // cap + key + clear-on-overflow policy shared via SessionArtifacts
   private val pqArtifactsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private def rawPqArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    if (pqArtifactsCache.size > 12) pqArtifactsCache.clear()
-    pqArtifactsCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, { _ =>
+  private def rawPqArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    SessionArtifacts.cached(pqArtifactsCache, s, "pq", d) {
       val e = Tables.embeddings(s, d)
       val cbs = AnnPq.codebooks(e).localCheckpoint()
       (cbs, AnnPq.encode(e, cbs).localCheckpoint())
-    })
-  }
+    }
 
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def kmeansKey(s: SparkSession, d: String) =
-    s.sparkContext.applicationId + "|" + d
-  private def trainedCents(s: SparkSession, d: String): DataFrame = {
-    if (kmeansCache.size > 12) kmeansCache.clear()
-    kmeansCache.computeIfAbsent(kmeansKey(s, d),
-      _ => AnnIndex.kmeans(Tables.embeddings(s, d), 16, TrainedAuditIters)
-        .localCheckpoint())
-  }
+  private def trainedCents(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.cached(kmeansCache, s, "kmeans", d) {
+      AnnIndex.kmeans(Tables.embeddings(s, d), 16, TrainedAuditIters)
+        .localCheckpoint()
+    }
 
   /** recall@3 of the IVF path under the TRAINED coarse quantizer
     * (k=16, [[TrainedAuditIters]] rounds of [[AnnIndex.kmeans]]),
@@ -764,8 +759,7 @@ object AnnQueries {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val cents = AnnIndex.kmeans(e, 16, TrainedAuditIters).localCheckpoint()
-    if (kmeansCache.size > 12) kmeansCache.clear()
-    kmeansCache.put(kmeansKey(s, d), cents)
+    SessionArtifacts.seed(kmeansCache, s, "kmeans", d, cents)
     val approx = AnnIndex.searchAssigned(
       AnnIndex.assign(e, cents), AnnIndex.probe(q, cents, nprobe = 2), k = 3)
     recallRows("ivf_trained", approx, exactTop3(q, e), q).orderBy("method", "q_id")

@@ -169,15 +169,16 @@ object CurationQueries {
     * localCheckpoint, cleared wholesale past the cap; mutable inputs go
     * through [[langBucketCountsOf]] which never caches. The cached
     * relation is ≤ 64 rows per doc (two ints + a long) — far narrower
-    * than the exploded token relation it replaces.
+    * than the exploded token relation it replaces. Recorded cold
+    * owner: the `lang_classifier` query, which always rebuilds and
+    * seeds (it sorts before both cached consumers in the bench order).
     */
   private val langTbCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def langBucketCounts(s: SparkSession, d: String): DataFrame = {
-    if (langTbCache.size > 12) langTbCache.clear()
-    langTbCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
-      _ => langBucketCountsOf(Tables.documents(s, d)).localCheckpoint())
-  }
+  private def langBucketCounts(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.cached(langTbCache, s, "langtb", d) {
+      langBucketCountsOf(Tables.documents(s, d)).localCheckpoint()
+    }
 
   /** Batch sufficient statistics: per-(lang, bucket) token counts over
     * the batch's TRAIN docs — a sum-monoid over disjoint doc batches
@@ -813,12 +814,18 @@ object CurationQueries {
         .orderBy("lang", "b")
     }),
     // Per-doc argmax prediction under the trained model, with the true
-    // label and split flag carried for the confusion audit. Train
-    // counts and scoring both read the ONE cached bucket-count relation
-    // ([[langBucketCounts]]) — one tokenize pass for the whole trio.
+    // label and split flag carried for the confusion audit. This query
+    // is the RECORDED COLD OWNER of the trio's shared bucket-count
+    // artifact (the dedup_artifact_build discipline — a session cache
+    // with no always-cold owner hides its build cost from every bench
+    // number, review finding r14): every execution pays the full
+    // tokenize + hash pass via [[langBucketCountsOf]] and SEEDS
+    // [[langTbCache]]; the two consumers that sort after it
+    // (lang_classifier_model / lang_confusion_trained) hit the cache.
     "lang_classifier" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tb = langBucketCounts(s, d)
+      val tb = langBucketCountsOf(docs).localCheckpoint()
+      SessionArtifacts.seed(langTbCache, s, "langtb", d, tb)
       val preds = langScoreFrom(tb, langCountsFrom(tb, langLabels(docs)),
         langPriorsOf(docs))
       langLabels(docs).join(preds, Seq("doc_id"))

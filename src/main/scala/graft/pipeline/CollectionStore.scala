@@ -150,16 +150,19 @@ object CollectionStore {
     * the journal.
     *
     * CONSISTENCY MODEL (the deliberate trade vs the whole-table swap):
-    * each RANGE is replaced atomically (rename), so no reader ever sees
-    * a torn range — but a reader scanning DURING promotion can observe
-    * some ranges new and others still old (range-level read-committed,
-    * not cross-range snapshot isolation). That is the standard contract
-    * of partition-overwrite tables (Hive/Spark dynamic overwrite,
-    * Delta/Iceberg without a snapshot log) and the price of O(affected)
-    * writes; a deployment needing cross-range snapshots layers a
-    * manifest/version pointer on top — the journaled manifest here is
-    * the natural seed for one. Crash consistency is unaffected: the
-    * journal replays to the fully-new state before any post-crash read.
+    * a range's files move as ONE directory rename, so a reader never
+    * sees a MIX of old and new rows within a range — but promotion is
+    * delete-then-rename per range, so a reader scanning DURING it can
+    * catch a range briefly ABSENT, and across ranges a mix of old and
+    * new versions (no cross-range snapshot isolation, and not even
+    * per-range read-committed while the swap is mid-promotion). That is
+    * the standard exposure of partition-overwrite tables (Hive/Spark
+    * dynamic overwrite, Delta/Iceberg without a snapshot log) and the
+    * price of O(affected) writes; a deployment needing concurrent
+    * readers layers a manifest/version pointer on top — the journaled
+    * manifest here is the natural seed for one. Crash consistency is
+    * unaffected: the journal replays to the fully-new state before any
+    * post-crash read ([[read]]/[[readRaw]] heal first).
     *
     * A merge that would EMPTY the collection is refused
     * loudly with the staging discarded (the [[graft.BatchSink]]
@@ -187,11 +190,31 @@ object CollectionStore {
 
     val swapDir = mergeSwapPath(dir)
     val (fs, _) = fsOf(spark, dir)
-    replacement.repartition(col("doc_range"))
+    // row-count verification rides the staging write (the same
+    // CollectMetrics-vs-parquet-footers check BatchSink.replaceTable
+    // runs — the whole-table swap this path replaced; without it a
+    // committer that silently lands fewer rows than the plan computed
+    // would be journaled and promoted irreversibly)
+    val obs = org.apache.spark.sql.Observation()
+    replacement.observe(obs, count(lit(1)).as("n"))
+      .repartition(col("doc_range"))
       .write.mode("overwrite").partitionBy("doc_range").parquet(swapDir)
+    // an all-empty replacement collapses to an empty LocalRelation and
+    // the CollectMetrics node with it — no observed row means 0 rows
+    val expected =
+      try obs.get("n").asInstanceOf[Long]
+      catch { case _: NoSuchElementException => 0L }
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(swapDir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("doc_range="))
       .map(_.stripPrefix("doc_range=").toLong).toSet
+    val written =
+      if (staged.isEmpty) 0L else spark.read.parquet(swapDir).count() // footers only
+    if (written != expected) {
+      fs.delete(new org.apache.hadoop.fs.Path(swapDir), true)
+      throw new IllegalStateException(
+        s"CollectionStore.merge: staging at $swapDir has $written rows, expected $expected — " +
+          "aborting before the journal; the live collection is untouched")
+    }
     // refuse a merge that would drain the collection: every live range
     // is affected and the staging holds no rows at all
     val liveRanges = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/batch_id=0"))

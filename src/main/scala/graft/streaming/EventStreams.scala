@@ -83,7 +83,7 @@ object EventStreams {
   /** One guard overflow: which operator, which key, how many events. */
   final case class HotKeyDrop(op: String, user_id: Long, dropped_events: Long)
 
-  /** Per-application accumulator carrying every guard overflow back to
+  /** Per-(application, operator) accumulators carrying every guard overflow back to
     * the driver (VERDICT r12 ask #6 / r13 #3: truncation used to be a
     * JVM-local counter + a stderr line — invisible to any query on a
     * cluster, where executor-local state never reaches the driver). An
@@ -94,12 +94,30 @@ object EventStreams {
     * construction), never by corpus size. Standard accumulator caveat:
     * a re-run task may re-add its update — acceptable for a truncation
     * alarm (zero stays exactly zero; nonzero keys are the signal).
+    *
+    * One accumulator PER OPERATOR, not per application (review finding
+    * r14): with a single shared accumulator, one stream's flush
+    * (snapshot → write → reset) raced another stream's in-flight tasks
+    * — a drop merged between the snapshot and the reset was wiped
+    * without ever landing in a flushed partition. Per-op accumulators
+    * make the documented flush contract ("call from the op's own
+    * foreachBatch") structurally safe: at that point the op's
+    * micro-batch barrier has passed, so nothing can add to ITS
+    * accumulator concurrently, and other ops' accumulators are not
+    * touched.
     */
   private val dropAccs = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.util.CollectionAccumulator[HotKeyDrop]]()
-  private def dropAcc(sc: org.apache.spark.SparkContext) =
-    dropAccs.computeIfAbsent(sc.applicationId,
-      _ => sc.collectionAccumulator[HotKeyDrop]("graft.hotKeyDrops"))
+  private def dropAcc(sc: org.apache.spark.SparkContext, op: String) =
+    dropAccs.computeIfAbsent(sc.applicationId + "|" + op,
+      _ => sc.collectionAccumulator[HotKeyDrop](s"graft.hotKeyDrops.$op"))
+
+  /** This application's registered per-op accumulators. */
+  private def appAccs(sc: org.apache.spark.SparkContext) = {
+    import scala.jdk.CollectionConverters._
+    val prefix = sc.applicationId + "|"
+    dropAccs.asScala.collect { case (k, a) if k.startsWith(prefix) => a }.toSeq
+  }
 
   /** The hot-key truncation METRICS RELATION: (op, user_id,
     * dropped_events) per over-cap key since the last [[flushHotKeyDrops]]
@@ -110,22 +128,48 @@ object EventStreams {
   def hotKeyDropMetrics(spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    dropAcc(spark.sparkContext).value.asScala.toSeq.toDS()
+    appAccs(spark.sparkContext).flatMap(_.value.asScala).toDS()
       .groupBy(col("op"), col("user_id"))
       .agg(sum(col("dropped_events")).as("dropped_events"))
   }
 
-  /** Land the current drop metrics as a `batch_id` partition beside the
-    * relay's other maintained relations (idempotent per batch like every
-    * [[graft.BatchSink.writeBatch]] sink) and clear the accumulator.
-    * No-op when nothing overflowed — no empty partitions. Call from a
-    * foreachBatch cadence or an operational sweep.
+  /** Land ONE operator's current drop metrics as a `batch_id` partition
+    * beside the relay's other maintained relations (idempotent per
+    * batch like every [[graft.BatchSink.writeBatch]] sink) and clear
+    * that operator's accumulator. No-op when nothing overflowed — no
+    * empty partitions. Call from the OP'S OWN foreachBatch: the
+    * micro-batch barrier guarantees no task of this op is mid-flight,
+    * so the snapshot-then-reset pair cannot lose a concurrent add (and
+    * other ops' accumulators are untouched by construction). Point
+    * each op at its OWN metrics dir — two ops sharing a dir would
+    * overwrite each other's `batch_id=N` partition on colliding ids.
+    */
+  def flushHotKeyDrops(spark: SparkSession, dir: String, batchId: Long,
+                       op: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val acc = dropAcc(spark.sparkContext, op)
+    if (!acc.isZero) {
+      val rows = acc.value.asScala.toSeq.toDS()
+        .groupBy(col("op"), col("user_id"))
+        .agg(sum(col("dropped_events")).as("dropped_events"))
+      writeBatchPartition(rows, batchId, dir)
+      acc.reset()
+    }
+  }
+
+  /** Flush EVERY operator's drop metrics in one partition write — the
+    * operational-sweep form. Safe only while no stream is mid-batch:
+    * an op actively executing a micro-batch during the sweep could add
+    * between the snapshot and its reset — live streams flush
+    * THEMSELVES via the per-op form (each to its own metrics dir,
+    * where its foreachBatch barrier makes the pair race-free).
     */
   def flushHotKeyDrops(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val acc = dropAcc(spark.sparkContext)
-    if (!acc.isZero) {
+    val accs = appAccs(spark.sparkContext)
+    if (accs.exists(!_.isZero)) {
       writeBatchPartition(hotKeyDropMetrics(spark), batchId, dir)
-      acc.reset()
+      accs.foreach(_.reset())
     }
   }
 
@@ -185,7 +229,7 @@ object EventStreams {
       gapMicros: Long = 1800L * 1000000L,
       hotKeyCap: Int = HotKeyCap): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val acc = dropAcc(events.sparkSession.sparkContext)
+    val acc = dropAcc(events.sparkSession.sparkContext, "sessionize")
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -227,7 +271,7 @@ object EventStreams {
     val s = events.sparkSession
     import s.implicits._
     val streaming = events.isStreaming
-    val acc = dropAcc(s.sparkContext)
+    val acc = dropAcc(s.sparkContext, "sessionizeBounded")
     events
       .withColumn("ts", timestamp_micros(col("tsMicros")))
       .withWatermark("ts", watermarkDelay)
@@ -332,7 +376,7 @@ object EventStreams {
       steps: Seq[String] = Seq("view", "click", "purchase"),
       hotKeyCap: Int = HotKeyCap): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    val acc = dropAcc(events.sparkSession.sparkContext)
+    val acc = dropAcc(events.sparkSession.sparkContext, "funnelAdvance")
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -383,7 +427,7 @@ object EventStreams {
     // batch execution has no watermark and never fires timeouts — skip
     // the timeout bookkeeping there (getCurrentWatermarkMs throws)
     val streaming = events.isStreaming
-    val acc = dropAcc(s.sparkContext)
+    val acc = dropAcc(s.sparkContext, "funnelAdvanceBounded")
     events
       .withColumn("ts", timestamp_micros(col("tsMicros")))
       .withWatermark("ts", watermarkDelay)

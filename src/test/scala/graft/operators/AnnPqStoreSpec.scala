@@ -91,6 +91,22 @@ class AnnPqStoreSpec extends AnyFunSuite {
       "stored residual IVFADC vs inline ann_ivf_pq_residual")
   }
 
+  test("marker-less store is refused, never guessed; markSpace migrates it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-nomark").toString + "/pq"
+    AnnPqStore.init(e.filter(col("vec_id") < 150), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pre-marker store: same layout, no space record — could hold
+    // either space, so reading the space must throw, not default to raw
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_PQ_SPACE"), false)
+    val ex = intercept[IllegalStateException] {
+      AnnPqStore.storedResidual(spark, dir)
+    }
+    assert(ex.getMessage.contains("markSpace"), "refusal must name the migration")
+    AnnPqStore.markSpace(spark, dir, residual = false)
+    assert(!AnnPqStore.storedResidual(spark, dir))
+  }
+
   test("torn compact swap heals before the next read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-heal").toString
     AnnPqStore.init(e.filter(col("vec_id") < 150), dir)

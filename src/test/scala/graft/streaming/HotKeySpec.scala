@@ -102,4 +102,35 @@ class HotKeySpec extends AnyFunSuite {
     // pending session stays open in both)
     assert(a == b)
   }
+
+  test("per-op flush drains ONLY its operator's accumulator (r14 race fix)") {
+    val s = spark
+    import s.implicits._
+    // drain anything earlier suites left pending
+    val preDir = java.nio.file.Files.createTempDirectory("graft-hkpre2").toString + "/m"
+    EventStreams.flushHotKeyDrops(spark, preDir, 0L)
+    // one pending drop per operator
+    val sessHot = (0 until 150).map(i => EventStreams.EventIn(61L, i.toLong, 1000000L * i))
+    EventStreams.sessionize(sessHot.toDS(), hotKeyCap = 100).collect()
+    val funHot = (0 until 180).map(i => EventStreams.FunnelIn(62L, "view", i.toLong))
+    EventStreams.funnelAdvance(funHot.toDS(), hotKeyCap = 100).collect()
+    // flushing funnelAdvance's op lands ONLY its row and leaves
+    // sessionize's pending drop untouched — the failure mode the shared
+    // accumulator had was exactly this wipe (snapshot→write→reset of
+    // one stream erasing another's unflushed drops)
+    val dirF = java.nio.file.Files.createTempDirectory("graft-hkf").toString + "/metrics"
+    EventStreams.flushHotKeyDrops(spark, dirF, 1L, "funnelAdvance")
+    val landed = spark.read.parquet(dirF)
+      .collect().map(r => (r.getAs[String]("op"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("dropped_events"))).toSet
+    assert(landed == Set(("funnelAdvance", 62L, 80L)))
+    val pending = EventStreams.hotKeyDropMetrics(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pending == Set(("sessionize", 61L, 50L)),
+      s"sessionize's drop must survive the other op's flush, got $pending")
+    // its own flush then drains it
+    val dirS = java.nio.file.Files.createTempDirectory("graft-hks").toString + "/metrics"
+    EventStreams.flushHotKeyDrops(spark, dirS, 2L, "sessionize")
+    assert(EventStreams.hotKeyDropMetrics(spark).isEmpty)
+  }
 }
