@@ -502,36 +502,7 @@ object DedupQueries {
     // level dedup primitive md5 whole-doc hashing cannot give. Pure
     // per-row map work; the fingerprint IS the downstream blocking key.
     "fingerprint_winnow" -> ((s, d) => {
-      val winnowUdf = udf { (text: String) =>
-        val K = 8; val W = 5; val Mod = 1000000007L
-        // Code points, not UTF-16 units: the DuckDB oracle hashes
-        // unicode(substr(...)) — code points — so a non-BMP char (emoji,
-        // 𝄞) must contribute ONE k-gram element here too, and the ≥12
-        // length gate must count code points as well.
-        val cps = Option(text).getOrElse("").codePoints().toArray
-        if (cps.length < K + W - 1) Seq.empty[Long]
-        else {
-          val n = cps.length - K + 1
-          val hs = new Array[Long](n)
-          var i = 0
-          while (i < n) {
-            var h = 0L
-            var j = 0
-            while (j < K) { h = (h * 31 + cps(i + j)) % Mod; j += 1 }
-            hs(i) = h
-            i += 1
-          }
-          val sel = scala.collection.mutable.SortedSet.empty[Long]
-          var p = 0
-          while (p + W <= n) {
-            var m = hs(p); var q = p + 1
-            while (q < p + W) { if (hs(q) < m) m = hs(q); q += 1 }
-            sel += m
-            p += 1
-          }
-          sel.toSeq
-        }
-      }
+      val winnowUdf = udf(winnowFingerprints _)
       Tables.documents(s, d)
         .select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
         .orderBy("doc_id", "fp")
@@ -926,6 +897,43 @@ object DedupQueries {
     * rebuild the text. The planted-twin generator of the recall audits;
     * column name stays "text" so the banding UDF applies unchanged.
     */
+  /** Winnowing fingerprint selection (the `fingerprint_winnow` UDF
+    * body, pure so WinnowPropertySpec can drive the MOSS guarantee
+    * directly): polynomial hash of every K=8 code-point-gram (modular —
+    * exact BIGINT in both engines), minimum of every W=5 window, the
+    * distinct selected hashes as the fingerprint set. Code points, not
+    * UTF-16 units: the DuckDB oracle hashes unicode(substr(...)) — code
+    * points — so a non-BMP char (emoji, 𝄞) must contribute ONE k-gram
+    * element here too, and the ≥ K+W-1 length gate must count code
+    * points as well.
+    */
+  private[operators] def winnowFingerprints(text: String): Seq[Long] = {
+    val K = 8; val W = 5; val Mod = 1000000007L
+    val cps = Option(text).getOrElse("").codePoints().toArray
+    if (cps.length < K + W - 1) Seq.empty[Long]
+    else {
+      val n = cps.length - K + 1
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var j = 0
+        while (j < K) { h = (h * 31 + cps(i + j)) % Mod; j += 1 }
+        hs(i) = h
+        i += 1
+      }
+      val sel = scala.collection.mutable.SortedSet.empty[Long]
+      var p = 0
+      while (p + W <= n) {
+        var m = hs(p); var q = p + 1
+        while (q < p + W) { if (hs(q) < m) m = hs(q); q += 1 }
+        sel += m
+        p += 1
+      }
+      sel.toSeq
+    }
+  }
+
   private def mutate(text: org.apache.spark.sql.Column, period: Int): org.apache.spark.sql.Column =
     array_join(filter(TextOps.tokens(text),
       (_, i) => (i + 1) % period =!= 0), " ").as("text")
