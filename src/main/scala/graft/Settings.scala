@@ -25,4 +25,15 @@ final case class PipelineSettings(
 
 object PipelineSettings {
   val default: PipelineSettings = PipelineSettings()
+
+  /** Chunk geometry tuned to the synthetic test corpus (docs ≤ ~560
+    * chars — the reference's 1000/200 default would put every doc in
+    * one chunk and exercise nothing). The oracle-gated pipeline
+    * queries pass THIS, explicitly: chunk geometry is a real setting
+    * ([[IngestPipeline.run]] honors [[PipelineSettings.chunkSize]] /
+    * [[PipelineSettings.chunkOverlap]]), so the small-doc shape the
+    * oracles pin must be requested, not hardcoded.
+    */
+  val smallDocs: PipelineSettings =
+    PipelineSettings(chunkSize = 200, chunkOverlap = 40)
 }

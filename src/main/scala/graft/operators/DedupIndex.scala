@@ -81,7 +81,16 @@ object DedupIndex {
       .select(col("doc_id"), posexplode(TextOps.minhashBandsUdf(col("text"))).as(Seq("band", "sig")))
       .join(existingBands.select("band", "sig"), Seq("band", "sig"), "left_semi")
       .select(col("doc_id")).distinct()
-    val survivors = exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
+    collapseWithinBatch(exactNew.join(nearDupIds, Seq("doc_id"), "left_anti"))
+  }
+
+  /** The within-batch survivor collapse both increment forms share
+    * (smallest doc_id per fp — see [[dedupAgainst]]'s scaladoc for
+    * why). One definition so the documented
+    * dedupAgainstBloom == dedupAgainst equivalence cannot drift on a
+    * future change to the collapse rule.
+    */
+  private def collapseWithinBatch(survivors: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     survivors
@@ -90,10 +99,24 @@ object DedupIndex {
       .drop("_rn")
   }
 
+  /** The stored index tables, healed first: a crash between
+    * [[graft.BatchSink.compact]]'s two renames leaves a committed
+    * `.swap` beside a missing live dir — every sibling store's reader
+    * promotes it before reading, and these must too (review finding
+    * r14: the dedup dir-store readers were the one family that skipped
+    * the heal and threw PATH_NOT_FOUND instead).
+    */
+  private def readIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/fp")
+    graft.BatchSink.recoverSwap(spark, s"$dir/bands")
+    (spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands"))
+  }
+
   /** Dedup `incoming` against the stored index. */
-  def dedupBatch(spark: SparkSession, dir: String, incoming: DataFrame): DataFrame =
-    dedupAgainst(incoming,
-      spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands"))
+  def dedupBatch(spark: SparkSession, dir: String, incoming: DataFrame): DataFrame = {
+    val (fp, bands) = readIndex(spark, dir)
+    dedupAgainst(incoming, fp, bands)
+  }
 
   /** Bloom prefilters over the index keys — the increment accelerator
     * that removes the plain layout's remaining linear term (PLANS.md
@@ -169,22 +192,26 @@ object DedupIndex {
     val nearDupIds = batchBands
       .join(broadcast(confirmedBands), Seq("band", "sig"), "left_semi")
       .select(col("doc_id")).distinct()
-    val survivors = exactNew.join(broadcast(nearDupIds), Seq("doc_id"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"))
-    survivors
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    collapseWithinBatch(
+      exactNew.join(broadcast(nearDupIds), Seq("doc_id"), "left_anti"))
   }
 
   /** Persist / restore the blooms next to the index tables (one opaque
     * sketch file each, Hadoop FS so the layout follows the index to any
-    * cluster filesystem). Rebuild rides `compact` in production; the
-    * reader treats a missing file as "no bloom yet" via the Option.
+    * cluster filesystem), together with the WATERMARK — the highest
+    * `batch_id` the blooms were built over. [[accept]] grows the index
+    * without touching the blooms, and a bloom that has not seen a key
+    * can return a FALSE NEGATIVE for it — which the prefilter treats as
+    * "provably new", silently admitting a duplicate of a post-build
+    * batch (review finding r14). The watermark makes staleness
+    * detectable, and [[dedupBatchBloom]] stays EXACT on a stale bloom
+    * by confirming the uncovered (newer-than-watermark) index slice
+    * with the plain join pipeline. Rebuild rides `compact` in
+    * production; the reader treats a missing file as "no bloom yet"
+    * via the Option.
     */
   def writeBlooms(spark: SparkSession, dir: String,
-                  blooms: (BloomFilter, BloomFilter)): Unit = {
+                  blooms: (BloomFilter, BloomFilter), upToBatch: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     def put(name: String, b: BloomFilter): Unit = {
@@ -193,7 +220,11 @@ object DedupIndex {
     }
     put("fp.bloom", blooms._1)
     put("bands.bloom", blooms._2)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$BloomWatermark"), true)
+    out.write(upToBatch.toString.getBytes("UTF-8")); out.close()
   }
+
+  private val BloomWatermark = "blooms.watermark"
 
   def readBlooms(spark: SparkSession, dir: String): Option[(BloomFilter, BloomFilter)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -209,15 +240,49 @@ object DedupIndex {
     for (f <- get("fp.bloom"); b <- get("bands.bloom")) yield (f, b)
   }
 
+  /** The batch id the stored blooms cover up to; None for blooms
+    * written before the watermark existed (treated as covering only
+    * batch 0 — the init corpus — which is the only build the pre-
+    * watermark callers performed).
+    */
+  def readBloomWatermark(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$BloomWatermark")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
   /** Stored-index increment through the stored blooms (falls back to the
-    * plain join pipeline when no bloom has been built yet).
+    * plain join pipeline when no bloom has been built yet). EXACT under
+    * bloom staleness: the bloom prefilter runs only against the index
+    * partitions the bloom was built over (`batch_id <= watermark` —
+    * partition-pruned), and the survivors are then confirmed against
+    * the UNCOVERED newer partitions with the plain pipeline. The
+    * uncovered slice is whatever landed since the last rebuild — recent
+    * batches, batch-sized-ish — so the extra confirm joins move sliver
+    * data, and the far-scale contract (index side never exchanged for
+    * the covered bulk) is preserved.
     */
   def dedupBatchBloom(spark: SparkSession, dir: String, incoming: DataFrame): DataFrame = {
-    val fp = spark.read.parquet(s"$dir/fp")
-    val bands = spark.read.parquet(s"$dir/bands")
+    val (fp, bands) = readIndex(spark, dir)
     readBlooms(spark, dir) match {
       case Some((fpBloom, bandBloom)) =>
-        dedupAgainstBloom(incoming, fp, bands, fpBloom, bandBloom)
+        val covered = readBloomWatermark(spark, dir).getOrElse(0L)
+        val landed = graft.BatchSink.batchIds(spark, s"$dir/fp") ++
+          graft.BatchSink.batchIds(spark, s"$dir/bands")
+        val stale = landed.nonEmpty && landed.max > covered
+        val prefiltered = dedupAgainstBloom(incoming,
+          fp.filter(col("batch_id") <= covered),
+          bands.filter(col("batch_id") <= covered), fpBloom, bandBloom)
+        if (!stale) prefiltered
+        else dedupAgainst(prefiltered,
+          fp.filter(col("batch_id") > covered),
+          bands.filter(col("batch_id") > covered))
       case None => dedupAgainst(incoming, fp, bands)
     }
   }
@@ -233,10 +298,12 @@ object DedupIndex {
     * (IngestLifecycleSpec drives the cross-index proof).
     */
   def dedupBatch(spark: SparkSession, dir: String, incoming: DataFrame,
-                 batchId: Long): DataFrame =
+                 batchId: Long): DataFrame = {
+    val (fp, bands) = readIndex(spark, dir)
     dedupAgainst(incoming,
-      spark.read.parquet(s"$dir/fp").filter(col("batch_id") < batchId),
-      spark.read.parquet(s"$dir/bands").filter(col("batch_id") < batchId))
+      fp.filter(col("batch_id") < batchId),
+      bands.filter(col("batch_id") < batchId))
+  }
 
   /** Land an ACCEPTED batch (output of `dedupBatch`) in the index under
     * its own `batch_id` partition. Idempotent per batch id: a retry
@@ -261,6 +328,18 @@ object DedupIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     graft.BatchSink.compact(spark, s"$dir/fp")
     graft.BatchSink.compact(spark, s"$dir/bands")
+    // the bloom rebuild RIDES the compaction (as the bloom scaladoc has
+    // always promised — now actually done): the fold just rewrote every
+    // key anyway, and a fold moves all rows to the high-water batch id,
+    // which would otherwise leave the stored blooms covering nothing
+    // (watermark < folded id ⇒ the whole index reads as uncovered).
+    // Only when blooms exist — an index run without the accelerator
+    // stays without it.
+    if (readBlooms(spark, dir).isDefined) {
+      val (fp, bands) = readIndex(spark, dir)
+      val upTo = (graft.BatchSink.batchIds(spark, s"$dir/fp") :+ 0L).max
+      writeBlooms(spark, dir, buildBlooms(fp, bands), upTo)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -507,7 +586,16 @@ object DedupIndex {
         .repartition(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.map(col): _*)
       val staging = table + "_compact_swap"
       spark.sql(s"DROP TABLE IF EXISTS $staging")
-      val writer0 = folded.write.partitionBy("batch_id")
+      // the same expected-vs-written verification the dir store's
+      // compact inherits from BatchSink.replaceTable (review finding
+      // r14: this path had neither the empty refusal nor the count
+      // check, so a zero-row or short staging write would have been
+      // swapped in silently): CollectMetrics rides the staging write,
+      // the staged table's footers confirm it, and the live table is
+      // untouched by a refusal
+      val obs = org.apache.spark.sql.Observation()
+      val writer0 = folded.observe(obs, count(lit(1)).as("n"))
+        .write.partitionBy("batch_id")
         .bucketBy(bucketSpec.numBuckets,
           bucketSpec.bucketColumnNames.head, bucketSpec.bucketColumnNames.tail: _*)
       // a bucketed-but-unsorted table is legal — only sort when the
@@ -517,6 +605,22 @@ object DedupIndex {
         case _      => writer0
       }
       writer.format("parquet").saveAsTable(staging)
+      val expected =
+        try obs.get("n").asInstanceOf[Long]
+        catch { case _: NoSuchElementException => 0L } // empty-relation collapse
+      if (expected == 0L) {
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        throw new IllegalStateException(
+          s"DedupIndex.compactBucketed: refusing to replace $table with an EMPTY fold — " +
+            "the table read back 0 rows (drained? torn state?); the live table is untouched")
+      }
+      val written = spark.table(staging).count() // parquet footers only
+      if (written != expected) {
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        throw new IllegalStateException(
+          s"DedupIndex.compactBucketed: staging $staging has $written rows, expected $expected — " +
+            "aborting swap; the live table is untouched")
+      }
       // arm the heal protocol BEFORE the destructive pair, then swap
       spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$SwapPendingProp' = 'true')")
       commitSwap(spark, table)

@@ -28,7 +28,11 @@ object PipelineQueries {
     // Full lineage including the mapPartitions embed stage (P12/P13):
     // shape-level oracle (dim + unit norm); values covered by PipelineSpec.
     "pipeline_embed" -> ((s, d) => {
-      IngestPipeline.run(Tables.documents(s, d), fixedChunker = true)
+      // smallDocs pins the 200/40 geometry the oracle SQL mirrors —
+      // run() honors settings.chunkSize now, so the geometry is an
+      // explicit request, not a hardcoded chunker default
+      IngestPipeline.run(Tables.documents(s, d),
+          settings = graft.PipelineSettings.smallDocs, fixedChunker = true)
         .select(
           col("source_drive_file").as("doc_id"), col("chunk_index"), col("point_id"),
           size(col("embedding")).as("dim"),

@@ -55,6 +55,7 @@ object IngestPipeline {
     * sequence), SQL-mirrorable for the oracle gate.
     */
   def fixedChunkRel(files: DataFrame, size: Int = 200, overlap: Int = 40): DataFrame = {
+    requireChunkGeometry(size, overlap)
     val stride = size - overlap
     files.select(
       col("doc_id"), col("source"), col("text"),
@@ -65,8 +66,22 @@ object IngestPipeline {
         col("text").substr(col("start") + 1, lit(size)).as("chunk_text"))
   }
 
+  /** Chunk geometry validation, shared by every chunk-parameterized
+    * surface: stride = size - overlap must be positive, or the fixed
+    * form's `sequence(..., step = 0)` dies as an opaque executor error
+    * and [[ledger]]'s formula divides by zero into floored garbage —
+    * two different failure modes for the same misconfiguration
+    * (review finding r14). Fail loudly at the call site instead.
+    */
+  private def requireChunkGeometry(size: Int, overlap: Int): Unit = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"chunk overlap must be in [0, size): got overlap=$overlap, size=$size")
+  }
+
   /** Recursive (G1) chunk relation — compiled generator UDF. */
   def recursiveChunkRel(files: DataFrame, size: Int = 200, overlap: Int = 40): DataFrame = {
+    requireChunkGeometry(size, overlap)
     val chunkUdf = udf((text: String) => graft.text.RecursiveChunker.chunk(text, size, overlap))
     files.select(col("doc_id"), col("source"), col("text"),
       posexplode(chunkUdf(col("text"))).as(Seq("chunk_index", "chunk_text")))
@@ -123,6 +138,12 @@ object IngestPipeline {
     chunks.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val vecs = provider.embed(batch.map(_.getString(textIdx)))
+        // the provider is a public seam: an implementation returning
+        // the wrong arity (partial response, server-side dedup) would
+        // otherwise be TRUNCATED against the batch by the zip — rows
+        // silently vanishing from the vector store (review finding r14)
+        require(vecs.size == batch.size,
+          s"EmbeddingProvider returned ${vecs.size} vectors for a batch of ${batch.size} texts")
         batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -130,7 +151,13 @@ object IngestPipeline {
 
   /** Full lineage to vector-store rows (K1 schema). `fixedChunker` swaps
     * the G1 recursive chunker for the SQL-mirrorable fixed-stride form
-    * (used by the oracle-gated query variant).
+    * (used by the oracle-gated query variant). Chunk geometry comes
+    * from [[PipelineSettings.chunkSize]]/[[PipelineSettings.chunkOverlap]]
+    * — previously dead config the chunkers' own defaults shadowed
+    * (review finding r14): a caller passing the reference's 1000/200
+    * got 200/40 silently. The suite's small-doc geometry is
+    * [[PipelineSettings.smallDocs]], passed explicitly by the oracle
+    * queries.
     */
   def run(
       files: DataFrame,
@@ -138,7 +165,9 @@ object IngestPipeline {
       provider: EmbeddingProvider = new HashProjectionEmbedder(64),
       fixedChunker: Boolean = false): DataFrame = {
     val filtered = ingestFilter(files, settings)
-    val rel = if (fixedChunker) fixedChunkRel(filtered) else recursiveChunkRel(filtered)
+    val rel =
+      if (fixedChunker) fixedChunkRel(filtered, settings.chunkSize, settings.chunkOverlap)
+      else recursiveChunkRel(filtered, settings.chunkSize, settings.chunkOverlap)
     val enriched = enrich(rel, settings)
     embedStage(enriched, provider, settings.embedBatchSize)
       .select(
@@ -165,17 +194,28 @@ object IngestPipeline {
       settings: PipelineSettings = PipelineSettings.default,
       chunkSize: Int = 200,
       chunkOverlap: Int = 40): DataFrame = {
+    requireChunkGeometry(chunkSize, chunkOverlap)
     val stride = chunkSize - chunkOverlap
+    // NULL discipline mirrors ingestFilter EXACTLY (review finding r14:
+    // `length(trim(null)) === 0` is null, not true, so a null-text file
+    // fell through every Failed rung and the ledger reported Completed
+    // for a file run() never processed): a file is Completed iff the
+    // filter would pass it — null text fails the empty rung, null
+    // n_chars fails the size gate (unknown size, its own message).
+    val emptyText = coalesce(length(trim(col("text"))), lit(0)) === 0
+    val tooLarge = !coalesce(
+      col("n_chars") <= settings.maxFileSizeMb.toLong * 1024 * 1024, lit(false))
     files.select(
       col("doc_id").as("source_drive_file"),
       col("source").as("file_title"),
-      when(length(trim(col("text"))) === 0, lit("Failed"))
-        .when(col("n_chars") > settings.maxFileSizeMb.toLong * 1024 * 1024, lit("Failed"))
+      when(emptyText, lit("Failed"))
+        .when(tooLarge, lit("Failed"))
         .otherwise(lit("Completed")).as("status"),
-      when(length(trim(col("text"))) === 0, lit("empty document"))
-        .when(col("n_chars") > settings.maxFileSizeMb.toLong * 1024 * 1024, lit("file too large"))
+      when(emptyText, lit("empty document"))
+        .when(col("n_chars").isNull, lit("unknown file size"))
+        .when(tooLarge, lit("file too large"))
         .otherwise(lit(null).cast("string")).as("error_message"),
-      when(length(trim(col("text"))) > 0,
+      when(!emptyText,
         (floor((length(col("text")) - 1) / stride) + 1).cast("long"))
         .otherwise(lit(0L)).as("total_chunks"))
       .withColumn("progress_percent",
@@ -252,8 +292,12 @@ object IngestPipeline {
     files.select(
       col("doc_id").as("source_drive_file"), col("source").as("file_title"),
       explode(
-        when(length(trim(col("text"))) === 0, emptyArr)
-          .when(col("n_chars") > settings.maxFileSizeMb.toLong * 1024 * 1024, largeArr)
+        // same null discipline as ledger: a file the ingest filter
+        // would drop must not show a Completed history
+        when(coalesce(length(trim(col("text"))), lit(0)) === 0, emptyArr)
+          .when(!coalesce(
+            col("n_chars") <= settings.maxFileSizeMb.toLong * 1024 * 1024,
+            lit(false)), largeArr)
           .otherwise(okArr)).as("st"))
       .select(col("source_drive_file"), col("file_title"),
         col("st.stage_seq"), col("st.status"),

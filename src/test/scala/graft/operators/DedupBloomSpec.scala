@@ -90,11 +90,49 @@ class DedupBloomSpec extends AnyFunSuite {
 
     val blooms = DedupIndex.buildBlooms(
       spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands"))
-    DedupIndex.writeBlooms(spark, dir, blooms)
+    DedupIndex.writeBlooms(spark, dir, blooms, upToBatch = 0L)
     val restored = DedupIndex.readBlooms(spark, dir)
     assert(restored.isDefined, "blooms should round-trip from the index dir")
+    assert(DedupIndex.readBloomWatermark(spark, dir).contains(0L))
     val viaBloom = DedupIndex.dedupBatchBloom(spark, dir, incoming)
       .select("doc_id", "fp").orderBy("doc_id")
     assertSameTable(viaBloom, viaPlain, "stored-bloom batch vs plain batch")
+  }
+
+  test("a STALE bloom stays exact: post-build accepts are confirmed by the plain rung") {
+    val s = spark
+    import s.implicits._
+    val (incoming, existing) = split()
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stale").toString
+    DedupIndex.init(existing, dir)
+    DedupIndex.writeBlooms(spark, dir, DedupIndex.buildBlooms(
+      spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands")), upToBatch = 0L)
+    // batch 1 lands AFTER the bloom build — its keys are invisible to
+    // the stored blooms, so a bloom-only prefilter would declare a
+    // batch-2 duplicate of a batch-1 doc "provably new" (the false
+    // negative the watermark exists to catch)
+    val batch1 = Seq((900001L, "a brand new document that the blooms never saw"))
+      .toDF("doc_id", "text")
+    DedupIndex.accept(DedupIndex.dedupBatch(spark, dir, batch1), dir, batchId = 1L)
+    val batch2 = Seq(
+      (900002L, "a brand new document that the blooms never saw"), // dup of batch 1
+      (900003L, "a genuinely novel second-increment document"))
+      .toDF("doc_id", "text")
+    val viaBloom = DedupIndex.dedupBatchBloom(spark, dir, batch2)
+    assert(viaBloom.select("doc_id").as[Long].collect().toSet == Set(900003L),
+      "the stale-bloom path must still drop the post-build duplicate")
+    // and it must equal the plain stored-index increment exactly
+    assertSameTable(
+      viaBloom.select("doc_id", "fp").orderBy("doc_id"),
+      DedupIndex.dedupBatch(spark, dir, batch2).select("doc_id", "fp").orderBy("doc_id"),
+      "stale-bloom batch vs plain batch")
+    // compact rebuilds the blooms (the rebuild rides the fold) and
+    // advances the watermark to the folded high-water id — fresh again
+    DedupIndex.compact(spark, dir)
+    assert(DedupIndex.readBloomWatermark(spark, dir).contains(1L))
+    assertSameTable(
+      DedupIndex.dedupBatchBloom(spark, dir, batch2).select("doc_id", "fp").orderBy("doc_id"),
+      DedupIndex.dedupBatch(spark, dir, batch2).select("doc_id", "fp").orderBy("doc_id"),
+      "post-compact bloom batch vs plain batch")
   }
 }
