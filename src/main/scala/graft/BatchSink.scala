@@ -120,6 +120,30 @@ object BatchSink {
     */
   private def replaceKeepingBatches(df: DataFrame, path: String,
                                     extraPartitionCols: Seq[String]): Unit = {
+    stageReplace(df, path, extraPartitionCols)
+    commitSwapDir(df.sparkSession, path)
+  }
+
+  /** [[stageReplace]] for relations without a `batch_id` column — the
+    * staging twin of [[replaceTable]].
+    */
+  def stageReplaceTable(df: DataFrame, path: String,
+                        extraPartitionCols: Seq[String] = Nil,
+                        batchId: Long = 0L): Unit =
+    stageReplace(df.withColumn("batch_id", lit(batchId)), path, extraPartitionCols)
+
+  /** The STAGE half of [[replaceTable]]: write the replacement to
+    * `<path>.swap`, row-count-verified, WITHOUT promoting it. Callers
+    * that replace ONE table want [[replaceTable]] (stage + commit);
+    * this half exists for multi-table swaps (AnnIndex.retrain replaces
+    * cells AND centroids, which must change together) — stage every
+    * table first, then commit each, so the window where one table is
+    * new and the other old is bounded by a journal, not by a full
+    * staging write. An uncommitted staging carries no [[CommitSentinel]]
+    * and is swept by [[recoverSwap]] on the next heal.
+    */
+  def stageReplace(df: DataFrame, path: String,
+                   extraPartitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     recoverSwap(spark, path)
     val swapPath = path + ".swap"
@@ -136,7 +160,7 @@ object BatchSink {
       .option("partitionOverwriteMode", "static")
       .parquet(swapPath)
     val expected = obs.get("n").asInstanceOf[Long]
-    val (fs, p) = fsOf(spark, path)
+    val (fs, _) = fsOf(spark, path)
     val swap = new org.apache.hadoop.fs.Path(swapPath)
     if (expected == 0L) {
       fs.delete(swap, true)
@@ -147,7 +171,6 @@ object BatchSink {
     val written = spark.read.parquet(swapPath).count() // parquet footers only
     require(written == expected,
       s"BatchSink.replaceTable: swap table at $swapPath has $written rows, expected $expected — aborting swap")
-    commitSwapDir(spark, path)
   }
 
   /** Commit a fully-written `.swap` directory over the live one:

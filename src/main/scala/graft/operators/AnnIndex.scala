@@ -215,23 +215,33 @@ object AnnIndex {
 
   /** Assign a batch of NEW vectors against the STORED centroids and land
     * it under its own partition. Idempotent per batch id: a retry after
-    * a crash overwrites its own partition, never double-appends.
+    * a crash overwrites its own partition, never double-appends. Reads
+    * the centroids HEALED (review finding r14: this was the one read
+    * path that opened the table raw — a crash between commitSwapDir's
+    * renames died as PATH_NOT_FOUND here while every search read
+    * self-healed; worse, a retrain torn between its two table swaps
+    * would have had this batch assigned in the OLD centroid space and
+    * landed into the NEW-space inverted file — the joint retrain
+    * journal now makes that mixed state unobservable, see [[retrain]]).
     */
   def addBatch(spark: SparkSession, newVectors: DataFrame, dir: String, batchId: Long): Unit = {
     graft.expressions.GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "cv")
+    val cents = readHealed(spark, dir, "centroids").select("c_id", "cv")
     graft.BatchSink.writeBatch(withCodes(assign(newVectors, cents)), batchId, s"$dir/cells",
       full = false, extraPartitionCols = Seq("cell"))
   }
 
-  /** Self-healing store read: promote a torn write-then-swap
-    * (crash mid-[[retrain]]/[[compact]]) before the table is opened, so
-    * readers after ANY crash window see a complete table. One FS
-    * metadata probe per table when nothing is torn.
+  /** Self-healing store read: replay a torn joint [[retrain]] swap,
+    * then promote a torn single-table write-then-swap (crash
+    * mid-[[compact]]), before the table is opened — so readers after
+    * ANY crash window see a complete, CONSISTENT (cells and centroids
+    * from the same training epoch) index. Two FS metadata probes per
+    * table when nothing is torn.
     */
-  private def readHealed(spark: SparkSession, path: String): DataFrame = {
-    graft.BatchSink.recoverSwap(spark, path)
-    spark.read.parquet(path)
+  private def readHealed(spark: SparkSession, dir: String, table: String): DataFrame = {
+    recoverRetrain(spark, dir)
+    graft.BatchSink.recoverSwap(spark, s"$dir/$table")
+    spark.read.parquet(s"$dir/$table")
   }
 
   /** IVF search against the stored index. Zero-norm queries are kept
@@ -242,8 +252,8 @@ object AnnIndex {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val cents = readHealed(spark, s"$dir/centroids").select("c_id", "cv")
-    val assigned = readHealed(spark, s"$dir/cells").select("vec_id", "embedding", "cell")
+    val cents = readHealed(spark, dir, "centroids").select("c_id", "cv")
+    val assigned = readHealed(spark, dir, "cells").select("vec_id", "embedding", "cell")
     searchAssigned(assigned, probe(queries, cents, nprobe), k)
   }
 
@@ -278,8 +288,8 @@ object AnnIndex {
     */
   def cellStats(spark: SparkSession, dir: String): DataFrame =
     cellStatsOf(
-      readHealed(spark, s"$dir/cells").select("vec_id", "cell"),
-      readHealed(spark, s"$dir/centroids").select("c_id"))
+      readHealed(spark, dir, "cells").select("vec_id", "cell"),
+      readHealed(spark, dir, "centroids").select("c_id"))
 
   /** int8-scored IVF search against the STORED codes — the memory-bound
     * production read path: candidates are ranked by the exact integer
@@ -302,11 +312,11 @@ object AnnIndex {
   def searchInt8(spark: SparkSession, dir: String, queries: DataFrame,
                  nprobe: Int, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val stored = readHealed(spark, s"$dir/cells")
+    val stored = readHealed(spark, dir, "cells")
     require(stored.columns.contains("pq") && stored.columns.contains("sp"),
       s"AnnIndex.searchInt8: index at $dir has no stored int8 codes (pq/sp columns) — " +
         "it predates code storage; re-run AnnIndex.init/addBatch (or retrain) to rebuild with codes")
-    val cents = readHealed(spark, s"$dir/centroids").select("c_id", "cv")
+    val cents = readHealed(spark, dir, "centroids").select("c_id", "cv")
     val q = probe(queries, cents, nprobe)
       .withColumn("qn", VectorOps.norm(col("qv"))).filter(col("qn") > 0)
       .withColumn("qm", VectorOps.maxNormed(col("qv"), col("qn")))
@@ -358,6 +368,7 @@ object AnnIndex {
               trainSampleTarget: Long = 1000000L): Unit = {
     require(trainSampleTarget >= 1, s"trainSampleTarget must be >= 1, got $trainSampleTarget")
     graft.expressions.GraftFunctions.register(spark)
+    recoverRetrain(spark, dir)
     graft.BatchSink.recoverSwap(spark, s"$dir/cells")
     graft.BatchSink.recoverSwap(spark, s"$dir/centroids")
     val stored = spark.read.parquet(s"$dir/cells").select("vec_id", "embedding")
@@ -370,9 +381,54 @@ object AnnIndex {
     // fold into the high-water batch id, like compact: the relay's
     // stale-checkpoint guard reads max(batch_id) from the listing
     val highWater = graft.BatchSink.batchIds(spark, s"$dir/cells").foldLeft(0L)(math.max)
-    graft.BatchSink.replaceTable(withCodes(assign(stored, cents)), s"$dir/cells",
+    // JOINT two-table swap (review finding r14): the old form committed
+    // cells then centroids as two independent replaceTable swaps, so a
+    // crash between them left cells in the NEW training space with the
+    // OLD centroids live — structurally valid (both spaces share c_ids)
+    // and semantically corrupt: every later addBatch would assign
+    // against the stale centroids and land old-space rows into the
+    // new-space inverted file, silent recall corruption with no error.
+    // Now both replacements are fully STAGED (written + verified, no
+    // commit sentinel) before a joint journal marker arms the
+    // promotion; every read/write path replays the marker via
+    // [[recoverRetrain]] first, so post-crash the pair is always from
+    // ONE training epoch.
+    graft.BatchSink.stageReplaceTable(withCodes(assign(stored, cents)), s"$dir/cells",
       Seq("cell"), batchId = highWater)
-    graft.BatchSink.replaceTable(cents, s"$dir/centroids")
+    graft.BatchSink.stageReplaceTable(cents, s"$dir/centroids")
+    val (fs, marker) = retrainMarker(spark, dir)
+    fs.create(marker, true).close()
+    graft.BatchSink.commitSwapDir(spark, s"$dir/cells")
+    graft.BatchSink.commitSwapDir(spark, s"$dir/centroids")
+    fs.delete(marker, false)
+  }
+
+  private val RetrainPending = "_GRAFT_RETRAIN_PENDING"
+  private def retrainMarker(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$RetrainPending")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Replay a torn joint [[retrain]] swap. The marker is created only
+    * after BOTH staging tables are fully written and verified, and
+    * deleted only after BOTH are promoted — so its presence means
+    * "finish promoting whatever remains" is always safe and lands the
+    * complete new epoch. Without the marker, any leftover staging is a
+    * pre-commit crash; the per-table [[graft.BatchSink.recoverSwap]]
+    * sweeps it and the old (consistent) epoch keeps serving. Idempotent;
+    * called by every AnnIndex read/write entry point via readHealed.
+    */
+  def recoverRetrain(spark: SparkSession, dir: String): Unit = {
+    val (fs, marker) = retrainMarker(spark, dir)
+    if (!fs.exists(marker)) return
+    Seq("cells", "centroids").foreach { t =>
+      // promote only tables whose staging still exists — a missing
+      // swap was already promoted by the crashed run or a prior replay
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t.swap")))
+        graft.BatchSink.commitSwapDir(spark, s"$dir/$t")
+      else graft.BatchSink.recoverSwap(spark, s"$dir/$t") // mid-commit window
+    }
+    fs.delete(marker, false)
   }
 
   /** recall@k of the stored index against the exact brute-force top-k
@@ -385,8 +441,8 @@ object AnnIndex {
   def recallAudit(spark: SparkSession, dir: String, queries: DataFrame,
                   nprobe: Int, k: Int = 3): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val stored = readHealed(spark, s"$dir/cells").select("vec_id", "embedding", "cell")
-    val cents = readHealed(spark, s"$dir/centroids").select("c_id", "cv")
+    val stored = readHealed(spark, dir, "cells").select("vec_id", "embedding", "cell")
+    val cents = readHealed(spark, dir, "centroids").select("c_id", "cv")
     val approx = searchAssigned(stored, probe(queries, cents, nprobe), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     val truth = stored.crossJoin(broadcast(queries))

@@ -36,6 +36,15 @@ object ShardedExport {
 
   /** Write `packed` (must carry `shardCol`) as one-file-per-shard
     * parquet + `_manifest`. Returns the number of shards written.
+    *
+    * Deliberately NOT built on [[graft.BatchSink.stageReplace]] despite
+    * the same observe/refuse/verify/commit skeleton: the export's
+    * staging is shard-partitioned and sorted (no `batch_id` layout),
+    * and its row-count verification IS the manifest derivation (counts
+    * come from the same footer pass that writes `_manifest`, so the
+    * manifest can never disagree with the check). The crash-protocol
+    * pieces that must stay in lockstep — [[graft.BatchSink.recoverSwap]]
+    * and [[graft.BatchSink.commitSwapDir]] — are shared.
     */
   def export(packed: DataFrame, dir: String, shardCol: String,
              orderCols: Seq[String]): Long = {

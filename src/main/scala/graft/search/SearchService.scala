@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
 object SearchService {
 
   /** Word-set Jaccard rerank score as a native expression (equals
-    * LexicalOverlapReranker.score on the same inputs).
+    * LexicalOverlapReranker.score on the same inputs — including empty
+    * and whitespace-only strings: `split("")` yields `[""]`, which must
+    * be dropped like the Scala twin's empty-token filter or two blank
+    * texts score a perfect 1.0 and outrank every real match; review
+    * finding r14).
     */
   def lexicalOverlap(a: Column, b: Column): Column = {
-    val ta = array_distinct(split(lower(trim(a)), "\\s+"))
-    val tb = array_distinct(split(lower(trim(b)), "\\s+"))
+    val ta = array_remove(array_distinct(split(lower(trim(a)), "\\s+")), "")
+    val tb = array_remove(array_distinct(split(lower(trim(b)), "\\s+")), "")
     val inter = size(array_intersect(ta, tb))
     val union = size(array_union(ta, tb))
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
@@ -50,7 +54,14 @@ object SearchService {
     val base = excludeId.fold(vectors)(id => vectors.filter(col(idCol) =!= id))
     base
       .crossJoin(broadcast(query))
-      .withColumn("score", VectorOps.cosineScore(col(vecCol), col("qv")))
+      // zero-norm vector (or query) ⇒ cosine 0/0 = NaN, and Spark
+      // orders NaN ABOVE every double — garbage rows would fill the
+      // top-k (review finding r14; AnnIndex documents the same hazard
+      // and has callers pre-filter). Pin NaN to -2.0, below the entire
+      // cosine range, so degenerate rows rank last and a degenerate
+      // query degrades to a deterministic id-ordered k, never a crash
+      // or a poisoned ranking.
+      .withColumn("score", nanvl(VectorOps.cosineScore(col(vecCol), col("qv")), lit(-2.0)))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -142,9 +153,17 @@ object SearchService {
       if (list.isEmpty) Iterator.empty
       else {
         val ranked: Seq[(Int, Option[Double])] =
-          try reranker.rerank(queryText, list.map(_.getString(textIdx)), k)
-            .map { case (i, s) => (i, Some(s)) }
-          catch {
+          try {
+            val r = reranker.rerank(queryText, list.map(_.getString(textIdx)), k)
+            // the reranker is a public seam: an implementation echoing
+            // indices for some other batch must hit the FALLBACK, not
+            // an IndexOutOfBounds outside this try (review finding
+            // r14); and the contract is ≤ k rows out, so an over-long
+            // result is truncated like the reference's results[:top_k]
+            require(r.forall { case (i, _) => i >= 0 && i < list.size },
+              s"reranker returned an out-of-range index for ${list.size} candidates")
+            r.take(k).map { case (i, s) => (i, Some(s)) }
+          } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[rerankStage] reranker failed, " +
                 s"falling back to vector order: ${e.getMessage}")

@@ -199,13 +199,18 @@ object EventStreams {
     * pairs and are sorted here, so in-batch disorder is healed
     * identically in both forms.
     */
+  /** PRECONDITION: `events` ascending by (ts, id) — both call sites
+    * feed [[cappedSmallest]] output, which is already sorted; a second
+    * sort here cost O(n log n) per group per micro-batch on the hot
+    * stateful path for nothing (review finding r14).
+    */
   private def foldSessions(
       userId: Long, prior: Option[SessionState],
       events: Seq[(Long, Long)],
       gapMicros: Long): (Vector[SessionOut], Option[SessionState]) = {
     var st = prior.orNull
     val closed = Vector.newBuilder[SessionOut]
-    for ((ts, _) <- events.sortBy(identity)) {
+    for ((ts, _) <- events) {
       if (st == null) st = SessionState(ts, ts, 1L)
       else if (ts - st.last > gapMicros) {
         closed += SessionOut(userId, st.start, st.n)
@@ -355,9 +360,10 @@ object EventStreams {
       userId: Long, steps: Seq[String], times0: Vector[Long],
       events: Seq[(Long, String)],
       clearOnComplete: Boolean): (Vector[FunnelOut], Vector[Long]) = {
+    // PRECONDITION: events ascending by (ts, type) — see foldSessions
     var times = times0
     val out = Vector.newBuilder[FunnelOut]
-    for ((ts, tp) <- events.sortBy(identity)) {
+    for ((ts, tp) <- events) {
       val next = times.length
       if (next < steps.length && tp == steps(next) &&
         (times.isEmpty || ts > times.last)) {
@@ -529,9 +535,10 @@ object EventStreams {
       provider: EmbeddingProvider = new HashProjectionEmbedder(64),
       ledgerDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None,
-      betweenSinks: Long => Unit = _ => ()): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+      betweenSinks: Long => Unit = _ => (),
+      schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val srcSchema = schema.getOrElse(inferSourceSchema(spark, inputDir))
+    val reader = spark.readStream.schema(srcSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
     reader
       .parquet(inputDir)
@@ -618,7 +625,8 @@ object EventStreams {
       bpeStatsDir: Option[String] = None,
       langModelDir: Option[String] = None,
       pqDir: Option[String] = None,
-      bucketedDedup: Option[(String, String)] = None): StreamingQuery = {
+      bucketedDedup: Option[(String, String)] = None,
+      relaySchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
     require(compactEvery.forall(_ >= 1), s"compactEvery must be >= 1, got $compactEvery")
     require(auditEvery.forall(_ >= 1), s"auditEvery must be >= 1, got $auditEvery")
     require(auditEvery.isEmpty || (auditQueries.nonEmpty && auditDir.nonEmpty),
@@ -634,8 +642,8 @@ object EventStreams {
     // batch history (the quiesce-only contract, like BatchSink.compact
     // — a live epoch's crashed first attempt must never be folded), so
     // bucketed compaction belongs at a quiesce point.
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
+    val srcSchema = relaySchema.getOrElse(inferSourceSchema(spark, inputDir))
+    val reader = spark.readStream.schema(srcSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
     reader
       .parquet(inputDir)
@@ -659,15 +667,21 @@ object EventStreams {
         // dir is an explicit not-initialized error, not a raw
         // FileNotFoundException from listStatus.
         def maxLandedBatch(dir: String, initHint: String): Long = {
+          // heal a torn quiesce-point write-then-swap BEFORE the
+          // existence check (the dir-store twin of the table path's
+          // heal below — review finding r14): a crash between
+          // commitSwapDir's renames leaves the live dir momentarily
+          // absent beside a completed .swap, and the unhealed check
+          // would misdiagnose it as "not initialized" — whose hint
+          // (re-run init) full-overwrites the batch history the swap
+          // protocol preserved.
+          graft.BatchSink.recoverSwap(spark, dir)
           val p = new org.apache.hadoop.fs.Path(dir)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           require(fs.exists(p),
             s"indexMaintenanceRelay: index table $dir does not exist — " +
               s"index not initialized; run $initHint first")
-          fs.listStatus(p).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("batch_id="))
-            .map(_.stripPrefix("batch_id=").toLong)
-            .foldLeft(0L)(math.max)
+          graft.BatchSink.batchIds(spark, dir).foldLeft(0L)(math.max)
         }
         def maxLandedBatchTable(tbl: String, initHint: String): Long = {
           // heal a torn quiesce-point swap (compactBucketed /
@@ -835,4 +849,20 @@ object EventStreams {
     */
   private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
     graft.BatchSink.writeBatch(df, batchId, dir, full = false)
+
+  /** Source schema for a file-stream relay. Inference requires at
+    * least one landed file; starting a relay AHEAD of its producer —
+    * the natural deploy order for a queue replacement — needs the
+    * schema passed explicitly (the `schema`/`relaySchema` parameter),
+    * and this error says so instead of the raw AnalysisException
+    * (review finding r14: the ordering constraint was undocumented).
+    */
+  private def inferSourceSchema(spark: SparkSession, inputDir: String) =
+    try spark.read.parquet(inputDir).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"relay input $inputDir holds no parquet yet, so the source schema cannot be " +
+            "inferred — pass the schema parameter to start the relay before its producer", e)
+    }
 }

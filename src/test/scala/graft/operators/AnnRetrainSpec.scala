@@ -118,4 +118,65 @@ class AnnRetrainSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("query sample is empty"))
   }
+
+  test("torn joint retrain replays to ONE training epoch in every crash window") {
+    // retrain replaces cells AND centroids; r14 made the pair a joint
+    // journaled swap after a crash between the two independent commits
+    // could leave NEW-space cells under OLD centroids — silent recall
+    // corruption every later addBatch would compound. Manufacture each
+    // window with the protocol's own public pieces and assert the heal
+    // lands a CONSISTENT epoch (all-old or all-new, never mixed).
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = queries(e)
+    def freshIndex(): String = { val dir = tmp("graft-ann-joint"); AnnIndex.init(e, dir); dir }
+    val cents2 = AnnIndex.kmeans(e, 16, 2).localCheckpoint() // the new epoch's quantizer
+    def stageBoth(dir: String): Unit = {
+      graft.BatchSink.stageReplaceTable(
+        AnnIndex.withCodes(AnnIndex.assign(e, cents2)), s"$dir/cells", Seq("cell"))
+      graft.BatchSink.stageReplaceTable(cents2, s"$dir/centroids")
+    }
+    def marker(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_RETRAIN_PENDING")
+    def fsOf(dir: String) = marker(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellsOf(dir: String) =
+      spark.read.parquet(s"$dir/cells").select("vec_id", "cell").orderBy("vec_id")
+    def centsOf(dir: String) =
+      spark.read.parquet(s"$dir/centroids").select("c_id", "cv").orderBy("c_id")
+
+    // reference new-epoch state: the protocol driven to completion
+    val done = freshIndex(); stageBoth(done)
+    fsOf(done).create(marker(done), true).close()
+    graft.BatchSink.commitSwapDir(spark, s"$done/cells")
+    graft.BatchSink.commitSwapDir(spark, s"$done/centroids")
+    fsOf(done).delete(marker(done), false)
+
+    // window A — crash BEFORE the marker: both stagings present but
+    // unjournaled; the heal sweeps them and the OLD epoch keeps serving
+    val a = freshIndex()
+    val oldCells = cellsOf(a).localCheckpoint()
+    stageBoth(a)
+    AnnIndex.search(spark, a, qs, nprobe = 2, k = 3).collect() // readHealed heals
+    assertSameTable(cellsOf(a), oldCells, "window A: old epoch must keep serving")
+    assert(!fsOf(a).exists(new org.apache.hadoop.fs.Path(s"$a/cells.swap")),
+      "window A: unjournaled staging must be swept")
+
+    // window B — crash AFTER the marker, before any commit: the replay
+    // promotes BOTH stagings to the new epoch
+    val b = freshIndex(); stageBoth(b)
+    fsOf(b).create(marker(b), true).close()
+    AnnIndex.search(spark, b, qs, nprobe = 2, k = 3).collect()
+    assert(!fsOf(b).exists(marker(b)), "window B: marker must clear after replay")
+    assertSameTable(cellsOf(b), cellsOf(done), "window B: cells must be the new epoch")
+    assertSameTable(centsOf(b), centsOf(done), "window B: centroids must be the new epoch")
+
+    // window C — THE corruption window the journal exists for: cells
+    // committed, centroids still staged; the replay finishes promoting
+    // so cells and centroids come from the same training epoch
+    val c = freshIndex(); stageBoth(c)
+    fsOf(c).create(marker(c), true).close()
+    graft.BatchSink.commitSwapDir(spark, s"$c/cells")
+    AnnIndex.search(spark, c, qs, nprobe = 2, k = 3).collect()
+    assert(!fsOf(c).exists(marker(c)), "window C: marker must clear after replay")
+    assertSameTable(cellsOf(c), cellsOf(done), "window C: cells must be the new epoch")
+    assertSameTable(centsOf(c), centsOf(done), "window C: centroids must be the new epoch")
+  }
 }
