@@ -66,12 +66,15 @@ object Bench {
     if (!java.nio.file.Files.isDirectory(root)) return "none"
     val md = java.security.MessageDigest.getInstance("MD5")
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
-    files.foreach { p =>
-      md.update(p.toString.getBytes("UTF-8"))
-      md.update(java.nio.file.Files.readAllBytes(p))
-    }
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      val files = walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+      files.foreach { p =>
+        md.update(p.toString.getBytes("UTF-8"))
+        md.update(java.nio.file.Files.readAllBytes(p))
+      }
+    } finally walk.close() // Files.walk holds directory handles open
     md.digest().map("%02x".format(_)).mkString.take(16)
   } catch { case scala.util.control.NonFatal(_) => "none" }
 
@@ -86,26 +89,40 @@ object Bench {
     */
   private[graft] def historySameCodeMins(path: java.nio.file.Path, sfDir: String,
                                   srcFp: String): Map[String, Double] = {
-    if (srcFp == "none" || !java.nio.file.Files.exists(path)) return Map.empty
+    if (srcFp == "none") return Map.empty
+    perQuerySamples(path, line =>
+      line.contains("\"src\":\"" + srcFp + "\"") &&
+        line.contains("\"sf\":\"" + sfDir + "\""))
+      .map { case (k, xs) => k -> xs.min }
+  }
+
+  /** The one JSONL per-query scanner behind [[historySameCodeMins]] and
+    * [[historyMedians]] (review finding r14: two hand-rolled copies of
+    * the fragile substring/regex parse could drift — any format change
+    * now lands in one place; the call sites keep only their line
+    * filter and their fold). Failed queries (-1) are skipped. The file
+    * is written only by this object, so the targeted regex over
+    * `"name":value` pairs inside the queries object is reliable.
+    */
+  private def perQuerySamples(path: java.nio.file.Path,
+                              lineFilter: String => Boolean): Map[String, List[Double]] = {
+    if (!java.nio.file.Files.exists(path)) return Map.empty
     val pair = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
-    val mins = scala.collection.mutable.Map.empty[String, Double]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     try {
       java.nio.file.Files.readAllLines(path).forEach { line =>
-        val sameCode = line.contains("\"src\":\"" + srcFp + "\"") &&
-          line.contains("\"sf\":\"" + sfDir + "\"")
-        val qStart = if (sameCode) line.indexOf("\"queries\":{") else -1
+        val qStart = if (lineFilter(line)) line.indexOf("\"queries\":{") else -1
         if (qStart >= 0) {
           val qEnd = line.indexOf("}", qStart)
           val body = line.substring(qStart + "\"queries\":".length,
             if (qEnd > 0) qEnd + 1 else line.length)
           pair.findAllMatchIn(body).foreach { m =>
             val v = m.group(2).toDouble
-            if (v >= 0) mins.updateWith(m.group(1))(old =>
-              Some(old.fold(v)(math.min(_, v))))
+            if (v >= 0) samples.updateWith(m.group(1))(xs => Some(v :: xs.getOrElse(Nil)))
           }
         }
       }
-      mins.toMap
+      samples.toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
@@ -129,37 +146,18 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
   }
 
-  /** Parse per-query medians out of bench_history.jsonl. The file is written
-    * only by this object, so a targeted regex over `"name":value` pairs inside
-    * the queries object is reliable; failed queries (-1) are skipped.
+  /** Per-query MEDIANS over same-scale history lines (r1/r2 lines
+    * predate the "sf" field and were all sf0.1 — missing means that
+    * default). One fold over [[perQuerySamples]].
     */
   private[graft] def historyMedians(path: java.nio.file.Path, sfDir: String): Map[String, Double] = {
-    if (!java.nio.file.Files.exists(path)) return Map.empty
-    val pair = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    try {
-      val lines = java.nio.file.Files.readAllLines(path)
-      lines.forEach { line =>
-        // only same-scale runs are comparable; r1/r2 lines predate the
-        // "sf" field and were all sf0.1, so treat missing as that default
-        val lineSf =
-          if (line.contains("\"sf\":")) line.contains("\"sf\":\"" + sfDir + "\"")
-          else sfDir.endsWith("sf0.1")
-        val qStart = if (lineSf) line.indexOf("\"queries\":{") else -1
-        if (qStart >= 0) {
-          val qEnd = line.indexOf("}", qStart)
-          val body = line.substring(qStart + "\"queries\":".length, if (qEnd > 0) qEnd + 1 else line.length)
-          pair.findAllMatchIn(body).foreach { m =>
-            val v = m.group(2).toDouble
-            if (v >= 0) samples.updateWith(m.group(1))(xs => Some(v :: xs.getOrElse(Nil)))
-          }
-        }
+    perQuerySamples(path, line =>
+      if (line.contains("\"sf\":")) line.contains("\"sf\":\"" + sfDir + "\"")
+      else sfDir.endsWith("sf0.1"))
+      .map { case (k, xs) =>
+        val s = xs.sorted
+        k -> (if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
       }
-    } catch { case scala.util.control.NonFatal(_) => return Map.empty }
-    samples.map { case (k, xs) =>
-      val s = xs.sorted
-      k -> (if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
-    }.toMap
   }
 
   private def timeOnce(spark: SparkSession, sfDir: String,
@@ -288,9 +286,20 @@ object Bench {
     // number diverges" belongs in the harness, not in prose). The
     // history-merged denoised total is reported separately as
     // merged_total — strictly telemetry, never the gated number.
+    // A persistently-failing query records -1 and is EXCLUDED from every
+    // total — which DEFLATES the gated number exactly when the suite is
+    // broken (review finding r14). The artifact must self-report that:
+    // `failed` + `failed_queries` make a missing-cost run distinguishable
+    // from a fast run without cross-referencing stderr.
+    val failedQueries = results.collect { case (k, v) if v < 0 => k }
+    if (failedQueries.nonEmpty)
+      System.err.println(s"[bench] ${failedQueries.size} queries FAILED every attempt " +
+        s"(their cost is MISSING from all totals): ${failedQueries.mkString(", ")}")
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortLine =
       s"""{"metric":"total","value":$runTotal,"unit":"sec","ts":"$ts","reruns":$reruns,"passes":$passes,""" +
-        s""""nqueries":${results.size},"run_total":$runTotal,"merged_total":$total,"merged_from_history":$nMerged,""" +
+        s""""nqueries":${results.size},"failed":${failedQueries.size},"failed_queries":$failedJson,""" +
+        s""""run_total":$runTotal,"merged_total":$total,"merged_from_history":$nMerged,""" +
         s""""best_known_total":$bestKnown,"canaries_clean":$canariesClean,"sf":"$sfDir"}"""
     // Full per-query record to a file too: the driver's stdout capture
     // truncates long tails, which made round-2 timings unrecoverable.

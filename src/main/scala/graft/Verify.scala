@@ -51,6 +51,8 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      s"usage: graft.Verify <sfDir> <outDir> — got ${args.length} args: ${args.mkString(" ")}")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)

@@ -94,16 +94,28 @@ object AnnLshIndex {
     df
   }
 
+  /** Meta rides the same write-then-swap as the data tables (review
+    * finding r14: a plain mode(overwrite) rewrite first DELETES the
+    * old meta, so a crash mid-write left the index with NO meta —
+    * [[numPlanes]] then refused with "run init first" and the refine
+    * scaladoc's "re-run refine to heal" was impossible, since refine
+    * reads numPlanes first. A torn swap now heals on the next
+    * [[numPlanes]] read and the old plane count keeps serving until
+    * the new meta commits atomically).
+    */
   private def writeMeta(spark: SparkSession, dir: String, numPlanes: Int): Unit = {
     import spark.implicits._
-    Seq(numPlanes).toDF("num_planes").write.mode("overwrite").parquet(s"$dir/meta")
+    graft.BatchSink.recoverSwap(spark, s"$dir/meta")
+    Seq(numPlanes).toDF("num_planes").write.mode("overwrite").parquet(s"$dir/meta.swap")
+    graft.BatchSink.commitSwapDir(spark, s"$dir/meta")
   }
 
   /** The index's pinned plane count. One-row metadata read (the only
     * driver-side value a search needs — the probe UDF is compiled
-    * against it at plan time).
+    * against it at plan time); heals a torn meta swap first.
     */
   def numPlanes(spark: SparkSession, dir: String): Int = {
+    graft.BatchSink.recoverSwap(spark, s"$dir/meta")
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
     require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
       s"AnnLshIndex: no index at $dir — run AnnLshIndex.init first")
@@ -261,6 +273,7 @@ object AnnLshIndex {
       s"AnnLshIndex.refine: newNumPlanes=$newNumPlanes must exceed the stored $old " +
         "(signatures nest upward; lowering planes would merge buckets, not refine them)")
     graft.BatchSink.recoverSwap(spark, s"$dir/vectors") // heal before the source read
+    graft.BatchSink.recoverSwap(spark, s"$dir/stats") // its listing is read below too
     val resigned = signedRows(
       spark.read.parquet(s"$dir/vectors").select("vec_id", "embedding"), newNumPlanes)
     // fold into the high-water batch id, like compact: the relay's

@@ -268,6 +268,29 @@ object MultimodalQueries {
         coalesce(abs(col("sum_gray") - col("prev")) > 0, lit(false)).as("cut"))
   }
 
+  /** Shot segmentation + K=2 midpoint-uniform sampling over ANY
+    * per-frame relation carrying (doc_id, frame_idx, cut) — shot ids
+    * are the running sum of cut flags, per-shot rank/length are
+    * windows on the (doc, shot) key, and sampling keeps offsets
+    * ⌊len·(2j+1)/(2K)⌋ (exact integer arithmetic; a 1-frame shot
+    * samples its only frame once). ONE definition behind
+    * `video_clip_sample` and `clip_frame_dedup` (review finding r14:
+    * the chain was duplicated, so a change to the cut rule or the
+    * sampling offsets had to land twice). Extra columns pass through.
+    */
+  private def shotSampled(frames: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShot = Window.partitionBy(col("doc_id"), col("shot_id"))
+    val wShotSeq = wShot.orderBy(col("frame_idx"))
+    frames
+      .withColumn("shot_id", sum(when(col("cut"), 1L).otherwise(0L)).over(wRun))
+      .withColumn("pos", row_number().over(wShotSeq).cast("long") - 1L)
+      .withColumn("shot_len", count(lit(1)).over(wShot).cast("long"))
+      .filter(col("pos") === expr("shot_len div 4") ||
+        col("pos") === expr("(3 * shot_len) div 4"))
+  }
+
   val queries: Map[String, Q] = Map(
     "video_scene_cuts" -> ((s, d) =>
       videoFrameCuts(s, d).orderBy("doc_id", "frame_idx")),
@@ -282,16 +305,7 @@ object MultimodalQueries {
     // content-addressed path) and no join-back is needed: sampling is
     // a filter, not an explode.
     "video_clip_sample" -> ((s, d) => {
-      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wShot = Window.partitionBy(col("doc_id"), col("shot_id"))
-      val wShotSeq = wShot.orderBy(col("frame_idx"))
-      videoFrameCuts(s, d)
-        .withColumn("shot_id", sum(when(col("cut"), 1L).otherwise(0L)).over(wRun))
-        .withColumn("pos", row_number().over(wShotSeq).cast("long") - 1L)
-        .withColumn("shot_len", count(lit(1)).over(wShot).cast("long"))
-        .filter(col("pos") === expr("shot_len div 4") ||
-          col("pos") === expr("(3 * shot_len) div 4"))
+      shotSampled(videoFrameCuts(s, d))
         .select(col("doc_id"), col("shot_id"), col("frame_idx"),
           col("sum_gray"), col("shot_len"))
         .orderBy("doc_id", "frame_idx")
@@ -315,12 +329,8 @@ object MultimodalQueries {
     // fingerprint clustering is the same relation at every scale.
     "clip_frame_dedup" -> ((s, d) => {
       val wLag = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wShot = Window.partitionBy(col("doc_id"), col("shot_id"))
-      val wShotSeq = wShot.orderBy(col("frame_idx"))
       val fpCols = Seq("sum_gray", "b0", "b1", "b2", "b3")
-      val sampled = Tables.documents(s, d)
+      val frames = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(videoFrameFeaturesUdf(col("doc_id"), col("n_chars")))
             .as(Seq("frame_idx", "ft")))
@@ -329,11 +339,7 @@ object MultimodalQueries {
           col("ft._4").as("b2"), col("ft._5").as("b3"))
         .withColumn("prev", lag(col("sum_gray"), 1).over(wLag))
         .withColumn("cut", coalesce(abs(col("sum_gray") - col("prev")) > 0, lit(false)))
-        .withColumn("shot_id", sum(when(col("cut"), 1L).otherwise(0L)).over(wRun))
-        .withColumn("pos", row_number().over(wShotSeq).cast("long") - 1L)
-        .withColumn("shot_len", count(lit(1)).over(wShot).cast("long"))
-        .filter(col("pos") === expr("shot_len div 4") ||
-          col("pos") === expr("(3 * shot_len) div 4"))
+      val sampled = shotSampled(frames)
         .withColumn("fid", col("doc_id") * 16 + col("frame_idx"))
         .select(Seq(col("doc_id"), col("shot_id"), col("frame_idx"), col("fid")) ++
           fpCols.map(col): _*)
