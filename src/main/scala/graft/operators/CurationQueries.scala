@@ -35,6 +35,35 @@ object CurationQueries {
   private[operators] def tokBucket(tok: org.apache.spark.sql.Column, mod: Int) =
     (conv(substring(md5(tok.cast("binary")), 1, 4), 16, 10) % mod).cast("int")
 
+  /** Gopher shape ratios (mean word length, most-common-word ratio,
+    * symbol ratio — each 6dp-rounded): ONE aggregate body behind
+    * `gopher_quality` and `quality_ensemble` (review finding r14: two
+    * verbatim copies could drift; `curation_e2e` deliberately stays on
+    * its own UNROUNDED two-gate variant — raw double divisions of
+    * exact integers, documented at the query).
+    */
+  private[operators] def gopherShape(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
+        explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("n_chars"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        sum(col("cnt")).as("n_toks"),
+        max(col("cnt")).as("top_cnt"),
+        sum(length(col("tok")) * col("cnt")).as("alpha_chars"))
+      .select(
+        col("doc_id"),
+        round(col("alpha_chars").cast("double") / col("n_toks"), 6).as("mean_word_len"),
+        round(col("top_cnt").cast("double") / col("n_toks"), 6).as("top_word_ratio"),
+        round((col("n_chars") - col("alpha_chars") - (col("n_toks") - 1)).cast("double")
+          / col("n_chars"), 6).as("symbol_ratio"))
+
+  /** The Gopher keep gate over [[gopherShape]]'s columns. */
+  private[operators] def gopherPass: org.apache.spark.sql.Column =
+    col("mean_word_len").between(3.0, 10.0) &&
+      col("top_word_ratio") <= 0.2 && col("symbol_ratio") <= 0.1
+
   /** One exploded (doc_id, tok) relation — the single corpus scan every
     * stage of the NB classifier derives from.
     */
@@ -70,6 +99,36 @@ object CurationQueries {
         .otherwise(0L)) >= count(lit(1)) * 7).cast("int").as("y"))
       .withColumn("tr", hashBucket(col("doc_id")) < 80)
 
+  /** Bucketed class counts over TRAIN docs — the ONE NB
+    * sufficient-statistics aggregate behind the inline classifier, the
+    * oracled `quality_classifier_model` relation and
+    * [[NbModelStore]]'s write path (review finding r14: three verbatim
+    * copies of this groupBy could drift, with the stored==inline
+    * parity pinned only downstream).
+    */
+  private[operators] def nbCountsFromBucketed(bt: DataFrame): DataFrame =
+    bt.filter(col("tr"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+
+  private[operators] def nbCountsFrom(toks: DataFrame, lb: DataFrame): DataFrame =
+    nbCountsFromBucketed(
+      toks.select(col("doc_id"), tokBucket(col("tok"), NbBuckets).as("b"))
+        .join(lb, Seq("doc_id")))
+
+  /** Smoothed (b, c1, c0, log_odds) model relation from folded counts —
+    * one projection behind the oracled model query and the store's
+    * served model.
+    */
+  private[operators] def nbModelFrom(cc: DataFrame): DataFrame = {
+    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("b"), col("c1"), col("c0"),
+        round(nbLogOdds(col("c1"), col("c0"), col("nt1"), col("nt0")), 6).as("log_odds"))
+      .orderBy("b")
+  }
+
   /** Shared train+score pipeline for quality_classifier: returns the
     * per-doc label relation and the per-doc rounded NB score.
     */
@@ -79,10 +138,7 @@ object CurationQueries {
     val lb = nbLabels(toks)
     val bt = toks.select(col("doc_id"), tokBucket(col("tok"), B).as("b"))
       .join(lb, Seq("doc_id"))
-    val cc = bt.filter(col("tr"))
-      .groupBy(col("b"))
-      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+    val cc = nbCountsFromBucketed(bt)
     val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
     val pr = lb.filter(col("tr"))
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
@@ -515,25 +571,8 @@ object CurationQueries {
     // ≤ 0.1 — the rule battery a pre-training filter applies before
     // anything model-based. All native: explode→count→per-doc aggregate.
     "gopher_quality" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          explode(TextOps.tokens(lower(col("text")))).as("tok"))
-      val perTok = toks.groupBy(col("doc_id"), col("n_chars"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-      perTok.groupBy(col("doc_id"), col("n_chars"))
-        .agg(
-          sum(col("cnt")).as("n_toks"),
-          max(col("cnt")).as("top_cnt"),
-          sum(length(col("tok")) * col("cnt")).as("alpha_chars"))
-        .select(
-          col("doc_id"),
-          round(col("alpha_chars").cast("double") / col("n_toks"), 6).as("mean_word_len"),
-          round(col("top_cnt").cast("double") / col("n_toks"), 6).as("top_word_ratio"),
-          round((col("n_chars") - col("alpha_chars") - (col("n_toks") - 1)).cast("double")
-            / col("n_chars"), 6).as("symbol_ratio"))
-        .withColumn("passes",
-          col("mean_word_len").between(3.0, 10.0) &&
-            col("top_word_ratio") <= 0.2 && col("symbol_ratio") <= 0.1)
+      gopherShape(Tables.documents(s, d))
+        .withColumn("passes", gopherPass)
         .orderBy("doc_id")
     }),
     // Unigram-LM quality score (the CCNet/KenLM signal in its
@@ -670,22 +709,7 @@ object CurationQueries {
     // and already exists; the composition is three doc-keyed joins.
     "quality_ensemble" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val g = docs
-        .select(col("doc_id"), col("n_chars"),
-          explode(TextOps.tokens(lower(col("text")))).as("tok"))
-        .groupBy(col("doc_id"), col("n_chars"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"), col("n_chars"))
-        .agg(sum(col("cnt")).as("n_toks"), max(col("cnt")).as("top_cnt"),
-          sum(length(col("tok")) * col("cnt")).as("alpha"))
-        .select(col("doc_id"),
-          round(col("alpha").cast("double") / col("n_toks"), 6).as("mwl"),
-          round(col("top_cnt").cast("double") / col("n_toks"), 6).as("twr"),
-          round((col("n_chars") - col("alpha") - (col("n_toks") - 1)).cast("double")
-            / col("n_chars"), 6).as("sr"))
-        .select(col("doc_id"),
-          (col("mwl").between(3.0, 10.0) && col("twr") <= 0.2 &&
-            col("sr") <= 0.1).as("gopher_pass"))
+      val g = gopherShape(docs).select(col("doc_id"), gopherPass.as("gopher_pass"))
       val (_, sc) = nbClassifier(s, d)
       val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
       val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
@@ -723,9 +747,7 @@ object CurationQueries {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(TextOps.tokens(lower(col("text")))).as("tok"))
-        .select(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10) % B)
-            .cast("int").as("b"))
+        .select(col("doc_id"), col("lang"), tokBucket(col("tok"), B).as("b"))
       val tgt = toks.filter(col("lang") === "en")
         .groupBy(col("b")).agg(count(lit(1)).as("ct"))
       val all = toks.groupBy(col("b")).agg(count(lit(1)).as("ca"))
@@ -786,21 +808,8 @@ object CurationQueries {
     // doc-level scores blur the cause. Also the artifact a production
     // pipeline would persist/version alongside the corpus snapshot.
     "quality_classifier_model" -> ((s, d) => {
-      val B = NbBuckets
       val toks = docTokens(s, d)
-      val lb = nbLabels(toks)
-      val cc = toks
-        .select(col("doc_id"), tokBucket(col("tok"), B).as("b"))
-        .join(lb, Seq("doc_id"))
-        .filter(col("tr"))
-        .groupBy(col("b"))
-        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
-          sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
-      val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
-      cc.crossJoin(broadcast(tot))
-        .select(col("b"), col("c1"), col("c0"),
-          round(nbLogOdds(col("c1"), col("c0"), col("nt1"), col("nt0")), 6).as("log_odds"))
-        .orderBy("b")
+      nbModelFrom(nbCountsFrom(toks, nbLabels(toks)))
     }),
     // The trained language-ID model as a relation (lang, b, c, log_lik)
     // — the langs × 64 artifact a production pipeline versions next to
@@ -849,8 +858,13 @@ object CurationQueries {
       val docs = Tables.documents(s, d)
       val tb = langBucketCounts(s, d)
       val test = langLabels(docs).filter(!col("tr"))
+      // score ONLY the held-out split (review finding r14: the audit
+      // joined away ~80% of a corpus-wide scoring aggregate) — train
+      // counts still fold over the FULL cached tb; only the scoring
+      // side narrows, so predictions are value-identical
+      val tbTest = tb.join(test.select(col("doc_id")), Seq("doc_id"), "left_semi")
       val trained = test
-        .join(langScoreFrom(tb, langCountsFrom(tb, langLabels(docs)),
+        .join(langScoreFrom(tbTest, langCountsFrom(tb, langLabels(docs)),
           langPriorsOf(docs)), Seq("doc_id"), "left")
         .select(lit("trained").as("method"), col("lang"),
           coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"))

@@ -33,12 +33,7 @@ object NbModelStore {
     * instead of two.
     */
   private def countsFrom(toks: DataFrame, lb: DataFrame): DataFrame =
-    toks.select(col("doc_id"), CurationQueries.tokBucket(col("tok"), B).as("b"))
-      .join(lb, Seq("doc_id"))
-      .filter(col("tr"))
-      .groupBy(col("b"))
-      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+    CurationQueries.nbCountsFrom(toks, lb) // the one shared aggregate
 
   private def priorsFrom(lb: DataFrame): DataFrame =
     lb.filter(col("tr"))
@@ -92,15 +87,8 @@ object NbModelStore {
   /** The served model — same schema and smoothing as the oracled
     * `quality_classifier_model` relation, derived from the STORE.
     */
-  def model(spark: SparkSession, dir: String): DataFrame = {
-    val cc = readCounts(spark, dir)
-    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
-    cc.crossJoin(broadcast(tot))
-      .select(col("b"), col("c1"), col("c0"),
-        round(CurationQueries.nbLogOdds(col("c1"), col("c0"),
-          col("nt1"), col("nt0")), 6).as("log_odds"))
-      .orderBy("b")
-  }
+  def model(spark: SparkSession, dir: String): DataFrame =
+    CurationQueries.nbModelFrom(readCounts(spark, dir))
 
   /** Score any docs relation FROM the stored artifact — the serving
     * path: one broadcast of the 64-row model + the priors row, no

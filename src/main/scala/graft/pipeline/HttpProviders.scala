@@ -40,7 +40,13 @@ final class JdkHttpTransport extends HttpTransport {
               timeoutMillis: Int, headers: Map[String, String] = Map.empty): String = {
     val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMillis.toLong))
-      .header("Content-Type", "application/json")
+    // default the Content-Type only when the caller did not supply one:
+    // HttpRequest.Builder.header ADDS values, so an unconditional
+    // default plus a caller override produced two Content-Type headers
+    // (strict servers 400 on that) with no way to replace the default
+    // (review finding r14)
+    if (!headers.keysIterator.exists(_.equalsIgnoreCase("Content-Type")))
+      builder.header("Content-Type", "application/json")
     headers.foreach { case (k, v) => builder.header(k, v) }
     val publisher = body.fold(java.net.http.HttpRequest.BodyPublishers.noBody())(
       java.net.http.HttpRequest.BodyPublishers.ofString)
@@ -102,7 +108,16 @@ final class OllamaEmbeddingProvider(
       require(row.isArray && row.size() == dimension,
         s"OllamaEmbeddingProvider: embedding $i has width ${row.size()}, expected $dimension — " +
           "model/dimension mismatch (check Settings.resolveDimension against the model)")
-      Array.tabulate(row.size())(j => row.get(j).floatValue())
+      Array.tabulate(row.size()) { j =>
+        val el = row.get(j)
+        // element TYPE is part of the contract: Jackson's NullNode /
+        // TextNode.floatValue() coerce to 0.0f, so a null-padded or
+        // string-typed response with the right count and width would
+        // store silent all-zero vectors (review finding r14)
+        require(el.isNumber,
+          s"OllamaEmbeddingProvider: embedding $i element $j is ${el.getNodeType}, not a number")
+        el.floatValue()
+      }
     }
   }
 
@@ -164,7 +179,13 @@ final class OpenRouterEmbeddingProvider(
       require(emb != null && emb.isArray && emb.size() == dimension,
         s"OpenRouterEmbeddingProvider: embedding ${idx.intValue()} has width " +
           s"${if (emb == null) "?" else emb.size()}, expected $dimension — model/dimension mismatch")
-      idx.intValue() -> Array.tabulate(emb.size())(j => emb.get(j).floatValue())
+      idx.intValue() -> Array.tabulate(emb.size()) { j =>
+        val el = emb.get(j)
+        require(el.isNumber, // same element-type guard as the Ollama adapter
+          s"OpenRouterEmbeddingProvider: embedding ${idx.intValue()} element $j is " +
+            s"${el.getNodeType}, not a number")
+        el.floatValue()
+      }
     }
     require(rows.map(_._1).distinct.size == expected,
       "OpenRouterEmbeddingProvider: duplicate 'index' in response — refusing to mis-align rows")

@@ -114,7 +114,14 @@ object PdfCodec extends Serializable {
       inf.setInput(data)
       val out = new ByteArrayOutputStream(data.length * 3 + 64)
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) out.write(buf, 0, inf.inflate(buf))
+      // needsDictionary must break the loop (review finding r14): a
+      // stream whose zlib header sets FDICT (e.g. bytes 0x78 0x20 —
+      // checksum-valid) makes inflate() return 0 forever while neither
+      // finished nor needing input, spinning the executor task with no
+      // exception and no timeout. Preset dictionaries never appear in
+      // PDF FlateDecode — treat as corrupt, i.e. a skipped stream.
+      while (!inf.finished() && !inf.needsInput() && !inf.needsDictionary())
+        out.write(buf, 0, inf.inflate(buf))
       if (inf.finished()) Some(out.toByteArray) else None
     } catch {
       case _: java.util.zip.DataFormatException => None

@@ -31,11 +31,29 @@ object TextExtraction {
   private val vision: graft.pipeline.VisionProvider =
     new graft.pipeline.MetaVisionProvider(new graft.pipeline.GridOcrProvider)
 
+  /** Decode failures stay ROW-LOCAL (review finding r14: a truncated
+    * zip named *.docx threw out of the UDF, failed the task 4× and
+    * aborted the whole ingest job — the opposite of ImageCodec's
+    * documented "one bad upload cannot fail a whole ingest job"
+    * contract, which the structured-codec branches must share): a
+    * corrupt file logs loudly and yields null, dropping the row like
+    * an unsupported extension. The reference throws per file and marks
+    * the job Failed; the ledger relation is this engine's analog of
+    * that record — extraction itself keeps flowing.
+    */
+  private def rowLocal(path: String)(decode: => String): String =
+    try decode
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[extract] dropping corrupt file $path: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        null
+    }
+
   private val extractUdf = udf { (path: String, content: Array[Byte]) =>
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
     ext match {
-      case "pdf" => PdfCodec.extractText(content)
-      case "docx" => DocxCodec.extractText(content)
+      case "pdf" => rowLocal(path)(PdfCodec.extractText(content))
+      case "docx" => rowLocal(path)(DocxCodec.extractText(content))
       case "txt" | "md" =>
         // charset ladder, reusing the S4 decode order
         val utf8 = try {
@@ -46,7 +64,7 @@ object TextExtraction {
         } catch { case _: java.nio.charset.CharacterCodingException => None }
         utf8.getOrElse(new String(content, java.nio.charset.StandardCharsets.ISO_8859_1))
       case e if SupportedExtensions.contains(e) =>
-        vision.describe(content).combined
+        rowLocal(path)(vision.describe(content).combined)
       case _ => null // unsupported → reference throws; we filter
     }
   }
