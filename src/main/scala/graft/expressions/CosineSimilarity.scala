@@ -34,15 +34,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable beyond input nulls (review finding r14): mismatched
+    * lengths and null ELEMENTS both yield null, matching the
+    * `aggregate(zip_with(...))` fold this expression replaced (zip_with
+    * pads the shorter side with nulls → null dot) and the DuckDB
+    * oracle (out-of-range list index → NULL). The old code silently
+    * truncated both vectors to min(length) — a plausible-but-wrong
+    * finite score that MASKED the dimension-uniformity violations the
+    * health checks exist to surface — and read null elements as 0.0f
+    * in the unsafe path while NPE-ing interpreted.
+    */
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val checkNulls = elementsNullable
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -60,15 +80,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // the element null check is emitted only when the STATIC type says
+      // elements can be null — a containsNull=false schema keeps the
+      // original check-free fused loop
+      val nullBreak =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullBreak
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

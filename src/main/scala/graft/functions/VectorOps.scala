@@ -48,6 +48,18 @@ object VectorOps {
   def cosineScore(a: Column, b: Column, scale: Int = 6): Column =
     round(cosine(a, b), scale)
 
+  /** [[cosineScore]] for RANKING positions: a zero-norm vector (or
+    * query) scores 0/0 = NaN, and Spark orders NaN ABOVE every double —
+    * one degenerate row would sit at rank 1 of every top-k (review
+    * finding r14; the same guard SearchService.denseTopK carries).
+    * NaN pins to -2.0, below the entire cosine range, so degenerate
+    * rows rank LAST deterministically. Use in `orderBy(desc)`/top-k
+    * positions; plain [[cosineScore]] stays the metric twin of the
+    * DuckDB oracle for outputs and symmetric comparisons.
+    */
+  def rankedCosine(a: Column, b: Column, scale: Int = 6): Column =
+    nanvl(cosineScore(a, b, scale), lit(-2.0))
+
   /** L2 norm (double, sequential fold). */
   def norm(a: Column): Column = sqrt(norm2(a))
 

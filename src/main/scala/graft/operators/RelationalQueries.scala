@@ -54,8 +54,13 @@ object RelationalQueries {
           .otherwise("changed").as("status"),
         round(col("o.o_totalprice"), 6).as("old_price"),
         round(col("n.o_totalprice"), 6).as("new_price"))
+      // null-SAFE inequality (review finding r14): with `=!=`, a row
+      // whose price went NULL→42 (or 42→NULL) evaluated to NULL and was
+      // FILTERED OUT of the diff, breaking the applyDiff round-trip law
+      // for any nullable tracked column (latent here — corpus prices
+      // are non-null — but the CDC primitive must not depend on that)
       .filter(col("status") =!= "changed" ||
-        col("old_price") =!= col("new_price"))
+        !(col("old_price") <=> col("new_price")))
 
   /** CDC apply — upsert/delete a diff feed into a base snapshot (the
     * Delta MERGE shape; reference has no consumer for its diff exports,
@@ -179,8 +184,14 @@ object RelationalQueries {
     // (process_embedding.py:379-384).
     "j1_enrich_broadcast" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      // NO forced broadcast hint (review finding r14): orders is a
+      // FACT parent growing with the corpus (1:4 to lineitem), not a
+      // bounded dimension — a forced broadcast OOMs at the 100 TB
+      // regime. AQE broadcasts it while it fits (PlanShapeSpec pins
+      // the BroadcastHashJoin at test scale) and degrades to a shuffle
+      // join when it no longer does, which is the honest scale shape.
       Tables.lineitem(s, d)
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"), col("o_orderpriority"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -287,7 +298,12 @@ object RelationalQueries {
         col("user_id"), col("ts"), lit(1).as("kr"),
         col("event_id"),
         lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_val"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kr"))
+      // event-id tiebreak (review finding r14): two views for one user
+      // at the SAME ts made last(v_id) shuffle-order-dependent — latent
+      // (the corpus has no per-user ts ties) but the determinism
+      // discipline sessionize already follows
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kr"), coalesce(col("v_id"), col("event_id")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       views.unionByName(purchases)
         .withColumn("asof_view_id", last(col("v_id"), ignoreNulls = true).over(w))
@@ -403,8 +419,10 @@ object RelationalQueries {
     // insensitive, so the result is deterministic under any partition
     // schedule). The oracle gates a PROPERTY, not the sketch value:
     // the exact count (hash-exact cross-engine) plus the sketch
-    // landing within 5% of it (rsd 0.02 → the margin is wide; DuckDB
-    // asserts the literal) — an honest gate for an operator whose
+    // landing inside hllWithinTolerance's |approx−exact| ≤ max(5, 10%)
+    // band (see its doc block for why pure-relative 5% flaked at tiny
+    // cardinalities; DuckDB asserts the same literal) — an honest
+    // gate for an operator whose
     // value is approximate by design. The plan's (event_type, user_id)
     // distinct expansion comes from the EXACT side of the audit; a
     // production approx-only query is a single partial-HLL aggregate
@@ -501,7 +519,8 @@ object RelationalQueries {
     // analytics shape at 100 TB, where per-window exact distinct keeps
     // an unbounded user set in state and the sketch keeps a constant
     // few KB per (window, type). Same audit-style oracle as
-    // approx_distinct_audit (exact hash-exact + within-5% flag); the
+    // approx_distinct_audit (exact hash-exact + the hllWithinTolerance
+    // max(5, 10%) band); the
     // streaming twin (EventStreams.windowedDistinctUsers) is proven
     // batch/stream bit-identical in EventStreamsSpec — HLL registers
     // merge by max, so any partial/merge order yields the same result.
@@ -750,7 +769,7 @@ object RelationalQueries {
         "WHEN n.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS status, " +
         "round(o.o_totalprice, 6) AS old_price, round(n.o_totalprice, 6) AS new_price " +
         "FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey) " +
-        "WHERE status <> 'changed' OR old_price <> new_price ORDER BY o_orderkey"),
+        "WHERE status <> 'changed' OR old_price IS DISTINCT FROM new_price ORDER BY o_orderkey"),
     // round-trip pin: Spark reconstructs `new` by APPLYING the diff to
     // `old`; the oracle derives `new` directly — a hash match proves
     // applyDiff(old, snapshot_diff(old, new)) == new

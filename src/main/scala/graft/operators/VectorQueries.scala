@@ -71,7 +71,7 @@ object VectorQueries {
       emb(s, d).filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(queryVec(s, d, 0).select(col("qv"))))
         .select(col("vec_id"), col("label"),
-          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+          VectorOps.rankedCosine(col("embedding"), col("qv")).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
@@ -82,7 +82,7 @@ object VectorQueries {
         .crossJoin(broadcast(queryVec(s, d, 0)))
         .filter(col("label") === col("q_label"))
         .select(col("vec_id"), col("label"),
-          VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+          VectorOps.rankedCosine(col("embedding"), col("qv")).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
@@ -95,13 +95,13 @@ object VectorQueries {
       val candidates = emb(s, d).filter(!col("vec_id").isin(0, 1))
         .crossJoin(broadcast(q0))
         .select(col("vec_id"), col("embedding"),
-          VectorOps.cosineScore(col("embedding"), col("qv0")).as("stage1_score"))
+          VectorOps.rankedCosine(col("embedding"), col("qv0")).as("stage1_score"))
         .orderBy(col("stage1_score").desc, col("vec_id"))
         .limit(50)
       candidates
         .crossJoin(broadcast(q1))
         .select(col("vec_id"), col("stage1_score"),
-          VectorOps.cosineScore(col("embedding"), col("qv1")).as("rerank_score"))
+          VectorOps.rankedCosine(col("embedding"), col("qv1")).as("rerank_score"))
         .orderBy(col("rerank_score").desc, col("vec_id"))
         .limit(10)
     }),

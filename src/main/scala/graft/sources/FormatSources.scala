@@ -66,8 +66,23 @@ object DocxCodec extends Serializable {
     bos.toByteArray
   }
 
+  /** Max characters accumulated from one document.xml — the zip-bomb
+    * guard (review finding r14): deflate compresses runs ~1000:1, so a
+    * ~1 MB crafted archive could inflate into multi-GB of <w:t> text
+    * and OOM the executor — an Error the row-local NonFatal guard in
+    * TextExtraction cannot contain. 64M chars (~128 MB heap) is far
+    * past any real document; past it the file is treated as corrupt
+    * (thrown → logged → dropped row).
+    */
+  private val MaxExtractedChars = 64 * 1024 * 1024
+
   /** Extract text from real .docx bytes (reference semantics above).
-    * Returns "" for archives without `word/document.xml`.
+    * An archive WITHOUT `word/document.xml` throws (review finding
+    * r14: returning "" let such a package pass the not-null ingest
+    * filter as an empty-text row — silent data loss the corrupt-file
+    * log never recorded; the main-part name is the fixed OOXML default
+    * — a package relocating it via _rels/.rels is treated as corrupt,
+    * a documented divergence from a full rels resolver).
     */
   def extractText(bytes: Array[Byte]): String = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes), StandardCharsets.UTF_8)
@@ -77,7 +92,8 @@ object DocxCodec extends Serializable {
         if (e.getName == "word/document.xml") return parseDocumentXml(zin)
         e = zin.getNextEntry
       }
-      ""
+      throw new IllegalArgumentException(
+        "DocxCodec: no word/document.xml in archive — not a usable .docx")
     } finally zin.close()
   }
 
@@ -88,6 +104,7 @@ object DocxCodec extends Serializable {
     val r = f.createXMLStreamReader(in)
     val paragraphs = Vector.newBuilder[String]
     val cur = new StringBuilder
+    var total = 0L // across ALL paragraphs — the per-p buffer resets
     var inT = false
     var inP = false
     import javax.xml.stream.XMLStreamConstants._
@@ -109,7 +126,12 @@ object DocxCodec extends Serializable {
             case "t" => inT = false
             case _ => ()
           }
-        case CHARACTERS | CDATA if inT => cur.append(r.getText)
+        case CHARACTERS | CDATA if inT =>
+          total += r.getTextLength
+          if (total > MaxExtractedChars)
+            throw new IllegalArgumentException(
+              s"DocxCodec: document.xml inflates past $MaxExtractedChars chars — zip bomb?")
+          cur.append(r.getText)
         case _ => ()
       }
     }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import graft.functions.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 

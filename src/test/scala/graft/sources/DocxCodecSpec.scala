@@ -55,12 +55,19 @@ class DocxCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("non-docx zip extracts to empty string") {
+  test("zip without word/document.xml is REFUSED, not extracted as empty") {
+    // r14: returning "" here let a mis-packaged archive pass the ingest
+    // not-null filter as an empty-text row — silent data loss the
+    // corrupt-file log never recorded; the dispatch's row-local guard
+    // now turns this throw into a logged drop
     val bos = new java.io.ByteArrayOutputStream()
     val zip = new java.util.zip.ZipOutputStream(bos)
     zip.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
     zip.write("x".getBytes("UTF-8")); zip.closeEntry(); zip.close()
-    assert(DocxCodec.extractText(bos.toByteArray) == "")
+    val ex = intercept[IllegalArgumentException] {
+      DocxCodec.extractText(bos.toByteArray)
+    }
+    assert(ex.getMessage.contains("word/document.xml"))
   }
 
   test("binaryFile source over real .docx fixtures -> extract -> chunk lineage") {
