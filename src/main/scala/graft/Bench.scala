@@ -160,6 +160,15 @@ object Bench {
       }
   }
 
+  /** JSON array of per-pass suite totals for the artifact (VERDICT r14
+    * ask #4): entry 0 = the initial best-of-k pass's total; each later
+    * entry = that extra pass's own raw single-run total, BEFORE the
+    * cross-pass min-merge that produces run_total — so "pass 1 was
+    * contended, pass 2 flattened it" is readable from the artifact.
+    */
+  private[graft] def passTotalsJson(totals: Seq[Double]): String =
+    totals.map(v => f"$v%.3f").mkString("[", ",", "]")
+
   private def timeOnce(spark: SparkSession, sfDir: String,
                        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                        name: String): Double = {
@@ -211,6 +220,12 @@ object Bench {
     }
     def totalOf(rs: Seq[(String, Double)]): Double =
       rs.collect { case (_, v) if v >= 0 => v }.sum
+    // Per-pass totals for the artifact (VERDICT r14 ask #4: learning
+    // that pass 1 ran 106.5s took stderr forensics). Entry 0 is the
+    // initial best-of-k pass's total; each later entry is that extra
+    // pass's OWN single-run times summed (raw, before the cross-pass
+    // min-merge that produces run_total).
+    val passTotals = scala.collection.mutable.ArrayBuffer(totalOf(results))
     def bestKnownOf(rs: Seq[(String, Double)]): Double = rs.collect {
       case (k, v) if v >= 0 => medians.get(k).fold(v)(math.min(v, _))
     }.sum
@@ -240,11 +255,14 @@ object Bench {
         else
           f"total ${totalOf(results)}%.1fs over the $GateFactor%.1fx gate (baseline ${baseline}%.1fs) while best_known ${bk}%.1fs is under it"
       System.err.println(s"[bench] $why — running full pass $passes")
+      var passRaw = 0.0
       results = results.map { case (name, prev) =>
         reruns += 1
         val t = timeOnce(spark, sfDir, SparkEntry.queries(name), name)
+        if (t >= 0) passRaw += t
         name -> (if (t >= 0 && (prev < 0 || t < prev)) t else prev)
       }
+      passTotals += passRaw
       bk = bestKnownOf(results)
     }
     // Same-code history merge (see [[historySameCodeMins]]): the
@@ -298,6 +316,7 @@ object Bench {
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortLine =
       s"""{"metric":"total","value":$runTotal,"unit":"sec","ts":"$ts","reruns":$reruns,"passes":$passes,""" +
+        s""""pass_totals":${passTotalsJson(passTotals.toSeq)},""" +
         s""""nqueries":${results.size},"failed":${failedQueries.size},"failed_queries":$failedJson,""" +
         s""""run_total":$runTotal,"merged_total":$total,"merged_from_history":$nMerged,""" +
         s""""best_known_total":$bestKnown,"canaries_clean":$canariesClean,"sf":"$sfDir"}"""

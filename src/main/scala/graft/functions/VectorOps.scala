@@ -122,4 +122,17 @@ object VectorSql {
 
   def cosineScore(a: String, b: String, dim: Int = 64, scale: Int = 6): String =
     s"round(${cosine(a, b, dim)}, $scale)"
+
+  /** Mirror of [[VectorOps.rankedCosine]]'s NaN→-2.0 pin (ADVICE r14):
+    * a zero-norm vector scores 0/0, which is NaN in Spark and NULL in
+    * DuckDB — `coalesce` pins the DuckDB side to the same -2.0 sentinel
+    * so an oracle-gated query projecting the ranked score stays
+    * hash-identical if a zero-norm embedding ever enters the corpus.
+    * (A NULL *embedding column* would also coalesce here while Spark's
+    * nanvl keeps NULL — acceptable: the embeddings table is generated
+    * non-null, and the divergence would be a loud hash diff, not a
+    * silent wrong ranking.)
+    */
+  def rankedCosineScore(a: String, b: String, dim: Int = 64, scale: Int = 6): String =
+    s"coalesce(${cosineScore(a, b, dim, scale)}, -2.0)"
 }

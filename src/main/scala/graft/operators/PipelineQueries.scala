@@ -65,7 +65,10 @@ object PipelineQueries {
     }),
     // T2/T5 job ledger as data: terminal status, error capture, counters.
     "pipeline_ledger" -> ((s, d) => {
-      IngestPipeline.ledger(Tables.documents(s, d))
+      // smallDocs geometry (200/40): ledger now derives total_chunks
+      // from settings (ADVICE r14), and the oracle pins the small-doc
+      // stride this corpus needs — requested explicitly, not hardcoded
+      IngestPipeline.ledger(Tables.documents(s, d), graft.PipelineSettings.smallDocs)
         .orderBy("source_drive_file")
     }),
     // T2 granular state machine: per-stage status-history rows matching
@@ -83,7 +86,8 @@ object PipelineQueries {
     // to one batch); the percent is the reference's float-then-truncate
     // int(processed/n*80), replayed in double in both engines.
     "pipeline_progress" -> ((s, d) => {
-      IngestPipeline.embedProgress(Tables.documents(s, d), batchSize = 2)
+      IngestPipeline.embedProgress(Tables.documents(s, d),
+          graft.PipelineSettings.smallDocs, batchSize = 2)
         .orderBy("source_drive_file", "batch_no")
     }),
     // T3 retry orchestration: a synthetic failed-job ledger (every 4th

@@ -291,6 +291,9 @@ object VectorQueries {
   }
 
   private def cos(a: String, b: String) = VectorSql.cosineScore(a, b)
+  // ranked-position scores: the Spark side projects rankedCosine (NaN →
+  // -2.0), so the oracle must pin the same sentinel (ADVICE r14)
+  private def rcos(a: String, b: String) = VectorSql.rankedCosineScore(a, b)
 
   val oracles: Map[String, String] = Map(
     "embedding_quantize" ->
@@ -310,22 +313,22 @@ object VectorQueries {
         "FROM embeddings GROUP BY label ORDER BY label"),
     "v1_cosine_topk" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
-        s"SELECT e.vec_id, e.label, ${cos("e.embedding", "q.qv")} AS score " +
+        s"SELECT e.vec_id, e.label, ${rcos("e.embedding", "q.qv")} AS score " +
         "FROM embeddings e, q WHERE e.vec_id <> 0 " +
         "ORDER BY score DESC, vec_id LIMIT 10"),
     "v2_filtered_topk" ->
       ("WITH q AS (SELECT embedding AS qv, label AS q_label FROM embeddings WHERE vec_id = 0) " +
-        s"SELECT e.vec_id, e.label, ${cos("e.embedding", "q.qv")} AS score " +
+        s"SELECT e.vec_id, e.label, ${rcos("e.embedding", "q.qv")} AS score " +
         "FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.q_label " +
         "ORDER BY score DESC, vec_id LIMIT 10"),
     "v3_rerank" ->
       ("WITH q0 AS (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0), " +
         "q1 AS (SELECT embedding AS qv1 FROM embeddings WHERE vec_id = 1), " +
         "cand AS (SELECT e.vec_id, e.embedding, " +
-        s"${cos("e.embedding", "q0.qv0")} AS stage1_score " +
+        s"${rcos("e.embedding", "q0.qv0")} AS stage1_score " +
         "FROM embeddings e, q0 WHERE e.vec_id NOT IN (0, 1) " +
         "ORDER BY stage1_score DESC, vec_id LIMIT 50) " +
-        s"SELECT c.vec_id, c.stage1_score, ${cos("c.embedding", "q1.qv1")} AS rerank_score " +
+        s"SELECT c.vec_id, c.stage1_score, ${rcos("c.embedding", "q1.qv1")} AS rerank_score " +
         "FROM cand c, q1 ORDER BY rerank_score DESC, vec_id LIMIT 10"),
     "bitext_margin" ->
       ("WITH a AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings " +
@@ -357,7 +360,7 @@ object VectorQueries {
         "UNION SELECT doc_id FROM documents WHERE source = 'src_3'), " +
         "q AS (SELECT embedding AS qv, text AS q_text FROM v WHERE vec_id = 0), " +
         "cand AS (SELECT v.vec_id, v.label, v.text, q.q_text, " +
-        s"${cos("v.embedding", "q.qv")} AS score " +
+        s"${rcos("v.embedding", "q.qv")} AS score " +
         "FROM v, q WHERE v.vec_id <> 0 AND v.vec_id IN (SELECT doc_id FROM acc) " +
         "ORDER BY score DESC, vec_id LIMIT 50), " +
         "rr AS (SELECT vec_id, label, score, " +

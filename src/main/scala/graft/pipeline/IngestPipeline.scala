@@ -192,10 +192,17 @@ object IngestPipeline {
   def ledger(
       files: DataFrame,
       settings: PipelineSettings = PipelineSettings.default,
-      chunkSize: Int = 200,
-      chunkOverlap: Int = 40): DataFrame = {
-    requireChunkGeometry(chunkSize, chunkOverlap)
-    val stride = chunkSize - chunkOverlap
+      chunkSize: Option[Int] = None,
+      chunkOverlap: Option[Int] = None): DataFrame = {
+    // geometry defaults FROM SETTINGS (ADVICE r14): run() takes chunk
+    // geometry from settings, so a caller pairing run(files) with
+    // ledger(files) under defaults must get total_chunks computed under
+    // the SAME geometry — independent parameter defaults (200/40) had
+    // the two silently disagree once run() switched to settings
+    val cs = chunkSize.getOrElse(settings.chunkSize)
+    val co = chunkOverlap.getOrElse(settings.chunkOverlap)
+    requireChunkGeometry(cs, co)
+    val stride = cs - co
     // NULL discipline mirrors ingestFilter EXACTLY (review finding r14:
     // `length(trim(null)) === 0` is null, not true, so a null-text file
     // fell through every Failed rung and the ledger reported Completed
@@ -238,8 +245,8 @@ object IngestPipeline {
   def embedProgress(
       files: DataFrame,
       settings: PipelineSettings = PipelineSettings.default,
-      chunkSize: Int = 200,
-      chunkOverlap: Int = 40,
+      chunkSize: Option[Int] = None,
+      chunkOverlap: Option[Int] = None,
       batchSize: Int = 50): DataFrame = {
     require(batchSize >= 1, s"embedProgress: batchSize must be >= 1, got $batchSize")
     val b = batchSize.toLong

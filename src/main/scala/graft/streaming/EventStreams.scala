@@ -108,9 +108,17 @@ object EventStreams {
     */
   private val dropAccs = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.util.CollectionAccumulator[HotKeyDrop]]()
-  private def dropAcc(sc: org.apache.spark.SparkContext, op: String) =
-    dropAccs.computeIfAbsent(sc.applicationId + "|" + op,
+  private def dropAcc(sc: org.apache.spark.SparkContext, op: String) = {
+    // evict dead applications' accumulators (ADVICE r14): a long-lived
+    // JVM cycling SparkContexts (test harnesses, notebook servers) would
+    // otherwise retain every dead app's accumulators — and their drop
+    // rows — forever. Only one SparkContext is active per JVM, so any
+    // key under a different applicationId belongs to a stopped context.
+    val prefix = sc.applicationId + "|"
+    dropAccs.keySet.removeIf(k => !k.startsWith(prefix))
+    dropAccs.computeIfAbsent(prefix + op,
       _ => sc.collectionAccumulator[HotKeyDrop](s"graft.hotKeyDrops.$op"))
+  }
 
   /** This application's registered per-op accumulators. */
   private def appAccs(sc: org.apache.spark.SparkContext) = {

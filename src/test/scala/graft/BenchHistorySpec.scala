@@ -47,6 +47,11 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(m("q2") == 0.4) // the -1 failed run is not a sample
   }
 
+  test("passTotalsJson: fixed 3-decimal array, one entry per pass (r15 artifact field)") {
+    assert(Bench.passTotalsJson(Seq(106.5004, 92.1)) == "[106.500,92.100]")
+    assert(Bench.passTotalsJson(Seq(51.99)) == "[51.990]")
+  }
+
   test("historySameCodeMins: only byte-identical-source same-sf runs merge") {
     val p = histFile(
       s"""{"value":1,"src":"aaaa","queries":{"q1":1.5,"q2":0.2},"sf":"$sf01"}""",

@@ -95,7 +95,8 @@ class ProviderSeamsSpec extends AnyFunSuite {
       (2L, "small.txt", "tiny", 4L),
       (3L, "empty.txt", "  ", 2L)
     ).toDF("doc_id", "source", "text", "n_chars")
-    val rows = IngestPipeline.embedProgress(files, batchSize = 3)
+    val rows = IngestPipeline.embedProgress(files, graft.PipelineSettings.smallDocs,
+        batchSize = 3)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(t => (t._1, t._2))
