@@ -5,11 +5,21 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
+  // local[8], not local[2]: suites are dominated by many tiny stages
+  // (file opens, bin-packed multi-file scans) where cores are pure
+  // wall-clock; shuffle.partitions stays 2 so partition-count-sensitive
+  // behaviors the specs pin are unchanged.
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
+    .master("local[8]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // multi-path reads (CollectionStore's manifest-resolved range dirs)
+    // cross the default 32-path parallel-discovery threshold and spawn
+    // a listing JOB per read — pure scheduling latency on local[2].
+    // Driver-side listStatus over local tmpfs is faster at any count a
+    // spec produces; the production default is untouched.
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
     .appName("graft-test")
     .getOrCreate()
 }
