@@ -561,6 +561,27 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id"), col("session_id"))
         .orderBy("user_id", "event_id")
     }),
+    // Hot-key guard accounting END TO END (VERDICT r14 ask #3; the
+    // reference analogue is the job ledger's error-accounting surface,
+    // tasks/process_embedding.py:69-81): events driven through the REAL
+    // capped sessionize operator so over-cap keys overflow the guard
+    // heap, their drops travel the accumulator channel, land via the
+    // production flushHotKeyDrops sink, and read back as the (op,
+    // user_id, dropped_events) relation. Cap 50 sits below this
+    // corpus's busiest users at every SF (per-user counts run ~40-90),
+    // so the relation is non-trivially populated; in batch mode each
+    // key's slice reaches one group invocation, making the relation
+    // exactly {(key, n−cap) | n > cap} — which is what DuckDB replays.
+    "hot_key_drops" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+        .as[graft.streaming.EventStreams.EventIn]
+      val dir = System.getProperty("java.io.tmpdir") +
+        "/graft-hotkey-" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.EventStreams.hotKeyAudit(ev, cap = 50, dir)
+        .orderBy("user_id")
+    }),
     // Ordered funnel per user: first view → first click AFTER it →
     // first purchase after that (the classic product-analytics
     // sequence-match; ClickHouse windowFunnel / Amplitude funnels).
@@ -853,6 +874,9 @@ object RelationalQueries {
         "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
         "ORDER BY user_id, event_id"),
+    "hot_key_drops" ->
+      ("SELECT 'sessionize' AS op, user_id, CAST(count(*) - 50 AS BIGINT) AS dropped_events " +
+        "FROM events GROUP BY user_id HAVING count(*) > 50 ORDER BY user_id"),
     "funnel_steps" ->
       ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
         "s1 AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id), " +

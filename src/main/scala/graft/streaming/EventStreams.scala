@@ -166,6 +166,40 @@ object EventStreams {
     }
   }
 
+  /** Reset one operator's drop accumulator WITHOUT flushing — the
+    * deterministic-replay hook [[hotKeyAudit]] needs (a rerun must
+    * count this run's drops only, not accumulate across runs). Ops
+    * running live streams flush instead; resetting under an in-flight
+    * micro-batch loses that batch's adds.
+    */
+  def clearHotKeyDrops(spark: SparkSession, op: String): Unit =
+    dropAcc(spark.sparkContext, op).reset()
+
+  /** END-TO-END hot-key truncation audit (VERDICT r14 ask #3 — the one
+    * first-class relation that had specs but no oracled correctness
+    * row): drive `events` through the REAL stateful sessionize operator
+    * with the given cap, so over-cap keys overflow [[cappedSmallest]]'s
+    * heap and their drops travel the accumulator channel; then flush
+    * through the production [[flushHotKeyDrops]] sink and read the
+    * landed parquet back as the (op, user_id, dropped_events) relation.
+    * In batch mode each key's full slice reaches one group invocation,
+    * so the relation is exactly {(key, n_key − cap) | n_key > cap} —
+    * SQL-expressible, which is what lets DuckDB oracle the whole
+    * accumulator→flush→parquet path (`hot_key_drops`). Deterministic
+    * per run: the op's accumulator is cleared first and the flush
+    * overwrites its own batch partition.
+    */
+  def hotKeyAudit(events: Dataset[EventIn], cap: Int, dir: String): DataFrame = {
+    val spark = events.sparkSession
+    clearHotKeyDrops(spark, "sessionize")
+    sessionize(events, hotKeyCap = cap).count() // action the fold; sessions discarded
+    flushHotKeyDrops(spark, dir, batchId = 0L, op = "sessionize")
+    spark.read.parquet(dir)
+      .filter(col("batch_id") === 0L)
+      .groupBy(col("op"), col("user_id"))
+      .agg(sum(col("dropped_events")).as("dropped_events"))
+  }
+
   /** Flush EVERY operator's drop metrics in one partition write — the
     * operational-sweep form. Safe only while no stream is mid-batch:
     * an op actively executing a micro-batch during the sweep could add
