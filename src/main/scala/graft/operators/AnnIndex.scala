@@ -110,7 +110,7 @@ object AnnIndex {
       // checkpoint is a job barrier (~0.1s of fixed overhead at
       // local[32]), while one uncheckpointed round only doubles the
       // tiny centroid subtree — measured 15-20% off the loop
-      // (tools/prof19.scala) with identical results
+      // (PLANS.md round-11 profile) with identical results
       cents = if (r % 2 == 0 || r == iters) next.localCheckpoint() else next
     }
     cents

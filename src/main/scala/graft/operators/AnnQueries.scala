@@ -291,7 +291,7 @@ object AnnQueries {
     // mean/normalize/float-cast, carry-forward). A kmeans regression
     // fails the DRIVER gate, not just AnnKMeansSpec. The oracled row
     // trains [[TrainedAuditIters]] = 3 Lloyd's rounds, not the
-    // lifecycle default 5: measured at sf0.01 (tools/prof17.scala),
+    // lifecycle default 5: measured at sf0.01 (PLANS.md round-7 profile),
     // round 3 is where recall@3 converges (0.433/0.433/0.467/0.467
     // for iters 1/2/3/5 — still 2x the id-range stand-in's 0.233), so
     // rounds 4-5 buy the GATE nothing and cost ~0.9s/run at sf0.1

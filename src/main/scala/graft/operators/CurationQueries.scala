@@ -486,7 +486,7 @@ object CurationQueries {
     // every pair generator in DedupQueries, the join is DF-CAPPED:
     // ubiquitous shingles (corpus df > 20) are dropped before the
     // train×test join. This was the ONE uncapped shingle join left in
-    // the suite, and the round-5 multiplicity probe (tools/prof14,
+    // the suite, and the round-5 multiplicity probe (PLANS.md round-5,
     // PLANS.md) caught it going quadratic in duplicate multiplicity
     // (0.8 s → 46.8 s at 30× duplicated sf0.1; every other pair path
     // stayed flat). A shingle shared by dozens of documents is a stock
