@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
 object BatchSink {
   def writeBatch(df: DataFrame, batchId: Long, path: String, full: Boolean,
                  extraPartitionCols: Seq[String] = Nil): Unit = {
+    // Pre-write heal (r15, ADVICE r14 generalized from two call sites to
+    // the sink itself): if a compact/replace crashed between
+    // commitSwapDir's two renames, the live dir is ABSENT with a
+    // committed `.swap` beside it. Writing first would recreate the live
+    // dir holding only this batch — and the next recoverSwap, seeing a
+    // live table, would sweep the committed swap, silently dropping the
+    // whole pre-compact table. Healing here covers every incremental
+    // sink (Ann/Lsh/Pq/Dedup indexes, sketches, model stores) at the
+    // cost of two FS existence probes per write. Writers must still
+    // honor the compact/retrain quiescence contracts — healing is for
+    // CRASHED maintenance, not concurrent maintenance.
+    recoverSwap(df.sparkSession, path)
     val data =
       if (extraPartitionCols.nonEmpty) df.repartition(extraPartitionCols.map(col): _*)
       else df

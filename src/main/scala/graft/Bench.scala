@@ -167,7 +167,10 @@ object Bench {
     * contended, pass 2 flattened it" is readable from the artifact.
     */
   private[graft] def passTotalsJson(totals: Seq[Double]): String =
-    totals.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit "106,500" — valid JSON, wrong data
+    totals.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+      .mkString("[", ",", "]")
 
   private def timeOnce(spark: SparkSession, sfDir: String,
                        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

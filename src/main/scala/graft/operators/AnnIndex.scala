@@ -227,13 +227,8 @@ object AnnIndex {
   def addBatch(spark: SparkSession, newVectors: DataFrame, dir: String, batchId: Long): Unit = {
     graft.expressions.GraftFunctions.register(spark)
     val cents = readHealed(spark, dir, "centroids").select("c_id", "cv")
-    // Heal the CELLS table before writing to it, not just the centroids
-    // read (ADVICE r14): if a compact crashed between commitSwapDir's two
-    // renames (live cells absent, committed cells.swap present), writing
-    // first would recreate the live dir holding only this batch — and the
-    // next recoverSwap, seeing a live table, would sweep the committed
-    // swap and silently drop the whole pre-compact inverted file.
-    graft.BatchSink.recoverSwap(spark, s"$dir/cells")
+    // the CELLS table's torn-compact heal rides writeBatch itself (r15 —
+    // the pre-write heal is the sink's job, covering every index sink)
     graft.BatchSink.writeBatch(withCodes(assign(newVectors, cents)), batchId, s"$dir/cells",
       full = false, extraPartitionCols = Seq("cell"))
   }

@@ -311,15 +311,8 @@ object DedupIndex {
     * second copy.
     */
   def accept(accepted: DataFrame, dir: String, batchId: Long): Unit = {
-    // Heal both tables before writing (ADVICE r14, same hole as
-    // AnnIndex.addBatch): a compact crashed between commitSwapDir's two
-    // renames leaves the live dir absent with a committed .swap beside
-    // it — writing first would recreate a live table holding only this
-    // batch, and the next recoverSwap would then sweep the committed
-    // swap, silently dropping the whole pre-compact index.
-    val spark = accepted.sparkSession
-    graft.BatchSink.recoverSwap(spark, s"$dir/fp")
-    graft.BatchSink.recoverSwap(spark, s"$dir/bands")
+    // torn-compact heals ride writeBatch itself (r15 — the pre-write
+    // heal is the sink's job, covering every index sink in one place)
     graft.BatchSink.writeBatch(fingerprints(accepted), batchId, s"$dir/fp", full = false)
     graft.BatchSink.writeBatch(bandRows(accepted), batchId, s"$dir/bands", full = false)
   }

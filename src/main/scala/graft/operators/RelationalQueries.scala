@@ -875,7 +875,7 @@ object RelationalQueries {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
         "ORDER BY user_id, event_id"),
     "hot_key_drops" ->
-      ("SELECT 'sessionize' AS op, user_id, CAST(count(*) - 50 AS BIGINT) AS dropped_events " +
+      ("SELECT 'sessionize_audit' AS op, user_id, CAST(count(*) - 50 AS BIGINT) AS dropped_events " +
         "FROM events GROUP BY user_id HAVING count(*) > 50 ORDER BY user_id"),
     "funnel_steps" ->
       ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +

@@ -194,10 +194,22 @@ object CollectionStore {
 
   /** The live (range → path) file set of the current snapshot. */
   private def livePaths(spark: SparkSession, dir: String): Map[Long, String] = {
-    val (fs, _) = fsOf(spark, dir)
-    val gen = committedGen(fs, dir).getOrElse(
+    val (fs, root) = fsOf(spark, dir)
+    val gen = committedGen(fs, dir).getOrElse {
+      // a pre-r15 store (journaled range-swap layout: batch_id=0/... and
+      // .swap/.mergeswap journals) has no manifest — name the layout
+      // change instead of a generic "not initialized", so nobody
+      // re-inits over recoverable data thinking the store was empty
+      val legacy = fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
       throw new IllegalStateException(
-        s"CollectionStore: no committed manifest at $dir — not an initialized collection"))
+        if (legacy)
+          s"CollectionStore: $dir holds a pre-manifest (journaled range-swap) layout — " +
+            "this build reads only manifest-versioned stores; re-create it with init(docs, dir) " +
+            "FROM THE SOURCE SNAPSHOT (the old data stays on disk until you do)"
+        else
+          s"CollectionStore: no committed manifest at $dir — not an initialized collection")
+    }
     readManifest(fs, dir, gen).map { case (r, g) => r -> rangeDir(dir, g, r) }
   }
 

@@ -17,8 +17,11 @@ final case class ImageMeta(format: String, width: Int, height: Int, topLeftGray:
 
 object ImageCodec extends Serializable {
 
-  /** Encode a real single-color grayscale PNG of the given size. */
-  def writePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+  /** One uniform-gray raster, encoded by the named ImageIO writer —
+    * the shared body behind the PNG and JPEG rungs (one construction,
+    * two codecs; only the container format differs).
+    */
+  private def writeUniform(format: String, width: Int, height: Int, gray: Int): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val g = gray & 0xff
     val rgb = (g << 16) | (g << 8) | g
@@ -29,9 +32,13 @@ object ImageCodec extends Serializable {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(img, format, bos)
     bos.toByteArray
   }
+
+  /** Encode a real single-color grayscale PNG of the given size. */
+  def writePng(width: Int, height: Int, gray: Int): Array[Byte] =
+    writeUniform("png", width, height, gray)
 
   /** Encode a real single-color grayscale JPEG (VERDICT r14 ask #5 —
     * the second real codec rung; the reference accepts arbitrary drive
@@ -50,20 +57,8 @@ object ImageCodec extends Serializable {
     * treat the decoded raster as approximate: the oracled query
     * projects a ±3 tolerance flag for JPEG rows, never the exact level.
     */
-  def writeJpeg(width: Int, height: Int, gray: Int): Array[Byte] = {
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val g = gray & 0xff
-    val rgb = (g << 16) | (g << 8) | g
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  def writeJpeg(width: Int, height: Int, gray: Int): Array[Byte] =
+    writeUniform("jpg", width, height, gray)
 
   /** Encode a real grayscale gradient PNG: pixel (x,y) has gray level
     * `(base + x + y) % 256`. Unlike the uniform [[writePng]], every

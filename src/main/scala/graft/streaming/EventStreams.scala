@@ -153,12 +153,26 @@ object EventStreams {
     * overwrite each other's `batch_id=N` partition on colliding ids.
     */
   def flushHotKeyDrops(spark: SparkSession, dir: String, batchId: Long,
-                       op: String): Unit = {
+                       op: String): Unit =
+    flushOpDrops(spark, dir, batchId, op, dedupTaskRetries = false)
+
+  /** [[flushHotKeyDrops]] body. `dedupTaskRetries` collapses IDENTICAL
+    * (op, user_id, dropped) rows before summing — sound ONLY where the
+    * caller knows each key legitimately contributes at most one row per
+    * flush window (the batch-mode audit: one group invocation per key),
+    * in which case an identical duplicate can only be a retried or
+    * speculative task re-adding its accumulator update. The streaming
+    * flush keeps raw sum semantics: the same key CAN legitimately add
+    * equal drop counts across micro-batches within one flush window.
+    */
+  private def flushOpDrops(spark: SparkSession, dir: String, batchId: Long,
+                           op: String, dedupTaskRetries: Boolean): Unit = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val acc = dropAcc(spark.sparkContext, op)
     if (!acc.isZero) {
-      val rows = acc.value.asScala.toSeq.toDS()
+      val raw = acc.value.asScala.toSeq.toDS()
+      val rows = (if (dedupTaskRetries) raw.distinct() else raw)
         .groupBy(col("op"), col("user_id"))
         .agg(sum(col("dropped_events")).as("dropped_events"))
       writeBatchPartition(rows, batchId, dir)
@@ -180,21 +194,40 @@ object EventStreams {
     * row): drive `events` through the REAL stateful sessionize operator
     * with the given cap, so over-cap keys overflow [[cappedSmallest]]'s
     * heap and their drops travel the accumulator channel; then flush
-    * through the production [[flushHotKeyDrops]] sink and read the
-    * landed parquet back as the (op, user_id, dropped_events) relation.
-    * In batch mode each key's full slice reaches one group invocation,
-    * so the relation is exactly {(key, n_key − cap) | n_key > cap} —
+    * through the production sink machinery and read the landed parquet
+    * back as the (op, user_id, dropped_events) relation. In batch mode
+    * each key's full slice reaches one group invocation, so the
+    * relation is exactly {(key, n_key − cap) | n_key > cap} —
     * SQL-expressible, which is what lets DuckDB oracle the whole
-    * accumulator→flush→parquet path (`hot_key_drops`). Deterministic
-    * per run: the op's accumulator is cleared first and the flush
-    * overwrites its own batch partition.
+    * accumulator→flush→parquet path (`hot_key_drops`).
+    *
+    * Determinism + isolation (review findings r15): the audit runs
+    * under its OWN op identity (`sessionize_audit`), so clearing and
+    * flushing can never race or clobber a live sessionize stream's
+    * accumulator or divert its metrics; the output dir is wiped first
+    * (a prior run against a since-regenerated corpus at the same path
+    * must not serve stale rows) so a drop-free corpus yields the empty
+    * relation, not a missing-path error; and the flush collapses
+    * identical duplicate rows, which in this one-invocation-per-key
+    * batch path can only be retried/speculative tasks re-adding their
+    * accumulator update — the caveat that made raw accumulator sums
+    * alarm-grade is compensated exactly where a hash oracle needs
+    * equality.
     */
   def hotKeyAudit(events: Dataset[EventIn], cap: Int, dir: String): DataFrame = {
     val spark = events.sparkSession
-    clearHotKeyDrops(spark, "sessionize")
-    sessionize(events, hotKeyCap = cap).count() // action the fold; sessions discarded
-    flushHotKeyDrops(spark, dir, batchId = 0L, op = "sessionize")
-    spark.read.parquet(dir)
+    import spark.implicits._
+    val op = "sessionize_audit"
+    val (fs, p) = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+    }
+    if (fs.exists(p)) fs.delete(p, true)
+    clearHotKeyDrops(spark, op)
+    sessionize(events, hotKeyCap = cap, opName = op).count() // action the fold
+    flushOpDrops(spark, dir, batchId = 0L, op, dedupTaskRetries = true)
+    if (!fs.exists(p)) spark.emptyDataset[HotKeyDrop].toDF()
+    else spark.read.parquet(dir)
       .filter(col("batch_id") === 0L)
       .groupBy(col("op"), col("user_id"))
       .agg(sum(col("dropped_events")).as("dropped_events"))
@@ -274,9 +307,10 @@ object EventStreams {
   def sessionize(
       events: Dataset[EventIn],
       gapMicros: Long = 1800L * 1000000L,
-      hotKeyCap: Int = HotKeyCap): Dataset[SessionOut] = {
+      hotKeyCap: Int = HotKeyCap,
+      opName: String = "sessionize"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val acc = dropAcc(events.sparkSession.sparkContext, "sessionize")
+    val acc = dropAcc(events.sparkSession.sparkContext, opName)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -284,7 +318,7 @@ object EventStreams {
         (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
           val (closed, st) = foldSessions(userId, state.getOption,
             cappedSmallest(rows.map(e => (e.tsMicros, e.event_id)), hotKeyCap,
-              "sessionize", userId, acc), gapMicros)
+              opName, userId, acc), gapMicros)
           st.foreach(state.update)
           closed.iterator
       }
