@@ -192,7 +192,13 @@ object TextSql {
 
   def shingles(toks: String, n: Int = 3): String = {
     val concat = (1 to n).map(k => s"$toks[i+$k]").mkString(" || ' ' || ")
-    s"list_distinct(CASE WHEN len($toks) >= $n THEN [$concat for i in range(len($toks)-${n - 1})] " +
+    // NULL arm mirrors shingles3Udf's null -> empty (review finding r15):
+    // without it, a null-text doc fell into the ELSE branch as
+    // [array_to_string(NULL, ' ')] = [NULL] — one spurious NULL shingle
+    // row the Spark side never produces, which count(*)-style oracle
+    // folds (distinct_kmv's n_kept) would include
+    s"list_distinct(CASE WHEN $toks IS NULL THEN []::VARCHAR[] " +
+      s"WHEN len($toks) >= $n THEN [$concat for i in range(len($toks)-${n - 1})] " +
       s"ELSE [array_to_string($toks, ' ')] END)"
   }
 }

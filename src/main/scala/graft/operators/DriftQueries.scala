@@ -76,8 +76,15 @@ object DriftQueries {
     * Per-token contribution ½ p_a ln(p_a/m) + ½ p_b ln(p_b/m),
     * m = (p_a + p_b)/2, over add-one smoothed probabilities; reported
     * in micro-nats so the 3dp round keeps signal at any corpus size.
-    * Identical counts on both sides ⇒ contribution exactly 0 (the two
-    * probability chains are the same double ops), spec-pinned.
+    * Identical counts on both sides ⇒ contribution exactly 0 ONLY when
+    * the split totals are also equal (p_a == p_b requires na == nb —
+    * the DriftSpec corpus is built symmetric, which is what that pin
+    * covers). On an UNEQUAL split (the production 80/20 shape), an
+    * unmoved raw count still contributes positively because equal
+    * counts are different RATES — that is the correct JSD semantics,
+    * not noise; do not filter "unchanged" tokens by raw-count equality
+    * (review finding r15: the old comment claimed the zero held
+    * unconditionally).
     */
   def tokenDrift(docs: DataFrame, tr: org.apache.spark.sql.Column): DataFrame = {
     val tk = docs.select(tr.as("tr"),

@@ -49,7 +49,15 @@ object GovernanceQueries {
         sum(expr("CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END")).as("v_price"),
         sum(expr("CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END")).as("v_flag"),
         (count(lit(1)) - count(col("l_shipdate"))).as("v_ship"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"))
+        // countDistinct over a STRUCT, not the bare column list (review
+        // finding r15): multi-arg count(DISTINCT a, b) skips rows where
+        // ANY argument is null, while the oracle's count(DISTINCT (a,b))
+        // counts null-field row-structs as values — a DQ suite exists to
+        // run on dirty data, and a null PK part is exactly where the two
+        // forms diverge. struct(a,b) is non-null even with null fields,
+        // so both engines count it.
+        (count(lit(1)) -
+          countDistinct(struct(col("l_orderkey"), col("l_linenumber")))).as("v_pk"))
       m.select(expr(
           "stack(6, " +
             "'l_quantity_range', v_qty, " +
@@ -178,7 +186,10 @@ object GovernanceQueries {
         "FROM ks CROSS JOIN g GROUP BY ks.k ORDER BY ks.k"),
     "unicode_normalize" ->
       ("WITH dirty AS (SELECT doc_id, " +
-        "concat(substr(text, 1, 8), 'caf', 'e' || chr(769), substr(text, 9, 8)) AS dirty " +
+        // '||' (null-propagating) not concat() (null-skipping): Spark's
+        // concat propagates a NULL text into NULL dirty, and the oracle
+        // must agree on a null-text doc (review finding r15)
+        "substr(text, 1, 8) || 'caf' || 'e' || chr(769) || substr(text, 9, 8) AS dirty " +
         "FROM documents) " +
         "SELECT doc_id, CAST(length(dirty) AS BIGINT) AS len_dirty, " +
         "CAST(length(nfc_normalize(dirty)) AS BIGINT) AS len_nfc, " +

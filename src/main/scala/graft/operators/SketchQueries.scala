@@ -60,6 +60,15 @@ object SketchQueries {
   private def cmsBucketSql(r: String, tok: String): String =
     s"('0x' || substr(md5($r || ':' || $tok), 1, 4))::BIGINT % $CmsWidth"
 
+  /** One (r, b) bucket row per CMS hash row for `tok`, exploded — the
+    * shared projection behind the cells and candidate subtrees (one
+    * definition, so sketch geometry / salt format can never drift
+    * between them).
+    */
+  private def cmsRowBuckets(tok: Column): Column =
+    explode(array((0 until CmsRows).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, tok).as("b"))): _*))
+
   /** Per-source (source, shingle) relation — the input both sides of the
     * KMV audit derive from. Shingles are per-doc distinct out of the UDF;
     * cross-doc duplicates are deduped by the consumers (the aggregator by
@@ -138,14 +147,12 @@ object SketchQueries {
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
       val cells = wc
-        .select(col("cnt"), explode(array((0 until CmsRows).map(r =>
-          struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("b"))): _*)).as("rb"))
+        .select(col("cnt"), cmsRowBuckets(col("tok")).as("rb"))
         .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
         .agg(sum(col("cnt")).as("cell"))
       val cand = wc.orderBy(col("cnt").desc, col("tok")).limit(CmsTopK)
       cand
-        .select(col("tok"), col("cnt"), explode(array((0 until CmsRows).map(r =>
-          struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("b"))): _*)).as("rb"))
+        .select(col("tok"), col("cnt"), cmsRowBuckets(col("tok")).as("rb"))
         .join(broadcast(cells),
           col("rb.r") === cells("r") && col("rb.b") === cells("b"))
         .groupBy(col("tok"), col("cnt"))
@@ -203,8 +210,17 @@ object SketchQueries {
     * error — the "1 ≤ est − exact ≤ W" bracket only holds BELOW the top
     * bin, and SketchSpec pins both regimes).
     */
+  /** length_quantiles histogram geometry — object-level so the DuckDB
+    * oracle interpolates the SAME constants (review finding r15: the
+    * oracle previously hardcoded 8/63 literals in four places, so
+    * retuning the Spark side would leave it silently stale until a
+    * runtime gate failure).
+    */
+  private[operators] val QuantW = 8L
+  private[operators] val QuantB = 64
+
   def lengthQuantiles(docs: DataFrame): DataFrame = {
-    val W = 8L; val B = 64
+    val W = QuantW; val B = QuantB
     val v = docs.select(col("source"), TextOps.wordCount(col("text")).as("v"))
     val hist = v
       .select(col("source"), least(expr(s"v div $W"), lit(B - 1L)).as("bin"))
@@ -265,13 +281,13 @@ object SketchQueries {
         "GROUP BY 1, 2 ORDER BY exact_cnt DESC, tok"),
     "length_quantiles" ->
       (s"WITH v AS (SELECT source, CAST(len(${TextSql.tokens("text")}) AS BIGINT) AS v FROM documents), " +
-        "hist AS (SELECT source, least(v // 8, 63) AS bin, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2), " +
+        s"hist AS (SELECT source, least(v // $QuantW, ${QuantB - 1}) AS bin, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2), " +
         "cum AS (SELECT source, bin, sum(cnt) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM hist), " +
         "ranks AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, q, (q * count(*) + 99) // 100 AS r " +
         "FROM v, unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT), CAST(99 AS BIGINT)]) t(q) GROUP BY source, q), " +
         "est AS (SELECT ranks.source, ranks.q, ranks.n_docs, ranks.r, " +
-        "CASE WHEN min(cum.bin) < 63 THEN CAST((min(cum.bin) + 1) * 8 AS BIGINT) END AS est_upper, " +
-        "min(cum.bin) = 63 AS overflow " +
+        s"CASE WHEN min(cum.bin) < ${QuantB - 1} THEN CAST((min(cum.bin) + 1) * $QuantW AS BIGINT) END AS est_upper, " +
+        s"min(cum.bin) = ${QuantB - 1} AS overflow " +
         "FROM ranks JOIN cum ON ranks.source = cum.source AND cum.cum >= ranks.r " +
         "GROUP BY 1, 2, 3, 4), " +
         "ex AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY v) AS rn, v FROM v) " +

@@ -68,12 +68,17 @@ object ShardedExport {
         s"ShardedExport.export: refusing to export 0 rows to $dir — corpus drained? " +
           "The live export (if any) is untouched")
     }
-    // the manifest derives from what LANDED (parquet footers + partition
-    // values), so it can never disagree with the files it describes;
-    // it is one row per shard — tiny by construction — so collect it
-    // ONCE and write from the collected rows rather than scanning the
-    // just-written export a second time
-    val landed = spark.read.parquet(swap)
+    // the manifest derives from what LANDED, so it can never disagree
+    // with the files it describes. Honest cost note (review finding
+    // r15): the counts are footer-answerable, but min/max of the head
+    // order column is a COLUMN-PRUNED scan of that one column over the
+    // just-written export — one narrow re-read per export, paid for the
+    // landed-data guarantee. The read is pinned to the INPUT schema:
+    // partition-directory type inference would otherwise retype the
+    // shard column (long -> int) and corrupt string shard ids
+    // ("007" -> 7), silently breaking manifest joins against the
+    // packing relation.
+    val landed = spark.read.schema(packed.schema).parquet(swap)
     val man = landed.groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"),
         min(col(orderCols.head)).as("min_key"),
