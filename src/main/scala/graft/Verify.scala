@@ -26,29 +26,26 @@ object Verify {
         errors(name) = msg.take(500)
       }
     }
-    val json = oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), toJson(oracleSql))
     // stamp the SF this dump came from so check.py can refuse a stale
     // dump checked against a different SF (round-1 judge finding)
-    Files.writeString(Paths.get(s"$outDir/meta.json"), s"""{"sf_dir": ${q(sfDir)}}""")
-    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/meta.json"), toJson(Map("sf_dir" -> sfDir)))
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), toJson(errors.toMap))
     errors.toMap
   }
 
-  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-  // — a tab or CR in builder-authored SQL would otherwise make the
-  // driver's json.load fail and silently zero the round's correctness.
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  // Jackson (ships with Spark; already the codebase's JSON writer in
+  // graft.pipeline) instead of hand-rolled escaping — spec-complete on
+  // every edge (lone surrogates, control chars) a tab or CR in
+  // builder-authored SQL would otherwise turn into a json.load failure
+  // that silently zeroes the round's correctness (review finding r15:
+  // two escapers to keep in sync is one too many).
+  private def toJson(m: Map[String, String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    m.foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2,

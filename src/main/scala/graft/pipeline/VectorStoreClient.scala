@@ -80,13 +80,35 @@ final class QdrantVectorStore(
     }
   }
 
+  /** Qdrant accepts ONLY unsigned-integer or canonical-UUID point ids —
+    * a bare 32-hex string is rejected with HTTP 400 at the first upsert
+    * (review finding r15; the stub-transport tests can't see the server
+    * contract). The pipeline's T6 point ids are 128-bit md5 hex —
+    * exactly UUID-sized — so they go over the wire dashed 8-4-4-4-12;
+    * [[localId]] strips the dashes on the way back so callers always
+    * see the pipeline form. Ids that are not 32-hex (caller-provided
+    * integers or real UUIDs) pass through untouched in both directions.
+    */
+  private def wireId(id: String): String =
+    if (id != null && id.length == 32 && id.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+      s"${id.substring(0, 8)}-${id.substring(8, 12)}-${id.substring(12, 16)}-" +
+        s"${id.substring(16, 20)}-${id.substring(20)}"
+    else id
+
+  private def localId(id: String): String =
+    if (id != null && id.length == 36 && id.count(_ == '-') == 4 &&
+        wireId(id.replace("-", "")) == id)
+      id.replace("-", "")
+    else id
+
   def upsert(points: Seq[VectorPoint]): Unit =
     points.grouped(batchSize).foreach { batch =>
       val root = mapper.createObjectNode()
       val arr = root.putArray("points")
       batch.foreach { p =>
         val o = arr.addObject()
-        o.put("id", p.id)
+        o.put("id", wireId(p.id))
         val vec = o.putArray("vector")
         p.vector.foreach(vec.add)
         val pl = o.putObject("payload")
@@ -132,7 +154,7 @@ final class QdrantVectorStore(
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
         b.result()
       }.getOrElse(Map.empty[String, String])
-      (id.asText(), score.doubleValue(), payload)
+      (localId(id.asText()), score.doubleValue(), payload)
     }
   }
 

@@ -16,35 +16,51 @@ final case class SemanticChunk(
   * (SURVEY.md §7.4.4 — Java's Character differs at the edges).
   */
 object PyStr {
-  /** Python `str.isupper`: at least one cased char and no lowercase. */
+  /** A CASED code point in Python's sense (Lu/Ll/Lt — the classes
+    * str.isupper/str.title case-track on). Uncased letters (CJK,
+    * Hebrew, Arabic, digits) are NOT cased: they neither fail isupper
+    * nor continue a title() run (review finding r15 — the old
+    * `isLetter` definition made 'הABCDE'.title yield 'הabcde' where
+    * Python gives 'הAbcde').
+    */
+  private def isCased(cp: Int): Boolean =
+    Character.isUpperCase(cp) || Character.isLowerCase(cp) ||
+      Character.getType(cp) == Character.TITLECASE_LETTER
+
+  /** Python `str.isupper`: at least one cased char and EVERY cased char
+    * uppercase — a titlecase letter (Dž) is cased-but-not-upper, so it
+    * fails the predicate exactly as in CPython (review finding r15: the
+    * old form only rejected on lowercase). Iterates CODE POINTS, so
+    * supplementary-plane cased letters (Deseret capitals) are seen.
+    */
   def isUpper(s: String): Boolean = {
     var hasCased = false
     var i = 0
     while (i < s.length) {
-      val ch = s.charAt(i)
-      if (Character.isLowerCase(ch)) return false
-      if (Character.isUpperCase(ch) || Character.getType(ch) == Character.TITLECASE_LETTER)
-        hasCased = true
-      i += 1
+      val cp = s.codePointAt(i)
+      if (isCased(cp) && !Character.isUpperCase(cp)) return false
+      if (Character.isUpperCase(cp)) hasCased = true
+      i += Character.charCount(cp)
     }
     hasCased
   }
 
-  /** Python `str.title`: first char of each letter-run titlecased, the
-    * rest lowercased; non-letters break runs (so "they're" → "They'Re").
+  /** Python `str.title`: first CASED char of each cased-run titlecased,
+    * later cased chars lowercased; uncased code points (apostrophes,
+    * digits, CJK) break runs (so "they're" → "They'Re").
     */
   def title(s: String): String = {
     val sb = new StringBuilder(s.length)
     var prevCased = false
     var i = 0
     while (i < s.length) {
-      val ch = s.charAt(i)
-      val cased = Character.isLetter(ch)
-      if (cased && !prevCased) sb.append(Character.toTitleCase(ch))
-      else if (cased) sb.append(Character.toLowerCase(ch))
-      else sb.append(ch)
+      val cp = s.codePointAt(i)
+      val cased = isCased(cp)
+      if (cased && !prevCased) sb.appendAll(Character.toChars(Character.toTitleCase(cp)))
+      else if (cased) sb.appendAll(Character.toChars(Character.toLowerCase(cp)))
+      else sb.appendAll(Character.toChars(cp))
       prevCased = cased
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString
   }
@@ -84,7 +100,12 @@ object SemanticChunker {
         // Python len("1.".split('.')) == 2 — keep trailing empty segment.
         Some((num.split("\\.", -1).length, s"$num ${title.trim}"))
       case _ =>
-        if (PyStr.isUpper(line) && line.length >= 5 && line.length <= 60)
+        if (PyStr.isUpper(line) && {
+          // Python len() counts CODE POINTS; String.length counts UTF-16
+          // units — they diverge on supplementary-plane letters, which
+          // isUpper now admits (Deseret caps)
+          val n = line.codePointCount(0, line.length); n >= 5 && n <= 60
+        })
           Some((1, PyStr.title(line)))
         else None
     }
@@ -225,6 +246,9 @@ object HybridChunker {
   }
 
   def chunk(text: String, maxTokens: Int = DefaultMaxTokens): Vector[SemanticChunk] = {
+    // loud at entry, not ArithmeticException: / by zero deep in the
+    // window loop (review finding r15; the sibling APIs validate theirs)
+    require(maxTokens >= 1, s"HybridChunker.chunk: maxTokens must be >= 1, got $maxTokens")
     if (text == null || text.trim.isEmpty) return Vector.empty
     val paras0 = text.split("\n\n", -1).toVector.map(_.trim).filter(_.nonEmpty)
     val paras = if (paras0.nonEmpty) paras0 else Vector(text.trim)

@@ -238,6 +238,27 @@ class HttpProvidersSpec extends AnyFunSuite {
     assert(first.get(0).get("payload").get("source_document").asText() == "doc0")
   }
 
+  test("qdrant store: 32-hex pipeline point ids go over the wire as canonical UUIDs (r15)") {
+    // Qdrant rejects bare hex strings (only unsigned ints / UUIDs are
+    // valid point ids) — the T6 md5 ids must be dashed on the way out
+    // and undashed on the way back; non-hex ids pass through untouched
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hexId = "0123456789abcdef0123456789abcdef"
+    val stub = new StubQdrantTransport(collectionExists = true,
+      searchResponse = """{"result": [
+        {"id": "01234567-89ab-cdef-0123-456789abcdef", "score": 0.5},
+        {"id": "plain", "score": 0.4}]}""")
+    val store = new QdrantVectorStore(collection = "c", baseUrl = "http://u",
+      transport = stub)
+    store.upsert(Seq(VectorPoint(hexId, Array(1f), Map.empty),
+      VectorPoint("plain", Array(2f), Map.empty)))
+    val pts = mapper.readTree(stub.calls.head._3).get("points")
+    assert(pts.get(0).get("id").asText() == "01234567-89ab-cdef-0123-456789abcdef")
+    assert(pts.get(1).get("id").asText() == "plain")
+    val out = store.search(Array(1f), limit = 2)
+    assert(out.map(_._1) == Seq(hexId, "plain"))
+  }
+
   test("qdrant store: search builds the reference's must-match filter and parses results") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val stub = new StubQdrantTransport(collectionExists = true,

@@ -10,6 +10,12 @@ class PyStrSpec extends AnyFunSuite {
     assert(!PyStr.isUpper("12345"))   // no cased char
     assert(!PyStr.isUpper(""))
     assert(PyStr.isUpper("A"))
+    // titlecase letters are cased-but-not-upper in CPython (r15):
+    // 'DžAAAA'.isupper() is False
+    assert(!PyStr.isUpper("ǅAAAA"))
+    // supplementary-plane cased letters are seen (Deseret capital/small)
+    assert(PyStr.isUpper(new String(Character.toChars(0x10400))))
+    assert(!PyStr.isUpper(new String(Character.toChars(0x10428))))
   }
 
   test("title matches Python semantics") {
@@ -17,6 +23,10 @@ class PyStrSpec extends AnyFunSuite {
     assert(PyStr.title("they're bill's") == "They'Re Bill'S") // Python quirk
     assert(PyStr.title("ABC DEF") == "Abc Def")
     assert(PyStr.title("2-in-1 deal") == "2-In-1 Deal")
+    // uncased letters do NOT continue a cased run (r15): CPython gives
+    // 'הABCDE'.title() == 'הAbcde' — the ה is uncased, so the A still
+    // starts a run; the old isLetter-based tracker lowercased it
+    assert(PyStr.title("הABCDE") == "הAbcde")
   }
 }
 
