@@ -142,26 +142,34 @@ object TextOps {
     * its dead-branch behavior: downstream chunkers/embedders never see a
     * zero-width U+FEFF token. Recorded in COVERAGE.md (S4).
     */
-  val charsetLadderUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (bytes: Array[Byte]) =>
-      import java.nio.charset._
-      def strict(name: String): Charset => CharsetDecoder =
-        _.newDecoder().onMalformedInput(CodingErrorAction.REPORT)
-          .onUnmappableCharacter(CodingErrorAction.REPORT)
-      def tryDecode(cs: Charset): Option[String] =
-        try Some(strict(cs.name())(cs).decode(java.nio.ByteBuffer.wrap(bytes)).toString)
-        catch { case _: CharacterCodingException => None }
-      val utf8 = tryDecode(StandardCharsets.UTF_8)
-      utf8 match {
-        case Some(t) if t.startsWith("﻿") => (t.substring(1), "utf-8-sig")
-        case Some(t) => (t, "utf-8")
-        case None =>
-          tryDecode(StandardCharsets.ISO_8859_1) match {
-            case Some(t) => (t, "latin-1")
-            case None => (new String(bytes, Charset.forName("windows-1252")), "cp1252")
-          }
-      }
+  /** The ladder body as a plain function — ONE definition behind the
+    * UDF and [[graft.sources.TextExtraction]]'s txt/md branch (review
+    * finding r15: that branch carried an inline copy that dropped the
+    * BOM rung, so a Windows-authored UTF-8-BOM file kept a zero-width
+    * U+FEFF at position 0 — exactly what this ladder exists to strip).
+    */
+  def decodeLadder(bytes: Array[Byte]): (String, String) = {
+    import java.nio.charset._
+    def strict(name: String): Charset => CharsetDecoder =
+      _.newDecoder().onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+    def tryDecode(cs: Charset): Option[String] =
+      try Some(strict(cs.name())(cs).decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      catch { case _: CharacterCodingException => None }
+    val utf8 = tryDecode(StandardCharsets.UTF_8)
+    utf8 match {
+      case Some(t) if t.startsWith("﻿") => (t.substring(1), "utf-8-sig")
+      case Some(t) => (t, "utf-8")
+      case None =>
+        tryDecode(StandardCharsets.ISO_8859_1) match {
+          case Some(t) => (t, "latin-1")
+          case None => (new String(bytes, Charset.forName("windows-1252")), "cp1252")
+        }
     }
+  }
+
+  val charsetLadderUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) => decodeLadder(bytes) }
 
   /** Visual-element tagger: keyword → tag over a description, defaulting
     * to 'image' (vision_service.py:179-208). Keywords adapted to the test

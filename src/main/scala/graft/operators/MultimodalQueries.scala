@@ -118,9 +118,17 @@ object MultimodalQueries {
     * replay arithmetically in DuckDB while the bytes ride the real
     * RIFF/PCM16 codec.
     */
-  private def audioParams(docId: Long, nChars: Long): (Int, Int, Int, Int, Int) =
-    ((400 + nChars % 256).toInt, (16 + docId % 32).toInt,
-      (4000 + docId % 1000).toInt, (docId % 50).toInt, (nChars % 30).toInt)
+  private def audioParams(docId: Long, nChars: Long): (Int, Int, Int, Int, Int) = {
+    // floorMod, not %: TextExtraction mints doc_id = xxhash64(source),
+    // negative for ~half of real sources, and a negative remainder here
+    // fed sawtooth p <= 1 (require) or a negative pad (AIOOBE) — either
+    // escaping the UDF and aborting the job (review finding r15). The
+    // oracle mirrors with ((x % m) + m) % m; corpus doc_ids are nonneg,
+    // so oracle outputs are unchanged.
+    def m(x: Long, k: Long) = java.lang.Math.floorMod(x, k)
+    ((400 + m(nChars, 256)).toInt, (16 + m(docId, 32)).toInt,
+      (4000 + m(docId, 1000)).toInt, m(docId, 50).toInt, m(nChars, 30).toInt)
+  }
 
   private val AudioRate = 8000
 
@@ -613,8 +621,8 @@ object MultimodalQueries {
     "(SELECT d.doc_id, g.i, CASE WHEN g.i < d.pad OR g.i >= d.pad + d.n THEN 0 " +
       "ELSE -d.a + (2 * d.a * ((g.i - d.pad) % d.p)) // (d.p - 1) END AS v, " +
       "d.pad + d.n + d.trail AS total " +
-      "FROM (SELECT doc_id, 400 + n_chars % 256 AS n, 16 + doc_id % 32 AS p, " +
-      "4000 + doc_id % 1000 AS a, doc_id % 50 AS pad, n_chars % 30 AS trail " +
+      "FROM (SELECT doc_id, 400 + ((n_chars % 256) + 256) % 256 AS n, 16 + ((doc_id % 32) + 32) % 32 AS p, " +
+      "4000 + ((doc_id % 1000) + 1000) % 1000 AS a, ((doc_id % 50) + 50) % 50 AS pad, ((n_chars % 30) + 30) % 30 AS trail " +
       "FROM documents) d, unnest(range(0, d.pad + d.n + d.trail)) AS g(i))"
 
   val oracles: Map[String, String] = Map(
@@ -716,7 +724,7 @@ object MultimodalQueries {
         "CAST(pad + n + trail AS BIGINT) AS n_samples, " +
         "CAST(44 + 2 * (pad + n + trail) AS BIGINT) AS n_bytes, " +
         "CAST((pad + n + trail) * 125 AS BIGINT) AS duration_us " +
-        "FROM (SELECT doc_id, 400 + n_chars % 256 AS n, doc_id % 50 AS pad, " +
+        "FROM (SELECT doc_id, 400 + ((n_chars % 256) + 256) % 256 AS n, ((doc_id % 50) + 50) % 50 AS pad, " +
         "n_chars % 30 AS trail FROM documents) ORDER BY doc_id"),
     "audio_features" ->
       (s"WITH sm AS (SELECT * FROM $audioSamplesSql), " +

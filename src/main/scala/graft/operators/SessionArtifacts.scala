@@ -31,11 +31,22 @@ private[graft] object SessionArtifacts {
   def key(s: SparkSession, tag: String, d: String): String =
     s.sparkContext.applicationId + "|" + tag + "|" + d
 
+  /** Overflow policy (review finding r15): evict only when an INSERT
+    * would exceed [[Cap]] — the old pre-check `size > Cap` both let the
+    * map stabilize at Cap+1 (off by one vs the documented bound) and,
+    * because it ran before the lookup, wiped the very entry a hit was
+    * about to return, forcing a spurious rebuild.
+    */
+  private def evictIfFullFor[V](m: java.util.concurrent.ConcurrentHashMap[String, V],
+                                k: String): Unit =
+    if (!m.containsKey(k) && m.size >= Cap) m.clear()
+
   /** Read-through: return the cached artifact or build + cache it. */
   def cached[V](m: java.util.concurrent.ConcurrentHashMap[String, V],
                 s: SparkSession, tag: String, d: String)(build: => V): V = {
-    if (m.size > Cap) m.clear()
-    m.computeIfAbsent(key(s, tag, d), _ => build)
+    val k = key(s, tag, d)
+    evictIfFullFor(m, k)
+    m.computeIfAbsent(k, _ => build)
   }
 
   /** Seed a cache entry from an artifact built OUTSIDE the cache — the
@@ -46,7 +57,8 @@ private[graft] object SessionArtifacts {
     */
   def seed[V](m: java.util.concurrent.ConcurrentHashMap[String, V],
               s: SparkSession, tag: String, d: String, v: V): Unit = {
-    if (m.size > Cap) m.clear()
-    m.put(key(s, tag, d), v)
+    val k = key(s, tag, d)
+    evictIfFullFor(m, k)
+    m.put(k, v)
   }
 }

@@ -91,6 +91,9 @@ object AudioCodec {
     */
   def sawtooth(n: Int, p: Int, a: Int, pad: Int, trail: Int): Array[Short] = {
     require(p >= 2 && a > 0 && a <= Short.MaxValue, s"sawtooth: bad p=$p a=$a")
+    // negatives would AIOOBE mid-loop (review finding r15) — be loud here
+    require(n >= 0 && pad >= 0 && trail >= 0,
+      s"sawtooth: negative lengths n=$n pad=$pad trail=$trail")
     val out = new Array[Short](pad + n + trail)
     var i = 0
     while (i < n) {

@@ -48,25 +48,38 @@ object TextExtraction {
         null
     }
 
+  // .asNondeterministic(): the text column built from this UDF is
+  // filtered on isNotNull right above the projection, and Catalyst
+  // pushes a deterministic-UDF predicate through the Project — every
+  // file's bytes would be codec-parsed TWICE (PDF tokenization, zip
+  // inflation, ImageIO decode), doubling ingest CPU (review finding
+  // r15). Marking it nondeterministic pins one evaluation per row; the
+  // function IS deterministic, only the optimizer license is withdrawn.
   private val extractUdf = udf { (path: String, content: Array[Byte]) =>
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
     ext match {
       case "pdf" => rowLocal(path)(PdfCodec.extractText(content))
       case "docx" => rowLocal(path)(DocxCodec.extractText(content))
       case "txt" | "md" =>
-        // charset ladder, reusing the S4 decode order
-        val utf8 = try {
-          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-          Some(dec.decode(java.nio.ByteBuffer.wrap(content)).toString)
-        } catch { case _: java.nio.charset.CharacterCodingException => None }
-        utf8.getOrElse(new String(content, java.nio.charset.StandardCharsets.ISO_8859_1))
+        // THE S4 charset ladder (shared body — review finding r15: an
+        // inline copy here dropped the BOM-strip rung), rowLocal like
+        // every sibling branch (a null content NPE must drop the row,
+        // not abort the job)
+        rowLocal(path)(graft.functions.TextOps.decodeLadder(content)._1)
       case e if SupportedExtensions.contains(e) =>
-        rowLocal(path)(vision.describe(content).combined)
+        rowLocal(path) {
+          // an undecodable payload (JDK has no webp/tiff reader;
+          // truncated png) degrades to ImageCodec's "unknown" sentinel —
+          // which must DROP the row like every other corrupt file, not
+          // ingest a searchable "[image unknown -1x-1]" junk document
+          // (review finding r15)
+          if (ImageCodec.decode(content).format == "unknown")
+            throw new IllegalArgumentException(s"undecodable image payload (.$e)")
+          vision.describe(content).combined
+        }
       case _ => null // unsupported → reference throws; we filter
     }
-  }
+  }.asNondeterministic()
 
   /** binaryFile relation (path, content, ...) → (doc_id, source, text,
     * n_chars) — the documents-shaped relation the whole engine runs on.

@@ -36,6 +36,14 @@ object BpeTokenizer {
   private[text] def codePointSyms(word: String): Array[String] =
     word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
+  /** UTF-8 byte order — the binary string order Spark's sort and
+    * DuckDB's ORDER BY both use. See the train() tie-break note.
+    */
+  private[text] val Utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** One left-to-right non-overlapping merge pass. */
   def applyMerge(syms: Array[String], p1: String, p2: String): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]
@@ -64,7 +72,14 @@ object BpeTokenizer {
         pairCounts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
       if (pairCounts.isEmpty) continue = false
       else {
-        val ((p1, p2), _) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((p1, p2), _) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }(
+          // UTF-8 BYTE order for the tie-break, not Java's UTF-16 units
+          // (review finding r15): the engines' ORDER BY compares UTF-8
+          // bytes, where a supplementary-plane symbol sorts ABOVE
+          // U+E000..U+FFFF; Java's compareTo puts its lead surrogate
+          // BELOW them — a tied count between such pairs would train a
+          // different merge here than the oracle replay picks
+          Ordering.Tuple3(Ordering.Long, Utf8Order, Utf8Order))
         merges += ((p1, p2))
         words = words.map { case (syms, c) => (applyMerge(syms, p1, p2), c) }
       }
