@@ -266,4 +266,43 @@ object BatchSink {
           .otherwise(col("batch_id").cast("long")))
     replaceKeepingBatches(folded, path, extraPartitionCols)
   }
+
+  /** [[compactBelow]] with a MONOID FOLD (review finding r15: the
+    * row-identity fold keeps every batch's rows verbatim, so a
+    * min/KMV/sum-monoid store still grows LINEARLY with batch count —
+    * after 10^5 micro-batches the "KB-sized" read-time fold chews
+    * millions of rows). `fold` aggregates the strictly-below slice to
+    * its monoid normal form (same schema; the store's read fold must be
+    * invariant under it — lawful exactly for commutative-monoid stores:
+    * per-key mins, KMV kept-sets, count sums). Rows at ids >= upTo are
+    * rewritten verbatim under their own ids, preserving compactBelow's
+    * two replay invariants (the current epoch's id never moves; folded
+    * rows land strictly below it).
+    */
+  def compactBelowWith(spark: SparkSession, path: String, upTo: Long,
+                       extraPartitionCols: Seq[String] = Nil)
+                      (fold: DataFrame => DataFrame): Unit = {
+    recoverSwap(spark, path)
+    val below = batchIds(spark, path).filter(_ < upTo)
+    if (below.size <= 1) return
+    val target = below.max
+    val all = spark.read.parquet(path)
+    val folded = fold(all.filter(col("batch_id").cast("long") < upTo).drop("batch_id"))
+      .withColumn("batch_id", lit(target))
+    val kept = all.filter(col("batch_id").cast("long") >= upTo)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    replaceKeepingBatches(folded.unionByName(kept), path, extraPartitionCols)
+  }
+
+  /** Whole-table monoid compaction: [[compactBelowWith]] over every
+    * landed partition, folded to the high-water id. Same quiescence
+    * contract as [[compact]].
+    */
+  def compactWith(spark: SparkSession, path: String,
+                  extraPartitionCols: Seq[String] = Nil)
+                 (fold: DataFrame => DataFrame): Unit = {
+    recoverSwap(spark, path)
+    val hw = batchIds(spark, path).foldLeft(-1L)(math.max)
+    if (hw >= 0) compactBelowWith(spark, path, hw + 1, extraPartitionCols)(fold)
+  }
 }

@@ -18,9 +18,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+  /** Cluster-agnostic builder: deliberately does NOT set
+    * `spark.sql.shuffle.partitions` (review finding r15: sizing it to
+    * the DRIVER's core count pinned every exchange on a 400-core
+    * cluster to ~8 partitions, and AQE only coalesces DOWN, never up —
+    * the opposite of this object's own 2-3× executor-cores guidance).
+    * Deployments size that knob to their executor fleet; [[local]]
+    * sizes it to the local core count, where driver cores ARE the
+    * fleet.
+    */
+  def builder(): SparkSession.Builder =
     SparkSession.builder()
-      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,8 +36,9 @@ object GraftSession {
 
   /** Local session for tests/tools. */
   def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val s = builder(threads)
+    val s = builder()
       .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

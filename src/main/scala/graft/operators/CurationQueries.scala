@@ -139,23 +139,36 @@ object CurationQueries {
     val bt = toks.select(col("doc_id"), tokBucket(col("tok"), B).as("b"))
       .join(lb, Seq("doc_id"))
     val cc = nbCountsFromBucketed(bt)
-    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
     val pr = lb.filter(col("tr"))
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
-    // B-row model: add-one-smoothed class-conditional log-odds. Buckets
-    // never seen in train fall out of `cc`; the scoring left join treats
-    // them as 0 evidence (both classes equally smoothed) — coalesce(0).
+    val sc = nbScoreFrom(bt, cc, pr)
+    (lb, sc)
+  }
+
+  /** THE NB scoring tail — one definition behind the inline classifier
+    * and the stored model's serving path ([[NbModelStore.score]]),
+    * review finding r15: the store carried a verbatim copy of this
+    * body, the exact drift hazard the shared counts/model derivations
+    * were built to kill. `bt` = (doc_id, b) bucketed doc tokens, `cc` =
+    * (b, c1, c0) class counts, `pr` = one-row (n1, n0) priors.
+    *
+    * B-row model: add-one-smoothed class-conditional log-odds. Buckets
+    * never seen in train fall out of `cc`; the scoring left join treats
+    * them as 0 evidence (both classes equally smoothed) — coalesce(0).
+    */
+  private[operators] def nbScoreFrom(bt: DataFrame, cc: DataFrame,
+                                     pr: DataFrame): DataFrame = {
+    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
     val mdl = cc.crossJoin(broadcast(tot))
       .select(col("b"), nbLogOdds(col("c1"), col("c0"), col("nt1"), col("nt0")).as("lo"))
-    val sc = bt.select(col("doc_id"), col("b"))
+    bt.select(col("doc_id"), col("b"))
       .join(broadcast(mdl), Seq("b"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("lo"), lit(0.0))).as("slo"))
       .crossJoin(broadcast(pr))
       .select(col("doc_id"),
         round(log(col("n1").cast("double") / col("n0")) + col("slo"), 6).as("score"))
-    (lb, sc)
   }
 
   // ===== Trained language-ID model (VERDICT r12 ask #1) =====

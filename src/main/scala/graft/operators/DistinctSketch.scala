@@ -65,4 +65,22 @@ object DistinctSketch {
     */
   def estimate(spark: SparkSession, dir: String): DataFrame =
     SketchQueries.kmvEstimates(read(spark, dir))
+
+  /** The KMV-monoid normal form of raw (source, h) rows: fold through
+    * the aggregator, re-explode the kept set — ≤K rows per source, same
+    * schema.
+    */
+  private[graft] def foldRows(rows: DataFrame): DataFrame = {
+    val kmv = udaf(KmvAggregator)
+    rows.groupBy(col("source")).agg(kmv(col("h")).as("kept"))
+      .select(col("source"), explode(col("kept")).as("h"))
+  }
+
+  /** MONOID compaction (r15): fold landed partitions through the KMV
+    * merge, bounding the stored table at ≤K·|sources| rows regardless of
+    * batch count. Quiesced form; the relay's in-stream cadence uses
+    * [[graft.BatchSink.compactBelowWith]] with the same fold.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    graft.BatchSink.compactWith(spark, dir)(foldRows)
 }

@@ -81,12 +81,16 @@ object EditDistanceQueries {
     base.unionByName(mut).filter(length(col("key")) >= 6)
   }
 
-  // Even partition of length lx into K+1 segments: b = lx div 3,
-  // r = lx mod 3; the last r segments are one longer. 1-based slot j.
+  // Even partition of length lx into K+1 segments: b = lx div (K+1),
+  // r = lx mod (K+1); the last r segments are one longer. 1-based slot
+  // j. K is INTERPOLATED, never hardcoded (review finding r15: literal
+  // 3s here meant bumping K compiled but silently corrupted the
+  // partition scheme the exact-recall proof rests on).
+  private val Kp1 = K + 1
   private def segLenSql(lx: String, j: String) =
-    s"(($lx DIV 3) + IF($j > 3 - $lx % 3, 1, 0))"
+    s"(($lx DIV $Kp1) + IF($j > $Kp1 - $lx % $Kp1, 1, 0))"
   private def segStartSql(lx: String, j: String) =
-    s"(1 + ($j - 1) * ($lx DIV 3) + GREATEST(0, $j - 1 - (3 - $lx % 3)))"
+    s"(1 + ($j - 1) * ($lx DIV $Kp1) + GREATEST(0, $j - 1 - ($Kp1 - $lx % $Kp1)))"
 
   /** The join itself, exposed for specs: all pairs (id_a < id_b) from
     * `keys` (id, key) with levenshtein <= K, via Pass-Join partition
@@ -96,8 +100,15 @@ object EditDistanceQueries {
     * precondition is vacuous here).
     */
   def editDistanceJoin(keysIn: DataFrame): DataFrame = {
+    // materialize the narrow key relation ONCE (review finding r15):
+    // it feeds four subtrees (segs, probes, both verify joins), and the
+    // plantedKeys derivation behind it reads the corpus twice — without
+    // the pin Catalyst re-plans that subtree per reference, ~8 corpus
+    // scans per query (the BoundedRank / heavy_hitters_cms discipline;
+    // production substitute is persist(DISK_ONLY), as documented there)
     val keys = keysIn.filter(length(col("key")) > K)
       .select(col("id"), col("key"), length(col("key")).as("len"))
+      .localCheckpoint()
     // segment side: the K+1 segments of each string under ITS OWN
     // length's scheme
     val segs = keys

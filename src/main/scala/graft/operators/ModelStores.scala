@@ -97,25 +97,30 @@ object NbModelStore {
     * to the inline `quality_classifier` scores.
     */
   def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
-    val cc = readCounts(spark, dir)
-    val tot = cc.agg(sum(col("c1")).as("nt1"), sum(col("c0")).as("nt0"))
-    val mdl = cc.crossJoin(broadcast(tot))
-      .select(col("b"),
-        CurationQueries.nbLogOdds(col("c1"), col("c0"), col("nt1"), col("nt0")).as("lo"))
-    val toks = CurationQueries.docTokensOf(docs)
-    toks.select(col("doc_id"), CurationQueries.tokBucket(col("tok"), B).as("b"))
-      .join(broadcast(mdl), Seq("b"), "left")
-      .groupBy(col("doc_id"))
-      .agg(sum(coalesce(col("lo"), lit(0.0))).as("slo"))
-      .crossJoin(broadcast(readPriors(spark, dir)))
-      .select(col("doc_id"),
-        round(log(col("n1").cast("double") / col("n0")) + col("slo"), 6).as("score"))
+    // the ONE scoring tail (CurationQueries.nbScoreFrom — review finding
+    // r15: this body was a verbatim copy that could drift from the
+    // inline classifier and silently break the bit-identical guarantee)
+    val bt = CurationQueries.docTokensOf(docs)
+      .select(col("doc_id"), CurationQueries.tokBucket(col("tok"), B).as("b"))
+    CurationQueries.nbScoreFrom(bt, readCounts(spark, dir), readPriors(spark, dir))
   }
 
-  /** Fold batch partitions (quiesced, like every compact here). */
+  /** The sum-monoid normal forms of the two statistics tables — shared
+    * with the relay's in-stream compactBelowWith cadence.
+    */
+  private[graft] def foldCounts(rows: DataFrame): DataFrame =
+    rows.groupBy(col("b")).agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+  private[graft] def foldPriors(rows: DataFrame): DataFrame =
+    rows.agg(coalesce(sum(col("n1")), lit(0L)).as("n1"),
+      coalesce(sum(col("n0")), lit(0L)).as("n0"))
+
+  /** MONOID compaction (r15): fold partitions through the sums, so the
+    * counts table stays ≤64 rows and priors ONE row regardless of batch
+    * count (the row-identity fold grew linearly). Quiesced form.
+    */
   def compact(spark: SparkSession, dir: String): Unit = {
-    graft.BatchSink.compact(spark, s"$dir/counts")
-    graft.BatchSink.compact(spark, s"$dir/priors")
+    graft.BatchSink.compactWith(spark, s"$dir/counts")(foldCounts)
+    graft.BatchSink.compactWith(spark, s"$dir/priors")(foldPriors)
   }
 }
 
@@ -180,9 +185,16 @@ object LangModelStore {
   def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame =
     CurationQueries.langScoreDocs(docs, readCounts(spark, dir), readPriors(spark, dir))
 
+  /** Sum-monoid normal forms (shared with the relay's in-stream fold). */
+  private[graft] def foldCounts(rows: DataFrame): DataFrame =
+    rows.groupBy(col("lang"), col("b")).agg(sum(col("c")).as("c"))
+  private[graft] def foldPriors(rows: DataFrame): DataFrame =
+    rows.groupBy(col("lang")).agg(sum(col("np")).as("np"))
+
+  /** MONOID compaction (r15) — see [[NbModelStore.compact]]. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    graft.BatchSink.compact(spark, s"$dir/counts")
-    graft.BatchSink.compact(spark, s"$dir/priors")
+    graft.BatchSink.compactWith(spark, s"$dir/counts")(foldCounts)
+    graft.BatchSink.compactWith(spark, s"$dir/priors")(foldPriors)
   }
 }
 
@@ -230,6 +242,13 @@ object BpeStatsStore {
       .orderBy("merge_rank")
   }
 
+  /** Sum-monoid normal form (shared with the relay's in-stream fold). */
+  private[graft] def foldRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+
+  /** MONOID compaction (r15): the vocab table folds to one row per
+    * distinct word regardless of batch count. Quiesced form.
+    */
   def compact(spark: SparkSession, dir: String): Unit =
-    graft.BatchSink.compact(spark, dir)
+    graft.BatchSink.compactWith(spark, dir)(foldRows)
 }

@@ -79,4 +79,19 @@ object SourceSketch {
   /** Overlap matrix served FROM THE STORED SKETCH — no corpus access. */
   def estimate(spark: SparkSession, dir: String): DataFrame =
     pairEstimates(read(spark, dir))
+
+  /** The min-monoid normal form of raw sketch rows — shared by [[read]]
+    * conceptually and by the compaction folds below.
+    */
+  private[graft] def foldRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("source"), col("perm")).agg(min(col("m")).as("m"))
+
+  /** MONOID compaction (r15): fold landed partitions through the
+    * elementwise min, so the stored table stays at |sources|·16 rows
+    * regardless of batch count (the row-identity fold grew linearly).
+    * Quiesced form; the relay's in-stream cadence uses
+    * [[graft.BatchSink.compactBelowWith]] with the same fold.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    graft.BatchSink.compactWith(spark, dir)(foldRows)
 }

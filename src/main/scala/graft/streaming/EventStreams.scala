@@ -829,22 +829,29 @@ object EventStreams {
           // PQ codes are per-vector rows keyed by batch — folding is
           // row-identity like the IVF cells table
           pqDir.foreach(p => graft.BatchSink.compactBelow(spark, s"$p/codes", batchId))
-          // both sketch readers fold rows through their own monoid
-          // (elementwise min / KMV merge), so partition folding is
-          // trivially answer-invariant
-          sketchDir.foreach(sd => graft.BatchSink.compactBelow(spark, sd, batchId))
-          distinctSketchDir.foreach(sd => graft.BatchSink.compactBelow(spark, sd, batchId))
-          // the model stores fold by SUM at read time, so the partial
-          // fold is answer-invariant like the sketches
+          // the sketch/model-store tables are commutative-monoid stores
+          // (elementwise min / KMV merge / count sums), so their fold
+          // AGGREGATES to the monoid normal form (r15 — the row-identity
+          // fold kept every batch's rows, growing these "KB-sized"
+          // tables linearly with batch count); each store owns its fold
+          sketchDir.foreach(sd => graft.BatchSink.compactBelowWith(spark, sd, batchId)(
+            graft.operators.SourceSketch.foldRows))
+          distinctSketchDir.foreach(sd => graft.BatchSink.compactBelowWith(spark, sd, batchId)(
+            graft.operators.DistinctSketch.foldRows))
           nbModelDir.foreach { nd =>
-            graft.BatchSink.compactBelow(spark, s"$nd/counts", batchId)
-            graft.BatchSink.compactBelow(spark, s"$nd/priors", batchId)
+            graft.BatchSink.compactBelowWith(spark, s"$nd/counts", batchId)(
+              graft.operators.NbModelStore.foldCounts)
+            graft.BatchSink.compactBelowWith(spark, s"$nd/priors", batchId)(
+              graft.operators.NbModelStore.foldPriors)
           }
           langModelDir.foreach { ld =>
-            graft.BatchSink.compactBelow(spark, s"$ld/counts", batchId)
-            graft.BatchSink.compactBelow(spark, s"$ld/priors", batchId)
+            graft.BatchSink.compactBelowWith(spark, s"$ld/counts", batchId)(
+              graft.operators.LangModelStore.foldCounts)
+            graft.BatchSink.compactBelowWith(spark, s"$ld/priors", batchId)(
+              graft.operators.LangModelStore.foldPriors)
           }
-          bpeStatsDir.foreach(bd => graft.BatchSink.compactBelow(spark, bd, batchId))
+          bpeStatsDir.foreach(bd => graft.BatchSink.compactBelowWith(spark, bd, batchId)(
+            graft.operators.BpeStatsStore.foldRows))
         }
         val survivors = bucketedDedup.fold(
             graft.operators.DedupIndex.dedupBatch(spark, dedupDir, batch, batchId)) {

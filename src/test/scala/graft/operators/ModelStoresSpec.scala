@@ -49,11 +49,17 @@ class ModelStoresSpec extends AnyFunSuite {
       graft.SparkEntry.queries("quality_classifier_model")(spark, d),
       "re-added batch is a no-op")
 
-    // compaction folds partitions without changing the served model
+    // MONOID compaction (r15): served model unchanged AND the stored
+    // tables shrink to their normal forms — ≤64 count rows, ONE priors
+    // row — independent of batch count
     NbModelStore.compact(spark, dir)
     assertSameTable(NbModelStore.model(spark, dir),
       graft.SparkEntry.queries("quality_classifier_model")(spark, d),
       "model after compaction")
+    assert(spark.read.parquet(s"$dir/counts").count() <= 64,
+      "compacted counts at monoid normal form")
+    assert(spark.read.parquet(s"$dir/priors").count() == 1,
+      "compacted priors fold to one row")
   }
 
   test("Lang store: batch-folded model == inline; stored scoring == inline predictions") {

@@ -42,11 +42,17 @@ class SourceSketchSpec extends AnyFunSuite {
     assertSameTable(SourceSketch.read(spark, dir),
       SourceSketch.signatures(docs), "re-added batch is a no-op")
 
-    // compaction folds the batch partitions without changing any answer
-    // (read() still min-folds the rows; compact only merges partitions)
-    graft.BatchSink.compact(spark, dir)
+    // MONOID compaction (r15): folds partitions through the elementwise
+    // min — answers unchanged AND the stored table shrinks to its
+    // normal form, |sources|·16 rows, independent of batch count (the
+    // old row-identity fold grew linearly with batches)
+    SourceSketch.compact(spark, dir)
     assertSameTable(SourceSketch.estimate(spark, dir),
       graft.SparkEntry.queries("source_overlap_minhash")(spark, d),
       "estimate after compaction")
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() ==
+      docs.select("source").distinct().count() * 16,
+      "compacted sketch is at its monoid normal form (16 rows per source)")
   }
 }
