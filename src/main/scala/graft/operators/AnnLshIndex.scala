@@ -205,7 +205,12 @@ object AnnLshIndex {
     cands.join(broadcast(probes), Seq("sigp", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorOps.cosineScore(col("embedding"), col("qv")).as("score"))
+        // rankedCosine, not cosineScore (review finding r15): a
+        // zero-norm stored vector scores NaN, which sorts ABOVE every
+        // double under desc — it would sit at rank 1 of every probing
+        // query's top-k; the -2.0 pin ranks degenerates last (the
+        // denseTopK / VectorQueries discipline)
+        VectorOps.rankedCosine(col("embedding"), col("qv")).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk"), col("score"))

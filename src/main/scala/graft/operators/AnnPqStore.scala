@@ -50,9 +50,18 @@ object AnnPqStore {
   def init(vectors: DataFrame, dir: String, baseId: Long = 100L,
            codebooks: Option[DataFrame] = None, residual: Boolean = false): Unit = {
     val cbs = codebooks.getOrElse(AnnPq.codebooks(vectors, baseId)).localCheckpoint()
-    require(!cbs.isEmpty,
-      "AnnPqStore.init: codebooks are empty — the id-range stand-in found no codebook " +
-        "vectors in this corpus; pass codebooks = Some(...) explicitly")
+    // COMPLETE codebooks, not merely non-empty (review finding r15): a
+    // gappy id slice passes an emptiness check but builds LUT arrays
+    // shorter than the code range — element_at past the end is null
+    // under non-ANSI (the candidate silently ranks last) or a runtime
+    // error under ANSI, far from this cause
+    val perSub = cbs.groupBy(col("m").cast("long").as("m"))
+      .agg(countDistinct(col("j")).as("nj"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(perSub.size == AnnPq.M && perSub.values.forall(_ == AnnPq.K.toLong),
+      s"AnnPqStore.init: codebooks must hold exactly ${AnnPq.K} entries for each of the " +
+        s"${AnnPq.M} subspaces, got ${perSub.toSeq.sortBy(_._1).mkString(", ")} — " +
+        "the id-range stand-in needs a contiguous id slice; pass codebooks = Some(...)")
     graft.BatchSink.writeBatch(cbs, 0L, s"$dir/codebooks", full = true)
     graft.BatchSink.writeBatch(AnnPq.encode(vectors, cbs), 0L, s"$dir/codes", full = true)
     markSpace(vectors.sparkSession, dir, residual)
@@ -89,16 +98,37 @@ object AnnPqStore {
     val in = fs.open(p)
     val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     in.close()
-    s == "residual"
+    // STRICT parse (review finding r15): a torn markSpace (created, not
+    // yet written) leaves an EMPTY marker, and mapping anything but the
+    // two known words to raw would run a residual store down the raw
+    // path — the exact hazard the marker kills. Refuse and name the fix.
+    s match {
+      case "residual" => true
+      case "raw" => false
+      case other => throw new IllegalStateException(
+        s"AnnPqStore: unrecognized $SpaceMarker content '$other' at $dir (torn markSpace?) — " +
+          "re-stamp with AnnPqStore.markSpace(spark, dir, residual = ...)")
+    }
   }
 
   /** Encode a batch of NEW vectors against the STORED codebooks and land
-    * it under its own partition — idempotent per batch id.
+    * it under its own partition — idempotent per batch id. RAW stores
+    * only (review finding r15): callers — including the maintenance
+    * relay — feed raw embeddings, and encoding them against
+    * residual-space codebooks would land mixed-space codes that
+    * searchInCells then mis-ranks with no error. A residual store's
+    * increment needs the per-vector cell residualization; re-init (or a
+    * residualized derivation passed through init) is the supported path.
     */
   def addBatch(spark: SparkSession, newVectors: DataFrame, dir: String,
-               batchId: Long): Unit =
+               batchId: Long): Unit = {
+    require(!storedResidual(spark, dir),
+      s"AnnPqStore.addBatch: store at $dir holds RESIDUAL-space codes — raw vectors " +
+        "cannot be appended (they would encode against residual codebooks and " +
+        "mis-rank silently); residualize against the cell centroids and re-init")
     graft.BatchSink.writeBatch(AnnPq.encode(newVectors, readCodebooks(spark, dir)),
       batchId, s"$dir/codes", full = false)
+  }
 
   private def readHealed(spark: SparkSession, path: String): DataFrame = {
     graft.BatchSink.recoverSwap(spark, path)
@@ -117,11 +147,19 @@ object AnnPqStore {
 
   /** ADC top-k from the STORED artifacts — identical ranking to the
     * inline `ann_pq_topk` derivation (integer LUT weights, fixed-order
-    * sum, vec_id tiebreak); the scan side reads codes only.
+    * sum, vec_id tiebreak); the scan side reads codes only. RAW stores
+    * only (review finding r15: this path skipped the SpaceMarker, so a
+    * residual store could still be searched down the raw path — the
+    * plain ADC has no q·centroid term, so residual codes need
+    * [[searchInCells]]).
     */
-  def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int): DataFrame =
+  def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int): DataFrame = {
+    require(!storedResidual(spark, dir),
+      s"AnnPqStore.search: store at $dir holds RESIDUAL-space codes — the plain ADC " +
+        "path has no q·centroid term; use searchInCells(dir, annDir, ...)")
     AnnPq.searchCodes(readCodes(spark, dir),
       AnnPq.lut(queries, readCodebooks(spark, dir)), k)
+  }
 
   /** IVFADC from PURELY stored artifacts: PQ codes + codebooks from this
     * store, coarse centroids + cell assignments from an [[AnnIndex]]

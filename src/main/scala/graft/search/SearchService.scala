@@ -57,11 +57,11 @@ object SearchService {
       // zero-norm vector (or query) ⇒ cosine 0/0 = NaN, and Spark
       // orders NaN ABOVE every double — garbage rows would fill the
       // top-k (review finding r14; AnnIndex documents the same hazard
-      // and has callers pre-filter). Pin NaN to -2.0, below the entire
-      // cosine range, so degenerate rows rank last and a degenerate
-      // query degrades to a deterministic id-ordered k, never a crash
-      // or a poisoned ranking.
-      .withColumn("score", nanvl(VectorOps.cosineScore(col(vecCol), col("qv")), lit(-2.0)))
+      // and has callers pre-filter). rankedCosine pins NaN to -2.0,
+      // below the entire cosine range, so degenerate rows rank last —
+      // the ONE definition (VectorOps), not an inline twin that could
+      // drift from the oracle-mirrored sentinel (review finding r15).
+      .withColumn("score", VectorOps.rankedCosine(col(vecCol), col("qv")))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -89,8 +89,16 @@ object SearchService {
       idCol: String = "vec_id",
       roles: Seq[String] = Nil): DataFrame =
     if (isAdmin(roles)) vectors
-    else vectors.join(
-      accessibleIds, vectors(idCol) === accessibleIds.col(accessibleIds.columns.head), "left_semi")
+    else {
+      // an access-control gate must not guess: a multi-column relation
+      // whose id is not FIRST would silently gate on the wrong column
+      // (review finding r15) — over- or under-granting with no error
+      require(accessibleIds.columns.length == 1,
+        s"rlsFilter: accessibleIds must be a single-column id relation, got " +
+          s"(${accessibleIds.columns.mkString(", ")}) — select the id column explicitly")
+      vectors.join(
+        accessibleIds, vectors(idCol) === accessibleIds.col(accessibleIds.columns.head), "left_semi")
+    }
 
   /** Full read path: RLS → dense over-fetch (k·overFetch, reference
     * search_service.py:83) → lexical rerank over candidate text → top-k.
@@ -162,6 +170,12 @@ object SearchService {
             // result is truncated like the reference's results[:top_k]
             require(r.forall { case (i, _) => i >= 0 && i < list.size },
               s"reranker returned an out-of-range index for ${list.size} candidates")
+            // DISTINCT indices too (review finding r15): duplicates
+            // would emit the same candidate at multiple ranks and push a
+            // real one out of the top-k — a malformed response must hit
+            // the fallback, never silently mis-rank
+            require(r.map(_._1).distinct.size == r.size,
+              s"reranker returned duplicate indices: ${r.map(_._1).mkString(",")}")
             r.take(k).map { case (i, s) => (i, Some(s)) }
           } catch {
             case scala.util.control.NonFatal(e) =>

@@ -38,6 +38,16 @@ object DocxCodec extends Serializable {
       case '&' => sb.append("&amp;")
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
+      // a literal CR in element content is NORMALIZED to \n by every
+      // conforming XML parser — the round-trip would silently corrupt;
+      // the character reference survives parsing as a real \r
+      // (review finding r15)
+      case '\r' => sb.append("&#xD;")
+      // XML 1.0 cannot represent these AT ALL (not even as character
+      // references): emitting them raw makes extractText throw a
+      // well-formedness error on our own writer's output — drop them,
+      // the only lossless-wrt-XML option
+      case c if c < ' ' && c != '\t' && c != '\n' => ()
       case c => sb.append(c)
     }
     sb.toString
@@ -97,6 +107,24 @@ object DocxCodec extends Serializable {
     } finally zin.close()
   }
 
+  private val WNs = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+  private val McNs = "http://schemas.openxmlformats.org/markup-compatibility/2006"
+
+  /** Parse body paragraphs the way python-docx's `document.paragraphs`
+    * does (review finding r15 — the bare local-name match diverged on
+    * real Word output): only elements in the WORDPROCESSINGML namespace
+    * count (DrawingML `a:t` / OMML `m:t` runs are not paragraph text);
+    * `mc:Fallback` subtrees are SKIPPED (Word writes every shape as
+    * mc:AlternateContent with the same text in Choice and Fallback —
+    * counting both extracts it twice); and only BODY-LEVEL `w:p`
+    * elements (depth document>body>p) open a paragraph, so table-cell
+    * paragraphs don't leak in (python-docx's `document.paragraphs` is
+    * body-level only). Remaining documented divergence: text nested
+    * inside a kept mc:Choice (a textbox's inner paragraphs) lands in
+    * the ENCLOSING body paragraph, where python-docx's run-level xpath
+    * drops it — acceptable for an extractor whose job is "all the
+    * body's text once".
+    */
   private def parseDocumentXml(in: java.io.InputStream): String = {
     val f = javax.xml.stream.XMLInputFactory.newInstance()
     f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
@@ -107,26 +135,36 @@ object DocxCodec extends Serializable {
     var total = 0L // across ALL paragraphs — the per-p buffer resets
     var inT = false
     var inP = false
+    var depth = 0
+    var skipDepth = -1 // depth of the mc:Fallback being skipped, -1 = not skipping
     import javax.xml.stream.XMLStreamConstants._
     while (r.hasNext) {
       r.next() match {
         case START_ELEMENT =>
-          r.getLocalName match {
-            case "p" => inP = true; cur.clear()
-            case "t" => inT = true
-            case "tab" if inP => cur.append('\t')
-            case "br" | "cr" if inP => cur.append('\n')
-            case _ => ()
+          depth += 1
+          if (skipDepth < 0) {
+            val ns = Option(r.getNamespaceURI).getOrElse("")
+            if (ns == McNs && r.getLocalName == "Fallback") skipDepth = depth
+            else if (ns == WNs) r.getLocalName match {
+              case "p" if depth == 3 => inP = true; cur.clear()
+              case "t" if inP => inT = true
+              case "tab" if inP => cur.append('\t')
+              case "br" | "cr" if inP => cur.append('\n')
+              case _ => ()
+            }
           }
         case END_ELEMENT =>
-          r.getLocalName match {
-            case "p" =>
-              if (cur.toString.trim.nonEmpty) paragraphs += cur.toString
-              inP = false
-            case "t" => inT = false
-            case _ => ()
-          }
-        case CHARACTERS | CDATA if inT =>
+          if (skipDepth == depth) skipDepth = -1
+          else if (skipDepth < 0 && Option(r.getNamespaceURI).getOrElse("") == WNs)
+            r.getLocalName match {
+              case "p" if depth == 3 =>
+                if (cur.toString.trim.nonEmpty) paragraphs += cur.toString
+                inP = false
+              case "t" => inT = false
+              case _ => ()
+            }
+          depth -= 1
+        case CHARACTERS | CDATA if inT && skipDepth < 0 =>
           total += r.getTextLength
           if (total > MaxExtractedChars)
             throw new IllegalArgumentException(
