@@ -49,6 +49,15 @@ object Tables {
     * reads — and oracle parity holds for every shape.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // SESSION-WIDE by necessity (review finding r15, documented rather
+    // than papered over): the conf must hold at ACTION time — the scan
+    // reads it when tasks plan, so a set/restore pair around this call
+    // would break the returned (lazy) DataFrame. The effect: after the
+    // first events() call, any OTHER parquet with TIMESTAMP(NANOS)
+    // columns reads them as LongType instead of failing loudly. No
+    // other graft table carries nanos; a caller needing strict nanos
+    // errors elsewhere runs events under its own session
+    // (SparkSession#newSession shares the context, not the conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {

@@ -46,10 +46,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     */
   override def nullable: Boolean = true
 
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => false
-  })
+  // static per plan — lazy val, not def: the interpreted path calls it
+  // per ROW, and a def re-allocated the Seq and re-matched both child
+  // types on every evaluation (review finding r15). @transient so a
+  // serialized expression recomputes it after landing on an executor.
+  @transient private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
 
   override def prettyName: String = "graft_cosine"
 

@@ -237,23 +237,25 @@ object PipelineQueries {
         "WHEN n_chars > 52428800 THEN 'Failed' ELSE 'Completed' END AS status, " +
         "CASE WHEN length(trim(text)) = 0 THEN 'empty document' " +
         "WHEN n_chars > 52428800 THEN 'file too large' END AS error_message, " +
-        "CASE WHEN length(trim(text)) > 0 THEN (length(text) - 1) // 160 + 1 ELSE 0 END AS total_chunks, " +
+        "CASE WHEN length(trim(text)) > 0 AND n_chars <= 52428800 THEN (length(text) - 1) // 160 + 1 ELSE 0 END AS total_chunks, " +
         "CASE WHEN length(trim(text)) > 0 AND n_chars <= 52428800 THEN 100.0 ELSE 0.0 END AS progress_percent " +
         "FROM documents ORDER BY source_drive_file"),
     "pipeline_ledger_stages" ->
       ("WITH base AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN 'empty' " +
+        "WHEN n_chars IS NULL THEN 'unknown' " +
         "WHEN n_chars > 52428800 THEN 'large' ELSE 'ok' END AS k FROM documents), " +
         "st AS (SELECT doc_id, source, k, r.i AS stage_seq FROM base, " +
         "unnest(range(CASE k WHEN 'ok' THEN 7 WHEN 'empty' THEN 3 ELSE 2 END)) AS r(i)) " +
         "SELECT doc_id AS source_drive_file, source AS file_title, " +
         "CAST(stage_seq AS BIGINT) AS stage_seq, " +
-        "CASE WHEN (k = 'empty' AND stage_seq = 2) OR (k = 'large' AND stage_seq = 1) THEN 'Failed' " +
+        "CASE WHEN (k = 'empty' AND stage_seq = 2) OR (k IN ('large','unknown') AND stage_seq = 1) THEN 'Failed' " +
         "ELSE ['Queued','Extracting Text','Chunking','Enriching Context','Embedding'," +
         "'Storing Vectors','Completed'][CAST(stage_seq AS INT) + 1] END AS status, " +
         "CASE WHEN k = 'empty' AND stage_seq = 2 THEN 15.0 " +
-        "WHEN k = 'large' AND stage_seq = 1 THEN 0.0 " +
+        "WHEN k IN ('large','unknown') AND stage_seq = 1 THEN 0.0 " +
         "ELSE [0.0,15.0,30.0,45.0,80.0,95.0,100.0][CAST(stage_seq AS INT) + 1] END AS progress_percent, " +
         "CASE WHEN k = 'empty' AND stage_seq = 2 THEN 'empty document' " +
+        "WHEN k = 'unknown' AND stage_seq = 1 THEN 'unknown file size' " +
         "WHEN k = 'large' AND stage_seq = 1 THEN 'file too large' END AS error_message " +
         "FROM st ORDER BY source_drive_file, stage_seq"),
     "pipeline_progress" ->

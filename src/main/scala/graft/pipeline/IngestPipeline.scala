@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
   *       → vector-store rows (K1 payload schema)
   * }}}
   *
-  * Scale design: every stage is partition-parallel; the only shuffle is
-  * the optional sink partitioning. Providers are instantiated once per
+  * Scale design: every stage is partition-parallel except two known
+  * exchanges — enrich's total_chunks window (hash-partitioned by
+  * doc_id; chunk counts are per-doc facts, so the shuffle moves
+  * chunk-sized rows once) and the optional sink partitioning (the old
+  * "only shuffle is the sink" claim under-counted — review finding
+  * r15). Providers are instantiated once per
   * partition (connection reuse) and batched at
   * [[PipelineSettings.embedBatchSize]] (reference batch=50,
   * process_embedding.py:356). Point ids are content-addressed
@@ -43,13 +47,24 @@ object IngestPipeline {
     StructField("detected_languages", StringType)
   ))
 
+  /** THE F10/F2 predicates with their null discipline — ONE definition
+    * behind [[ingestFilter]], [[ledger]] and [[ledgerStages]] (review
+    * finding r15: three hand copies of these expressions had already
+    * drifted once — the r14 null-text-Completed bug — and remained a
+    * standing three-way hazard). `emptyText` is TRUE for null text;
+    * `tooLarge` is TRUE for null size (unknown size fails the gate).
+    */
+  private[pipeline] def emptyTextPred = coalesce(length(trim(col("text"))), lit(0)) === 0
+  private[pipeline] def tooLargePred(settings: PipelineSettings) =
+    !coalesce(col("n_chars") <= settings.maxFileSizeMb.toLong * 1024 * 1024, lit(false))
+
   /** Ingest filters F2/F10 (F1/F3 have no analog columns on the test
     * corpus; they compose the same way).
     */
   def ingestFilter(files: DataFrame, settings: PipelineSettings): DataFrame =
     files
-      .filter(length(trim(col("text"))) > 0)                                   // F10
-      .filter(col("n_chars") <= settings.maxFileSizeMb.toLong * 1024 * 1024)   // F2
+      .filter(!emptyTextPred)                // F10
+      .filter(!tooLargePred(settings))       // F2
 
   /** Fixed-stride chunk relation — fully native (posexplode over a
     * sequence), SQL-mirrorable for the oracle gate.
@@ -128,6 +143,7 @@ object IngestPipeline {
       chunks: DataFrame,
       provider: EmbeddingProvider = new HashProjectionEmbedder(64),
       batchSize: Int = PipelineSettings.default.embedBatchSize): DataFrame = {
+    require(batchSize >= 1, s"embedStage: batchSize must be >= 1, got $batchSize")
     val inSchema = chunks.schema
     val outSchema = inSchema.add("embedding", ArrayType(FloatType, containsNull = false))
     val textIdx = inSchema.fieldIndex("embedded_text")
@@ -203,15 +219,13 @@ object IngestPipeline {
     val co = chunkOverlap.getOrElse(settings.chunkOverlap)
     requireChunkGeometry(cs, co)
     val stride = cs - co
-    // NULL discipline mirrors ingestFilter EXACTLY (review finding r14:
-    // `length(trim(null)) === 0` is null, not true, so a null-text file
-    // fell through every Failed rung and the ledger reported Completed
-    // for a file run() never processed): a file is Completed iff the
-    // filter would pass it — null text fails the empty rung, null
-    // n_chars fails the size gate (unknown size, its own message).
-    val emptyText = coalesce(length(trim(col("text"))), lit(0)) === 0
-    val tooLarge = !coalesce(
-      col("n_chars") <= settings.maxFileSizeMb.toLong * 1024 * 1024, lit(false))
+    // NULL discipline mirrors ingestFilter EXACTLY via the ONE shared
+    // predicate pair (r14 finding: a hand copy drifted and a null-text
+    // file reported Completed; r15 extracted the predicates so the
+    // three surfaces cannot drift again): a file is Completed iff the
+    // filter would pass it.
+    val emptyText = emptyTextPred
+    val tooLarge = tooLargePred(settings)
     files.select(
       col("doc_id").as("source_drive_file"),
       col("source").as("file_title"),
@@ -222,7 +236,12 @@ object IngestPipeline {
         .when(col("n_chars").isNull, lit("unknown file size"))
         .when(tooLarge, lit("file too large"))
         .otherwise(lit(null).cast("string")).as("error_message"),
-      when(!emptyText,
+      // chunk counts ONLY for files run() actually chunks (review
+      // finding r15: a too-large/unknown-size file reported a positive
+      // total_chunks for work that never happened — run() filters it
+      // out and ledgerStages fails it before 'Chunking'; summing the
+      // ledger's counter overcounted)
+      when(!emptyText && !tooLarge,
         (floor((length(col("text")) - 1) / stride) + 1).cast("long"))
         .otherwise(lit(0L)).as("total_chunks"))
       .withColumn("progress_percent",
@@ -296,15 +315,17 @@ object IngestPipeline {
     val emptyArr = array(stage(0, "Queued", 0.0), stage(1, "Extracting Text", 15.0),
       failed(2, 15.0, "empty document"))
     val largeArr = array(stage(0, "Queued", 0.0), failed(1, 0.0, "file too large"))
+    // unknown-size files get the SAME reason the ledger reports (review
+    // finding r15: this surface said 'file too large' where ledger said
+    // 'unknown file size' for the same input)
+    val unknownArr = array(stage(0, "Queued", 0.0), failed(1, 0.0, "unknown file size"))
     files.select(
       col("doc_id").as("source_drive_file"), col("source").as("file_title"),
       explode(
-        // same null discipline as ledger: a file the ingest filter
-        // would drop must not show a Completed history
-        when(coalesce(length(trim(col("text"))), lit(0)) === 0, emptyArr)
-          .when(!coalesce(
-            col("n_chars") <= settings.maxFileSizeMb.toLong * 1024 * 1024,
-            lit(false)), largeArr)
+        // same null discipline as ledger, via the ONE shared predicates
+        when(emptyTextPred, emptyArr)
+          .when(col("n_chars").isNull, unknownArr)
+          .when(tooLargePred(settings), largeArr)
           .otherwise(okArr)).as("st"))
       .select(col("source_drive_file"), col("file_title"),
         col("st.stage_seq"), col("st.status"),

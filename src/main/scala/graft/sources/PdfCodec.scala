@@ -30,6 +30,11 @@ object PdfCodec extends Serializable {
       case '\\' => sb.append("\\\\")
       case '(' => sb.append("\\(")
       case ')' => sb.append("\\)")
+      // a raw CR (or CRLF) inside a literal string is read as a SINGLE
+      // 0x0A by spec-conformant readers (PDF 7.3.4.2) — pdfplumber
+      // would see \n where we wrote \r; the escape form survives
+      // exactly (review finding r15)
+      case '\r' => sb.append("\\r")
       case c => sb.append(c)
     }
     sb.toString
@@ -215,15 +220,36 @@ object PdfCodec extends Serializable {
     pages.result().mkString("\n\n")
   }
 
-  /** Concatenate the strings shown by Tj / ' / " / TJ operators. */
+  /** Concatenate the strings shown by Tj / ' / " / TJ operators —
+    * OPERATOR-AWARE (review finding r15: the old form appended EVERY
+    * literal string in the stream, so a foreign PDF's marked-content
+    * properties — /ActualText (draft) BDC — or any non-show operand
+    * leaked into the page text). Strings accumulate as pending
+    * operands; a show operator emits them (Tj/'/" take the last, TJ
+    * takes the whole array's worth), any other operator discards them.
+    */
   private[sources] def textShowOps(content: String): String = {
     val out = new StringBuilder
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < content.length) {
-      if (content.charAt(i) == '(') {
+      val c = content.charAt(i)
+      if (c == '(') {
         val (str, next) = parseString(content, i)
-        out.append(str)
+        pending += str
         i = next
+      } else if (c == '\'' || c == '"') { // the ' and " show operators
+        pending.lastOption.foreach(out.append)
+        pending.clear()
+        i += 1
+      } else if (c.isLetter) {
+        val j0 = i
+        while (i < content.length && (content.charAt(i).isLetter || content.charAt(i) == '*')) i += 1
+        content.substring(j0, i) match {
+          case "Tj" => pending.lastOption.foreach(out.append); pending.clear()
+          case "TJ" => pending.foreach(out.append); pending.clear()
+          case _ => pending.clear() // some other operator consumed them
+        }
       } else i += 1
     }
     out.toString
@@ -259,6 +285,12 @@ object PdfCodec extends Serializable {
             out.append(v.toChar); i = j
           case other => out.append(other); i += 2
         }
+      } else if (c == '\r') {
+        // spec 7.3.4.2: an EOL marker (CR, LF, or CRLF) inside a
+        // literal string is read as ONE 0x0A — conformant readers of
+        // our own archives must agree with us (review finding r15)
+        out.append('\n')
+        i += (if (i + 1 < s.length && s.charAt(i + 1) == '\n') 2 else 1)
       } else if (c == '(') { depth += 1; out.append(c); i += 1 }
       else if (c == ')') {
         depth -= 1
