@@ -50,18 +50,24 @@ object AnnPqStore {
   def init(vectors: DataFrame, dir: String, baseId: Long = 100L,
            codebooks: Option[DataFrame] = None, residual: Boolean = false): Unit = {
     val cbs = codebooks.getOrElse(AnnPq.codebooks(vectors, baseId)).localCheckpoint()
-    // COMPLETE codebooks, not merely non-empty (review finding r15): a
-    // gappy id slice passes an emptiness check but builds LUT arrays
-    // shorter than the code range — element_at past the end is null
+    // GAP-FREE codebooks, not merely non-empty (review finding r15): a
+    // gappy id slice passes an emptiness check but encodes codes whose
+    // j exceeds the LUT array length — element_at past the end is null
     // under non-ANSI (the candidate silently ranks last) or a runtime
-    // error under ANSI, far from this cause
+    // error under ANSI, far from this cause. The lawful shape is a
+    // CONTIGUOUS j = 0..n-1 in every one of the M subspaces (n may be
+    // below the nominal K on a small corpus — codes and LUTs then agree
+    // by construction); a hole or a subspace mismatch is the hazard.
     val perSub = cbs.groupBy(col("m").cast("long").as("m"))
-      .agg(countDistinct(col("j")).as("nj"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    require(perSub.size == AnnPq.M && perSub.values.forall(_ == AnnPq.K.toLong),
-      s"AnnPqStore.init: codebooks must hold exactly ${AnnPq.K} entries for each of the " +
-        s"${AnnPq.M} subspaces, got ${perSub.toSeq.sortBy(_._1).mkString(", ")} — " +
-        "the id-range stand-in needs a contiguous id slice; pass codebooks = Some(...)")
+      .agg(countDistinct(col("j")).as("nj"), max(col("j")).cast("long").as("mj"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ns = perSub.values.map(_._1).toSet
+    require(perSub.size == AnnPq.M && ns.size == 1 &&
+      perSub.values.forall { case (nj, mj) => mj == nj - 1 },
+      s"AnnPqStore.init: codebooks must hold a contiguous j=0..n-1 slice in each of the " +
+        s"${AnnPq.M} subspaces (same n), got (m -> (count, maxJ)) " +
+        s"${perSub.toSeq.sortBy(_._1).mkString(", ")} — a gappy or ragged id slice " +
+        "mis-sizes the search LUTs; pass codebooks = Some(...)")
     graft.BatchSink.writeBatch(cbs, 0L, s"$dir/codebooks", full = true)
     graft.BatchSink.writeBatch(AnnPq.encode(vectors, cbs), 0L, s"$dir/codes", full = true)
     markSpace(vectors.sparkSession, dir, residual)
