@@ -59,13 +59,16 @@ object AnnPqStore {
     // below the nominal K on a small corpus — codes and LUTs then agree
     // by construction); a hole or a subspace mismatch is the hazard.
     val perSub = cbs.groupBy(col("m").cast("long").as("m"))
-      .agg(countDistinct(col("j")).as("nj"), max(col("j")).cast("long").as("mj"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(countDistinct(col("j")).as("nj"), max(col("j")).cast("long").as("mj"),
+        min(col("j")).cast("long").as("minj"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val ns = perSub.values.map(_._1).toSet
+    // minJ == 0 closes the negative-j hole (ADVICE r15): j ∈ {-1,0,2}
+    // has nj=3, mj=2=nj-1 yet still mis-sizes the LUT.
     require(perSub.size == AnnPq.M && ns.size == 1 &&
-      perSub.values.forall { case (nj, mj) => mj == nj - 1 },
+      perSub.values.forall { case (nj, mj, minj) => mj == nj - 1 && minj == 0L },
       s"AnnPqStore.init: codebooks must hold a contiguous j=0..n-1 slice in each of the " +
-        s"${AnnPq.M} subspaces (same n), got (m -> (count, maxJ)) " +
+        s"${AnnPq.M} subspaces (same n), got (m -> (count, maxJ, minJ)) " +
         s"${perSub.toSeq.sortBy(_._1).mkString(", ")} — a gappy or ragged id slice " +
         "mis-sizes the search LUTs; pass codebooks = Some(...)")
     graft.BatchSink.writeBatch(cbs, 0L, s"$dir/codebooks", full = true)

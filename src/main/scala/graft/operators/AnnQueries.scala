@@ -416,9 +416,7 @@ object AnnQueries {
     // — a subspace using 2 of 8 entries is quantizing nothing), and
     // total codes.
     "ann_codebook_build" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cbs = AnnPq.codebooks(e).localCheckpoint()
-      val codes = AnnPq.encode(e, cbs).localCheckpoint()
+      val ((cbs, codes), _) = diskPqArtifacts(s, d)
       SessionArtifacts.seed(pqArtifactsCache, s, "pq", d, (cbs, codes))
       val narrow = (0 until AnnPq.M).map(m =>
         codes.select(lit(m).as("m"), col(s"c$m").as("code"))).reduce(_ unionByName _)
@@ -732,33 +730,51 @@ object AnnQueries {
   // cap + key + clear-on-overflow policy shared via SessionArtifacts
   private val pqArtifactsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private def rawPqArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    SessionArtifacts.cached(pqArtifactsCache, s, "pq", d) {
+  /** Disk-backed cold path (VERDICT r15 ask #1): codebooks + codes are
+    * one atomic artifact (codes are meaningless against other
+    * codebooks), persisted once per corpus fingerprint.
+    */
+  private def diskPqArtifacts(s: SparkSession, d: String)
+      : ((DataFrame, DataFrame), Boolean) = {
+    val (m, hit) = DiskArtifacts.loadOrBuildMany(s, d, "ann_pq_raw",
+      Seq("codebooks", "codes")) {
       val e = Tables.embeddings(s, d)
       val cbs = AnnPq.codebooks(e).localCheckpoint()
-      (cbs, AnnPq.encode(e, cbs).localCheckpoint())
+      Map("codebooks" -> cbs, "codes" -> AnnPq.encode(e, cbs).localCheckpoint())
     }
+    ((m("codebooks"), m("codes")), hit)
+  }
+
+  private def rawPqArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    SessionArtifacts.cached(pqArtifactsCache, s, "pq", d)(diskPqArtifacts(s, d)._1)
 
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def trainedCents(s: SparkSession, d: String): DataFrame =
-    SessionArtifacts.cached(kmeansCache, s, "kmeans", d) {
+  private def diskTrainedCents(s: SparkSession, d: String): (DataFrame, Boolean) =
+    DiskArtifacts.loadOrBuild(s, d, "kmeans16") {
       AnnIndex.kmeans(Tables.embeddings(s, d), 16, TrainedAuditIters)
         .localCheckpoint()
     }
 
+  private def trainedCents(s: SparkSession, d: String): DataFrame =
+    SessionArtifacts.cached(kmeansCache, s, "kmeans", d)(diskTrainedCents(s, d)._1)
+
   /** recall@3 of the IVF path under the TRAINED coarse quantizer
     * (k=16, [[TrainedAuditIters]] rounds of [[AnnIndex.kmeans]]),
     * queries vec_id<10 over the whole corpus minus self — the
-    * trained-path counterpart of [[annRecall]]'s `ivf` rows. Always
-    * trains COLD (this query is the recorded owner of the training
-    * loop) and seeds [[kmeansCache]] for the consumers.
+    * trained-path counterpart of [[annRecall]]'s `ivf` rows. The
+    * recorded owner of the training loop through the disk store
+    * (VERDICT r15 ask #1): a new corpus trains COLD in this query's
+    * number; a fingerprint-matched one loads the persisted centroids
+    * (training is bit-deterministic — the float-cast absorption the
+    * DuckDB kmeansCtes replay already depends on — so disk == fresh).
+    * Seeds [[kmeansCache]] for the consumers either way.
     */
   def annRecallTrained(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val cents = AnnIndex.kmeans(e, 16, TrainedAuditIters).localCheckpoint()
+    val (cents, _) = diskTrainedCents(s, d)
     SessionArtifacts.seed(kmeansCache, s, "kmeans", d, cents)
     val approx = AnnIndex.searchAssigned(
       AnnIndex.assign(e, cents), AnnIndex.probe(q, cents, nprobe = 2), k = 3)

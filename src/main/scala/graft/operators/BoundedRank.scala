@@ -18,10 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object BoundedRank {
 
+  /** Rows above which [[withRank]] refuses to run: the O(k²) self-join
+    * is a deliberate trade for POST-LIMIT lists (k ≤ a few hundred); a
+    * caller that feeds it a corpus gets 10⁸+ comparisons and a
+    * broadcast of the whole input. 10⁴ is two orders above every real
+    * call site (≤100-row top-k lists, ≤K centroid seeds) and four
+    * below where the quadratic hurts — misuse fails loudly at the
+    * operator, not as an OOM three stages later (VERDICT r15 watch
+    * item).
+    */
+  val MaxRows = 10000L
+
   /** Append `rankName` = 1-based rank of each row under the ascending
     * total order `key` (encode descending fields by negation inside the
     * struct). `key` must be duplicate-free — callers tie-break with a
     * unique id, which is also what makes the rank deterministic.
+    * Requires the input to be bounded (≤ [[MaxRows]] rows, checked on
+    * the pinned relation — free, it's already materialized).
     */
   def withRank(df: DataFrame, rankName: String, key: Column): DataFrame = {
     // Pin the bounded list first: both sides of the rank self-join read
@@ -31,6 +44,11 @@ object BoundedRank {
     // microseconds and makes the self-join read the tiny relation twice
     // instead of recomputing its lineage twice.
     val pinned = df.localCheckpoint()
+    val n = pinned.count() // reads the checkpoint, not the lineage
+    require(n <= MaxRows,
+      s"BoundedRank.withRank: input has $n rows (> $MaxRows) — this operator is " +
+        "O(k²) by design for post-limit lists; rank a corpus with a window or top-k " +
+        "aggregate instead")
     val keyed = pinned.withColumn("__brk", key)
     val keys = keyed.select(col("__brk").as("__brk_other"))
     keyed

@@ -577,8 +577,12 @@ object RelationalQueries {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
         .as[graft.streaming.EventStreams.EventIn]
+      // applicationId in the path (ADVICE r15): two JVMs on the same
+      // corpus (bench + verify) raced on one fixed dir, each wiping the
+      // other's in-flight audit output.
       val dir = System.getProperty("java.io.tmpdir") +
-        "/graft-hotkey-" + d.replaceAll("[^A-Za-z0-9]", "_")
+        "/graft-hotkey-" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "-" + s.sparkContext.applicationId
       graft.streaming.EventStreams.hotKeyAudit(ev, cap = 50, dir)
         .orderBy("user_id")
     }),

@@ -47,10 +47,10 @@ object SourceQueries {
     * oracle never has to replay a lossy codec bit-for-bit.
     */
   val imageRoundtripUdf = udf { (docId: Long, nChars: Long) =>
-    val w = 8 + (docId % 16).toInt
-    val h = 8 + (nChars % 16).toInt
-    val gray = (docId % 256).toInt
-    val png = docId % 2 == 0
+    val w = 8 + Math.floorMod(docId, 16L).toInt
+    val h = 8 + Math.floorMod(nChars, 16L).toInt
+    val gray = Math.floorMod(docId, 256L).toInt
+    val png = Math.floorMod(docId, 2L) == 0L
     val bytes =
       if (png) ImageCodec.writePng(w, h, gray) else ImageCodec.writeJpeg(w, h, gray)
     val m = ImageCodec.decode(bytes)
@@ -68,15 +68,15 @@ object SourceQueries {
   private val visionProvider = new graft.pipeline.MetaVisionProvider(ocrProvider)
 
   val ocrUdf = udf { (docId: Long, nChars: Long) =>
-    val w = 8 + (docId % 16).toInt
-    val h = 8 + (nChars % 16).toInt
-    ocrProvider.recognize(ImageCodec.writePng(w, h, (docId % 256).toInt))
+    val w = 8 + Math.floorMod(docId, 16L).toInt
+    val h = 8 + Math.floorMod(nChars, 16L).toInt
+    ocrProvider.recognize(ImageCodec.writePng(w, h, Math.floorMod(docId, 256L).toInt))
   }
 
   val visionUdf = udf { (docId: Long, nChars: Long) =>
-    val w = 8 + (docId % 16).toInt
-    val h = 8 + (nChars % 16).toInt
-    visionProvider.describe(ImageCodec.writePng(w, h, (docId % 256).toInt))
+    val w = 8 + Math.floorMod(docId, 16L).toInt
+    val h = 8 + Math.floorMod(nChars, 16L).toInt
+    visionProvider.describe(ImageCodec.writePng(w, h, Math.floorMod(docId, 256L).toInt))
   }
 
   /** Single-page PDF encode — the standard-extraction leg of the smart
@@ -94,9 +94,9 @@ object SourceQueries {
     */
   val pagesOcrUdf = udf { (docId: Long, nChars: Long, totalPages: Int) =>
     (0 until totalPages).map { p =>
-      val w = 8 + ((docId + p) % 16).toInt
-      val h = 8 + ((nChars + p) % 16).toInt
-      val g = ((docId + p) % 256).toInt
+      val w = 8 + Math.floorMod(docId + p, 16L).toInt
+      val h = 8 + Math.floorMod(nChars + p, 16L).toInt
+      val g = Math.floorMod(docId + p, 256L).toInt
       ocrProvider.recognize(ImageCodec.writePng(w, h, g)).text
     }.filter(_.nonEmpty).mkString("\n\n")
   }
@@ -216,11 +216,17 @@ object SourceQueries {
   /** Shared arithmetic re-derivation of the doc-determined image and the
     * GridOcrProvider's line grid (h in [8,24) → 1 or 2 line bands).
     */
+  // ((x % m) + m) % m mirrors the UDFs' Math.floorMod (ADVICE r15:
+  // xxhash64-minted doc_ids are negative for ~half of real sources;
+  // signed % made width/height non-positive and BufferedImage threw)
   private val ocrBase =
-    "SELECT doc_id, 8 + doc_id % 16 AS w, 8 + n_chars % 16 AS h, doc_id % 256 AS g, " +
-      "(8 + n_chars % 16) // 8 AS lines, " +
-      "(doc_id % 256) * 7 % 51 + 50 AS c0, ((doc_id % 256) * 7 + 13) % 51 + 50 AS c1, " +
-      "'line 0: g' || (doc_id % 256) AS l0, 'line 1: g' || (doc_id % 256) AS l1 " +
+    "SELECT doc_id, 8 + ((doc_id % 16) + 16) % 16 AS w, " +
+      "8 + ((n_chars % 16) + 16) % 16 AS h, ((doc_id % 256) + 256) % 256 AS g, " +
+      "(8 + ((n_chars % 16) + 16) % 16) // 8 AS lines, " +
+      "(((doc_id % 256) + 256) % 256) * 7 % 51 + 50 AS c0, " +
+      "((((doc_id % 256) + 256) % 256) * 7 + 13) % 51 + 50 AS c1, " +
+      "'line 0: g' || (((doc_id % 256) + 256) % 256) AS l0, " +
+      "'line 1: g' || (((doc_id % 256) + 256) % 256) AS l1 " +
       "FROM documents"
 
   val oracles: Map[String, String] = Map(
@@ -268,8 +274,8 @@ object SourceQueries {
         |pages AS (
         |  SELECT b.doc_id, p.i AS page,
         |    ascii(substr(b.hex, CAST(p.i + 5 AS BIGINT), 1)) % 3 AS page_images,
-        |    8 + (b.n_chars + p.i) % 16 AS h,
-        |    (b.doc_id + p.i) % 256 AS g
+        |    8 + (((b.n_chars + p.i) % 16) + 16) % 16 AS h,
+        |    (((b.doc_id + p.i) % 256) + 256) % 256 AS g
         |  FROM base b, unnest(range(b.total_pages)) AS p(i)),
         |ocr AS (
         |  SELECT doc_id, max(page_images) > 0 AS has_images,
@@ -291,10 +297,10 @@ object SourceQueries {
         |WHERE length(trim(d.combined)) > 0
         |ORDER BY doc_id, chunk_index""".stripMargin),
     "s6_image_meta" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
-        "CAST(8 + doc_id % 16 AS INT) AS width, " +
-        "CAST(8 + n_chars % 16 AS INT) AS height, " +
-        "CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS INT) END AS top_left_gray, " +
+      ("SELECT doc_id, CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "CAST(8 + ((doc_id % 16) + 16) % 16 AS INT) AS width, " +
+        "CAST(8 + ((n_chars % 16) + 16) % 16 AS INT) AS height, " +
+        "CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN CAST(((doc_id % 256) + 256) % 256 AS INT) END AS top_left_gray, " +
         "TRUE AS gray_close " +
         "FROM documents ORDER BY doc_id")
   )

@@ -86,6 +86,41 @@ object VectorQueries {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
+    // find_similar_chunks AS A SERVICE METHOD (VERDICT r15 ask #3;
+    // search_service.py:162-229): anchor vector retrieved by id FROM
+    // the collection, k+1 over-fetch, self-skip, cross-document-only —
+    // the label column plays the source_drive_file payload role. The
+    // query IS the SearchService method (SearchServiceSpec pins method
+    // == this query's inline twin), so the driver hash-gates the
+    // production API, not a re-composition.
+    "v2_similar_chunks" -> ((s, d) => {
+      graft.search.SearchService.findSimilarChunks(
+        emb(s, d).select(col("vec_id"), col("embedding"), col("label")),
+        chunkId = 0L, k = 10, excludeSameDocument = true, docCol = "label")
+        .select(col("vec_id"), col("label"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+    // search_by_document AS A SERVICE METHOD (search_service.py:139-160):
+    // must-match document filter composed BEFORE the scan, then the full
+    // search read path (dense over-fetch k·5 → lexical rerank → top-k).
+    // Admin roles exercise the RLS bypass leg — the semi-join is absent
+    // from the plan, not vacuous.
+    "v2_search_by_doc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vectors = emb(s, d)
+        .join(broadcast(docs.select(col("doc_id"), col("text"), col("source"))),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("text"), col("source"))
+      val query = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+        .crossJoin(docs.filter(col("doc_id") === 0).select(col("text").as("q_text")))
+      graft.search.SearchService.searchByDocument(
+        vectors, accessibleIds = docs.select(col("doc_id")), query,
+        documentId = lit("src3"), k = 5, overFetch = 5, docCol = "source",
+        roles = Seq("Administrator"))
+        .select(col("vec_id"), col("label"), col("score"), col("rerank_score"))
+    }),
     // V3/V4: two-phase rerank — over-fetch k*5 by first-stage score, rerank
     // with a second deterministic scorer, emit top k
     // (search_service.py:83,239-316; deterministic stub per SURVEY §5).
@@ -321,6 +356,31 @@ object VectorQueries {
         s"SELECT e.vec_id, e.label, ${rcos("e.embedding", "q.qv")} AS score " +
         "FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.q_label " +
         "ORDER BY score DESC, vec_id LIMIT 10"),
+    // k+1 over-fetch FIRST (reference parity: the same-doc filter runs
+    // on the already-limited sliver), then self-skip + cross-doc-only
+    "v2_similar_chunks" ->
+      ("WITH q AS (SELECT embedding AS qv, label AS q_doc FROM embeddings WHERE vec_id = 0), " +
+        s"ov AS (SELECT e.vec_id, e.label, ${rcos("e.embedding", "q.qv")} AS score " +
+        "FROM embeddings e, q ORDER BY score DESC, vec_id LIMIT 11) " +
+        "SELECT o.vec_id, o.label, o.score FROM ov o, q " +
+        "WHERE o.vec_id <> 0 AND o.label <> q.q_doc " +
+        "ORDER BY score DESC, vec_id LIMIT 10"),
+    "v2_search_by_doc" ->
+      ("WITH v AS (SELECT e.vec_id, e.embedding, e.label, d.text, d.source " +
+        "FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id), " +
+        "q AS (SELECT embedding AS qv, text AS q_text FROM v WHERE vec_id = 0), " +
+        "cand AS (SELECT v.vec_id, v.label, v.text, q.q_text, " +
+        s"${rcos("v.embedding", "q.qv")} AS score " +
+        "FROM v, q WHERE v.source = 'src3' " +
+        "ORDER BY score DESC, vec_id LIMIT 25), " +
+        "rr AS (SELECT vec_id, label, score, " +
+        "round(CAST(len(list_intersect(tc, tq)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(tc, tq))), 6) AS rerank_score FROM " +
+        "(SELECT vec_id, label, score, " +
+        "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tc, " +
+        "list_distinct(regexp_split_to_array(lower(trim(q_text)), '\\s+')) AS tq FROM cand)) " +
+        "SELECT vec_id, label, score, rerank_score FROM rr " +
+        "ORDER BY rerank_score DESC, score DESC, vec_id LIMIT 5"),
     "v3_rerank" ->
       ("WITH q0 AS (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0), " +
         "q1 AS (SELECT embedding AS qv1 FROM embeddings WHERE vec_id = 1), " +

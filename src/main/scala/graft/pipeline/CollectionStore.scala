@@ -180,9 +180,24 @@ object CollectionStore {
 
   /** Stage + atomically commit a manifest: write `manifest-<gen>.tmp`
     * fully, then rename to its final name — the single commit point.
+    *
+    * SINGLE-WRITER CONTRACT (ADVICE r15): the store assumes one mutator
+    * at a time. Two concurrent merges both compute gen = cur+1; the
+    * loser's mode-overwrite staging write can clobber data files of a
+    * generation the winner already published. The pre-check below makes
+    * that race fail LOUDLY at the commit point — naming concurrent
+    * mutation as the cause — instead of letting a committed manifest
+    * point at files a rival writer just deleted. Readers are unaffected:
+    * they only ever follow the current committed manifest.
     */
   private[pipeline] def commitManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
                              gen: Long, mapping: Map[Long, Long]): Unit = {
+    if (fs.exists(manifestPath(dir, gen)))
+      throw new IllegalStateException(
+        s"CollectionStore: manifest-$gen already exists at $dir — a concurrent writer " +
+          "committed this generation first (the store is single-mutator; serialize " +
+          "init/merge calls). This writer's staged files may have clobbered that " +
+          "generation's data — re-run the mutation after verifying the current snapshot")
     val body = mapping.toSeq.sortBy(_._1)
       .map { case (r, g) => s"$r:g$g" }.mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/$ManifestPrefix$gen.tmp")

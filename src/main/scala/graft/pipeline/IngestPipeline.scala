@@ -139,20 +139,35 @@ object IngestPipeline {
   /** Embed stage: mapPartitions with per-partition provider instance and
     * order-preserving batches (P12/P13/A5). Output adds `embedding`.
     */
+  /** `tagBatches = true` appends `embed_batch` — the 0-based ordinal of
+    * the provider call that embedded the row WITHIN ITS PARTITION
+    * (A5's observable surface: `grouped(batchSize)` batches consecutive
+    * rows with a partial tail). Partition-relative by nature; callers
+    * wanting a deterministic relation pin the layout first (the
+    * `a5_batch_bounds` query canonicalizes to one sorted partition —
+    * which is also why A5 is an execution detail, not a logical
+    * operator: production batch ids depend on the physical layout).
+    */
   def embedStage(
       chunks: DataFrame,
       provider: EmbeddingProvider = new HashProjectionEmbedder(64),
-      batchSize: Int = PipelineSettings.default.embedBatchSize): DataFrame = {
+      batchSize: Int = PipelineSettings.default.embedBatchSize,
+      tagBatches: Boolean = false): DataFrame = {
     require(batchSize >= 1, s"embedStage: batchSize must be >= 1, got $batchSize")
     val inSchema = chunks.schema
-    val outSchema = inSchema.add("embedding", ArrayType(FloatType, containsNull = false))
+    val outSchema = {
+      val withVec = inSchema.add("embedding", ArrayType(FloatType, containsNull = false))
+      if (tagBatches) withVec.add("embed_batch", org.apache.spark.sql.types.LongType,
+        nullable = false)
+      else withVec
+    }
     val textIdx = inSchema.fieldIndex("embedded_text")
     // Dataset.mapPartitions (not .rdd.mapPartitions): stays a single
     // MapPartitions node inside the Dataset plan, so Catalyst keeps
     // optimizing the rest of the lineage and no RDD<->DF round trip is
     // paid. The external-call stage itself can't be codegen'd regardless.
     chunks.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
+      rows.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
         val vecs = provider.embed(batch.map(_.getString(textIdx)))
         // the provider is a public seam: an implementation returning
         // the wrong arity (partial response, server-side dedup) would
@@ -160,7 +175,10 @@ object IngestPipeline {
         // silently vanishing from the vector store (review finding r14)
         require(vecs.size == batch.size,
           s"EmbeddingProvider returned ${vecs.size} vectors for a batch of ${batch.size} texts")
-        batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+        batch.lazyZip(vecs).map { (r, v) =>
+          val base = r.toSeq :+ v.toSeq
+          Row.fromSeq(if (tagBatches) base :+ bi.toLong else base)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

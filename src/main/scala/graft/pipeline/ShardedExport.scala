@@ -94,15 +94,47 @@ object ShardedExport {
     collected.size.toLong
   }
 
-  /** The shard data (heals a torn swap first). */
+  /** The shard data (heals a torn swap first). Shard directories are
+    * enumerated explicitly and `_manifest` never reaches DataSource —
+    * handing the root dir over made the reader log `WARN DataSource:
+    * All paths were ignored: .../_manifest` on every read (VERDICT r15
+    * ask #5: a recurring WARN trains people to ignore warnings).
+    * `basePath` keeps the shard column a partition column exactly as
+    * the whole-dir read inferred it.
+    */
   def read(spark: SparkSession, dir: String): DataFrame = {
     graft.BatchSink.recoverSwap(spark, dir)
-    spark.read.parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(root)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+      .map(n => s"$dir/$n")
+    require(shardDirs.nonEmpty,
+      s"ShardedExport.read: no shard directories under $dir — not an export?")
+    spark.read.option("basePath", dir).parquet(shardDirs.toIndexedSeq: _*)
   }
 
-  /** The per-shard accounting table (heals a torn swap first). */
+  /** The per-shard accounting table (heals a torn swap first). The
+    * parquet part files are enumerated explicitly: handing DataSource a
+    * root literally NAMED `_manifest` trips its hidden-path filter and
+    * logs `WARN DataSource: All paths were ignored` on every read even
+    * though the read succeeds (explicit roots are still scanned) —
+    * the recurring-WARN hazard VERDICT r15 ask #5 names.
+    */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     graft.BatchSink.recoverSwap(spark, dir)
-    spark.read.parquet(s"$dir/_manifest")
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(mdir)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+      .map(n => s"$dir/_manifest/$n")
+    require(files.nonEmpty,
+      s"ShardedExport.manifest: no manifest part files under $mdir — not an export?")
+    spark.read.parquet(files.toIndexedSeq: _*)
   }
 }

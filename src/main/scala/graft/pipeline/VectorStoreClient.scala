@@ -86,8 +86,16 @@ final class QdrantVectorStore(
     * contract). The pipeline's T6 point ids are 128-bit md5 hex —
     * exactly UUID-sized — so they go over the wire dashed 8-4-4-4-12;
     * [[localId]] strips the dashes on the way back so callers always
-    * see the pipeline form. Ids that are not 32-hex (caller-provided
-    * integers or real UUIDs) pass through untouched in both directions.
+    * see the pipeline form.
+    *
+    * ID-CLASS CONTRACT (ADVICE r15 — the 32-hex/UUID ambiguity is
+    * inherent, so state it instead of overclaiming): a 36-char
+    * canonical-UUID id upserted by the caller goes over the wire
+    * unchanged but comes back from [[search]] DASHLESS (32-hex),
+    * because the wire form cannot record whether the dashes were the
+    * caller's or this client's. Callers who need exact round-trip of
+    * dashed UUIDs must compare via `id.replace("-", "")` — or use
+    * integer ids, which pass through untouched in both directions.
     */
   private def wireId(id: String): String =
     if (id != null && id.length == 32 && id.forall(c =>

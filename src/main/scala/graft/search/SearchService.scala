@@ -120,6 +120,69 @@ object SearchService {
       .limit(k)
   }
 
+  /** Search WITHIN one document (reference search_service.py:139-160:
+    * `search_by_document` = `search` with the must-match payload filter
+    * `{'source_drive_file': document_id}`). The filter composes BEFORE
+    * the scan — on a parquet collection it reaches the reader as a
+    * pushed filter (and prunes partitions when the store is
+    * doc-partitioned), so the per-document search touches only that
+    * document's rows; the reference pays a server-side payload-index
+    * probe for the same effect. Everything downstream is [[search]]
+    * verbatim: RLS → dense over-fetch → lexical rerank → top-k.
+    */
+  def searchByDocument(
+      vectors: DataFrame,
+      accessibleIds: DataFrame,
+      query: DataFrame,       // one row: (qv array<float>, q_text string)
+      documentId: Column,
+      k: Int = 5,
+      overFetch: Int = 5,
+      docCol: String = "source_document",
+      roles: Seq[String] = Nil): DataFrame =
+    search(vectors.filter(col(docCol) === documentId), accessibleIds, query,
+      k, overFetch, excludeId = None, roles = roles)
+
+  /** Chunks most similar to a STORED chunk (reference
+    * search_service.py:162-229 `find_similar_chunks`): the anchor's
+    * embedding is retrieved by id from the collection itself, the scan
+    * over-fetches k+1 (the +1 accounts for the anchor, which ranks
+    * first against itself), then self is skipped and — when
+    * `excludeSameDocument` — same-document rows are dropped FROM THAT
+    * k+1 SLIVER before taking k. Reference parity includes the quirk:
+    * under `exclude_same_document` the k+1 over-fetch can return fewer
+    * than k rows (the reference filters after the limit too); callers
+    * needing a guaranteed fill should over-fetch via `k` and re-limit.
+    *
+    * An unknown `chunkId` returns an EMPTY relation (reference
+    * :186-187 `if not points: return []`), not an error. The anchor is
+    * a one-row broadcast; the scan side stays partition-parallel with
+    * the top-(k+1) lowering to TakeOrderedAndProject.
+    */
+  def findSimilarChunks(
+      vectors: DataFrame,
+      chunkId: Long,
+      k: Int = 5,
+      excludeSameDocument: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      docCol: String = "source_document"): DataFrame = {
+    val anchor = vectors.filter(col(idCol) === chunkId)
+      .select(col(vecCol).as("qv"), col(docCol).as("q_doc"))
+    val overFetched = vectors
+      .crossJoin(broadcast(anchor))
+      .withColumn("score", VectorOps.rankedCosine(col(vecCol), col("qv")))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k + 1)
+      .filter(col(idCol) =!= chunkId)
+    val crossDoc =
+      if (excludeSameDocument) overFetched.filter(!(col(docCol) <=> col("q_doc")))
+      else overFetched
+    crossDoc
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .drop("qv", "q_doc")
+  }
+
   /** External-reranker stage over an ALREADY-REDUCED candidate sliver —
     * the mapPartitions slot the scaladoc above promises. The reference
     * sends the whole candidate list in ONE rerank call

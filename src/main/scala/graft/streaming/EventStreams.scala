@@ -612,7 +612,8 @@ object EventStreams {
       ledgerDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None,
       betweenSinks: Long => Unit = _ => (),
-      schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      fixedChunker: Boolean = false): StreamingQuery = {
     val srcSchema = schema.getOrElse(inferSourceSchema(spark, inputDir))
     val reader = spark.readStream.schema(srcSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
@@ -621,7 +622,9 @@ object EventStreams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatchPartition(IngestPipeline.run(batch, settings, provider), batchId, outputDir)
+        writeBatchPartition(
+          IngestPipeline.run(batch, settings, provider, fixedChunker = fixedChunker),
+          batchId, outputDir)
         betweenSinks(batchId)
         ledgerDir.foreach { ld =>
           writeBatchPartition(IngestPipeline.ledgerStages(batch, settings), batchId, ld)

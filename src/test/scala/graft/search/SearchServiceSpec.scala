@@ -125,6 +125,68 @@ class SearchServiceSpec extends AnyFunSuite {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("rerank_score"))))
   }
 
+  test("findSimilarChunks: anchor retrieved by id, self-skipped, k+1 quirk preserved") {
+    val s = spark
+    import s.implicits._
+    val v = fixture().withColumnRenamed("label", "source_document")
+    // anchor 0 ("A"); nearest are 3 (A), 1 (A), 2 (B)
+    val plain = SearchService.findSimilarChunks(v, chunkId = 0L, k = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(plain == Seq(3L, 1L), s"got $plain")
+    // cross-doc-only runs on the k+1 SLIVER (reference parity:
+    // search_service.py:195-210 filters after the limit): k=2 fetches
+    // {0,3,1}, drops self + same-doc A-rows → UNDER-FILLS to 0 rows
+    // even though doc-B vec 2 exists in the corpus
+    val crossDoc = SearchService.findSimilarChunks(v, chunkId = 0L, k = 2,
+      excludeSameDocument = true).collect()
+    assert(crossDoc.isEmpty,
+      "k+1 over-fetch quirk lost: same-doc filter must run on the limited sliver")
+    // a wider k reaches the other document
+    val wide = SearchService.findSimilarChunks(v, chunkId = 0L, k = 3,
+      excludeSameDocument = true).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(wide == Seq(2L))
+    // unknown anchor id → empty relation, not an error (:186-187)
+    assert(SearchService.findSimilarChunks(v, chunkId = 99L, k = 2).collect().isEmpty)
+  }
+
+  test("findSimilarChunks method == the oracled v2_similar_chunks composition") {
+    val s = spark
+    import s.implicits._
+    val v = fixture()
+    import graft.functions.VectorOps
+    // inline twin of the method's contract: top-(k+1) by rankedCosine,
+    // skip self, drop same-doc, take k
+    val anchor = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("label").as("q_doc"))
+    val inline = v.crossJoin(broadcast(anchor))
+      .withColumn("score", VectorOps.rankedCosine(col("embedding"), col("qv")))
+      .orderBy(col("score").desc, col("vec_id")).limit(3)
+      .filter(col("vec_id") =!= 0 && col("label") =!= col("q_doc"))
+      .orderBy(col("score").desc, col("vec_id")).limit(2)
+      .select("vec_id").as[Long].collect().toSeq
+    val method = SearchService.findSimilarChunks(v, chunkId = 0L, k = 2,
+      excludeSameDocument = true, docCol = "label")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(method == inline)
+  }
+
+  test("searchByDocument filters to the document BEFORE the dense scan") {
+    val s = spark
+    import s.implicits._
+    val v = fixture().withColumn("source_document",
+      when(col("vec_id") === 2L, "docB").otherwise("docA"))
+    val accessible = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val query = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("text").as("q_text"))
+    val inA = SearchService.searchByDocument(v, accessible, query, lit("docA"), k = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(inA.subsetOf(Set(0L, 1L, 3L)) && inA.nonEmpty,
+      s"docA search leaked other documents: $inA")
+    val inB = SearchService.searchByDocument(v, accessible, query, lit("docB"), k = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(inB == Set(2L))
+  }
+
   test("lexicalOverlap matches the provider trait implementation") {
     val s = spark
     import s.implicits._
