@@ -79,16 +79,29 @@ object AnnIndex {
     // above, so the checkpoint is sample-sized, not corpus-sized.
     val base = embeddings.select(col("vec_id"), col("embedding")).localCheckpoint()
     def seedKey = md5(concat(lit("seed:"), col("vec_id").cast("string")).cast("binary"))
-    // centroid ids via BoundedRank's broadcast rank-join over the
-    // post-limit ≤k rows — no empty-partition WindowExec (or its WARN)
-    var cents = BoundedRank.withRank(
-        base
-          .filter(VectorOps.norm2(col("embedding")) > 0)
-          .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
-          .orderBy(seedKey, col("vec_id")).limit(k),
-        "c_rank", struct(seedKey, col("vec_id")))
-      .select((col("c_rank") - 1).cast("long").as("c_id"),
-        col("embedding").as("cv"))
+    // Centroid ids 0..k-1 in the deterministic (seedKey, vec_id) order,
+    // via zipWithIndex over the post-limit sorted sliver: TakeOrdered
+    // emits rows already in order, so the index IS the rank — no
+    // empty-partition WindowExec (or its WARN), and unlike the previous
+    // BoundedRank form no O(k²) rank join, which at the documented
+    // k ≈ √N sizing (k > 10⁴ on a real corpus) was this trainer's one
+    // remaining scale ceiling (r16 review).
+    val seeds = base
+      .filter(VectorOps.norm2(col("embedding")) > 0)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .orderBy(seedKey, col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+    val spark = embeddings.sparkSession
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        seeds.schema("embedding").dataType, nullable = false)))
+    var cents = spark.createDataFrame(
+        seeds.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0)) },
+        centSchema)
       .localCheckpoint()
     for (r <- 1 to iters) {
       val means = assign(base, cents)

@@ -506,20 +506,30 @@ object AnnQueries {
       val cents = AnnIndex.centroids(e)
       val queries0 = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val asg = AnnIndex.assign(e, cents).select(col("vec_id"), col("cell"))
       val cellCv = cents.select(col("c_id").as("cell"), col("cv"))
-      val resid = e.join(asg, Seq("vec_id"))
-        .join(broadcast(cellCv), Seq("cell"))
-        .select(col("vec_id"), col("cell"),
-          zip_with(col("embedding"), col("cv"),
-            (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
-      // residual-space stand-in codebooks from ids 10..17 — DISJOINT
-      // from the centroid slice (a centroid's own residual is zero; the
-      // default 100..107 slice would make every codebook entry the zero
-      // vector and the ADC ranking a pure vec_id tiebreak — review
-      // finding, empirically confirmed)
-      val cbs = AnnPq.codebooks(resid, baseId = 10L)
-      val codesWithCell = AnnPq.encode(resid, cbs).join(asg, Seq("vec_id"))
+      // the corpus-wide residual artifacts (assignment -> residuals ->
+      // residual-space codebooks -> ADC codes) through the disk store:
+      // every stage is a pure, deterministic corpus function (zip_with
+      // double arithmetic, argmin encode), so disk == fresh; the probe
+      // side below stays inline — it is queries-sized
+      val (m, _) = DiskArtifacts.loadOrBuildMany(s, d, "ann_pq_residual",
+        Seq("codebooks", "codes_cell")) {
+        val asg = AnnIndex.assign(e, cents).select(col("vec_id"), col("cell"))
+        val resid = e.join(asg, Seq("vec_id"))
+          .join(broadcast(cellCv), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("embedding"), col("cv"),
+              (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+        // residual-space stand-in codebooks from ids 10..17 — DISJOINT
+        // from the centroid slice (a centroid's own residual is zero;
+        // the default 100..107 slice would make every codebook entry
+        // the zero vector and the ADC ranking a pure vec_id tiebreak —
+        // review finding, empirically confirmed)
+        val cbs = AnnPq.codebooks(resid, baseId = 10L).localCheckpoint()
+        Map("codebooks" -> cbs,
+          "codes_cell" -> AnnPq.encode(resid, cbs).join(asg, Seq("vec_id")))
+      }
+      val (cbs, codesWithCell) = (m("codebooks"), m("codes_cell"))
       val probeLuts = AnnIndex.probe(queries0, cents, nprobe = 2)
         .join(broadcast(cellCv), Seq("cell"))
         .select(col("q_id"), col("cell"),

@@ -38,11 +38,18 @@ private[graft] object DiskArtifacts {
   def corpusKey(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, p)
-    fs.listStatus(p).toSeq
+    val key = fs.listStatus(p).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .mkString(";")
+    // an empty fingerprint would match FOREVER (a corpus dir with no
+    // root parquet yet — e.g. tables still landing — must never pin an
+    // artifact to "nothing there"); refuse loudly, the caller's corpus
+    // layout is wrong for content-keyed persistence
+    require(key.nonEmpty,
+      s"DiskArtifacts.corpusKey: no *.parquet files at $dir — not a corpus root")
+    key
   }
 
   private def root(corpusDir: String, name: String): String =
@@ -58,7 +65,23 @@ private[graft] object DiskArtifacts {
   def loadOrBuildMany(spark: SparkSession, corpusDir: String, name: String,
                       parts: Seq[String])(build: => Map[String, DataFrame])
       : (Map[String, DataFrame], Boolean) = {
-    val key = corpusKey(spark, corpusDir)
+    // a non-corpus dir (corpusKey refuses an empty fingerprint) routes
+    // to a plain uncached build — persistence is an optimization here,
+    // never a prerequisite
+    val keyOpt =
+      try Some(corpusKey(spark, corpusDir))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[DiskArtifacts] $name uncached: ${e.getMessage}")
+          None
+      }
+    if (keyOpt.isEmpty) {
+      val built = build
+      require(parts.toSet == built.keySet,
+        s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
+      return (built, false)
+    }
+    val key = keyOpt.get
     val dir = root(corpusDir, name)
     val keyPath = new org.apache.hadoop.fs.Path(s"$dir/_KEY")
     val fs = fsOf(spark, keyPath)
@@ -114,7 +137,20 @@ private[graft] object DiskArtifacts {
   def loadOrBuildBlobs(spark: SparkSession, corpusDir: String, name: String,
                        parts: Seq[String])(build: => Map[String, Array[Byte]])
       : (Map[String, Array[Byte]], Boolean) = {
-    val key = corpusKey(spark, corpusDir)
+    val keyOpt =
+      try Some(corpusKey(spark, corpusDir))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[DiskArtifacts] $name uncached: ${e.getMessage}")
+          None
+      }
+    if (keyOpt.isEmpty) {
+      val built = build
+      require(parts.toSet == built.keySet,
+        s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
+      return (built, false)
+    }
+    val key = keyOpt.get
     val dir = root(corpusDir, name)
     val keyPath = new org.apache.hadoop.fs.Path(s"$dir/_KEY")
     val fs = fsOf(spark, keyPath)

@@ -233,6 +233,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("v2_similar_chunks: anchor broadcast, over-fetch via TakeOrderedAndProject") {
+    val p = finalPlan("v2_similar_chunks")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("v2_search_by_doc: document filter reaches the scan, dimension broadcast, no sort-merge") {
+    val p = finalPlan("v2_search_by_doc")
+    // the must-match source filter composes BEFORE the scan — on the
+    // parquet collection it must land as a pushed filter, the whole
+    // point of the searchByDocument plan shape vs a post-scan filter
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(source,src3)"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("WHOLE SURFACE: no query plans a CartesianProduct (all cross joins broadcast)") {
     // The per-query guards above pin named scale-sensitive plans; this
     // sweep pins the one property that must hold EVERYWHERE — every one
