@@ -220,6 +220,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("audio_resample: interpolation window partitions by doc, never a global window") {
+    // the lead() over (doc_id, i) must carry the doc partition key — an
+    // empty partition spec would pull every decoded sample of the
+    // corpus onto one task (the costliest possible audio plan)
+    val p = finalPlan("audio_resample")
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(1200))
+    assert(!p.contains("windowspecdefinition(CAST(0"), p.take(1200))
+  }
+
+  test("dedup_bloom_prefilter: index side scanned, batch-sized exchanges only") {
+    // the bloom-prefilter contract: the stored index relations are
+    // probed with BROADCAST joins — a sort-merge join here means an
+    // index-side Exchange crept back in (the exact regression
+    // DedupBloomSpec pins by exchange count; this is the cheap
+    // string-level tripwire on the oracled query itself)
+    val p = finalPlan("dedup_bloom_prefilter")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("embedding_norm_audit: one scan into a histogram agg, no join or window") {
     val p = finalPlan("embedding_norm_audit")
     assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
