@@ -68,10 +68,14 @@ object PipelineQueries {
           fs, new org.apache.hadoop.fs.Path(d + "/documents.parquet"),
           fs, inPath, false, hc)
       }
+      // AvailableNow: the relay processes the landed corpus and
+      // self-terminates — no stop() on an idle stream (which logs a
+      // spurious cannot-cancel WARN every bench execution)
       val q = graft.streaming.EventStreams.ingestRelay(
         s, inDir, base + "/points", base + "/ckpt",
-        settings = graft.PipelineSettings.smallDocs, fixedChunker = true)
-      try q.processAllAvailable() finally q.stop()
+        settings = graft.PipelineSettings.smallDocs, fixedChunker = true,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
       s.read.parquet(base + "/points")
         .select(
           col("source_drive_file").as("doc_id"),
