@@ -584,7 +584,7 @@ object DedupIndex {
       // Murmur3 hash family), so the fold lands ONE file per bucket
       // instead of tasks × buckets
       val folded = spark.table(table)
-        .select(dataCols.map(col) :+ lit(highWater).as("batch_id"): _*)
+        .select((dataCols.map(col) :+ lit(highWater).as("batch_id")).toIndexedSeq: _*)
         .repartition(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.map(col): _*)
       val staging = table + "_compact_swap"
       spark.sql(s"DROP TABLE IF EXISTS $staging")
