@@ -56,6 +56,28 @@ private[graft] object DiskArtifacts {
     System.getProperty("java.io.tmpdir") + "/graft-artifacts-" +
       corpusDir.replaceAll("[^A-Za-z0-9]", "_") + "/" + name
 
+  /** Reap staging dirs (`<name>.tmp-<appId>`) left by writers that died
+    * mid-persist — without this a crashed JVM leaks a full artifact
+    * copy per crash, forever. Only FOREIGN, hour-stale staging is
+    * touched: a live writer's staging is seconds old (it stages and
+    * renames within one build), so the age cutoff can never race an
+    * in-flight persist, and this writer's own staging is deleted
+    * explicitly on its next attempt anyway.
+    */
+  private def gcDeadStaging(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val parent = dir.getParent
+      if (fs.exists(parent)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000L
+        fs.listStatus(parent).foreach { st =>
+          if (st.getPath.getName.startsWith(dir.getName + ".tmp-") &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Load the named multi-part artifact if a committed copy matches the
     * corpus fingerprint; otherwise run `build`, persist its parts, and
     * return the in-memory relations (callers keep their checkpointed
@@ -102,6 +124,7 @@ private[graft] object DiskArtifacts {
       require(parts.toSet == built.keySet,
         s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
       try {
+        gcDeadStaging(fs, new org.apache.hadoop.fs.Path(dir))
         val staging = dir + ".tmp-" + spark.sparkContext.applicationId
         val stagingPath = new org.apache.hadoop.fs.Path(staging)
         fs.delete(stagingPath, true)
@@ -178,6 +201,7 @@ private[graft] object DiskArtifacts {
         require(parts.toSet == built.keySet,
           s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
         try {
+          gcDeadStaging(fs, new org.apache.hadoop.fs.Path(dir))
           val staging = dir + ".tmp-" + spark.sparkContext.applicationId
           val stagingPath = new org.apache.hadoop.fs.Path(staging)
           fs.delete(stagingPath, true)
