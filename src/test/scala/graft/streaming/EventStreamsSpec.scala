@@ -380,4 +380,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(result.select("point_id").distinct().count() == result.count())
     assert(result.columns.contains("embedding") && result.columns.contains("batch_id"))
   }
+
+  test("ingestRelay: Trigger.AvailableNow lands the same output as the default trigger") {
+    // the oracled relay_replay_points runs the AvailableNow (backfill)
+    // form — pin that it is pure trigger plumbing, not a different
+    // pipeline: identical landed rows, self-terminated (no stop() on an
+    // idle stream), and a rerun over the same checkpoint is a no-op
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avail").toString
+    val in = s"$tmp/in"
+    Seq((1L, "srcA", "en", 50L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "srcB", "de", 40L, "mu nu xi omicron pi rho sigma tau"))
+      .toDF("doc_id", "source", "lang", "n_chars", "text")
+      .write.parquet(in)
+    val qd = EventStreams.ingestRelay(s, in, s"$tmp/outD", s"$tmp/cpD")
+    try qd.processAllAvailable() finally qd.stop()
+    val qa = EventStreams.ingestRelay(s, in, s"$tmp/outA", s"$tmp/cpA",
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    qa.awaitTermination() // self-terminates — the form's whole point
+    def rows(dir: String) = s.read.parquet(dir)
+      .select("point_id", "source_drive_file", "chunk_index")
+      .collect().map(_.toSeq).toSet
+    assert(rows(s"$tmp/outA") == rows(s"$tmp/outD"),
+      "AvailableNow relay landed different rows than the default trigger")
+    // rerun over the same checkpoint: no new files, no new rows
+    val before = s.read.parquet(s"$tmp/outA").count()
+    val qa2 = EventStreams.ingestRelay(s, in, s"$tmp/outA", s"$tmp/cpA",
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    qa2.awaitTermination()
+    assert(s.read.parquet(s"$tmp/outA").count() == before)
+  }
 }
