@@ -63,6 +63,16 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Known benign log line left as-is: ResolveWriteToStream warns
+    // "adaptive.enabled is not supported in streaming ... will be
+    // disabled" once per streaming-query start. That is the DELIBERATE
+    // configuration (AQE serves the foreachBatch INNER batch plans;
+    // Spark correctly auto-disables it for the streaming wrapper). A
+    // targeted log4j2 Configurator.setLevel does not stick here — the
+    // stream-execution thread resolves its own classloader-scoped
+    // LoggerContext — and a classpath-wide log4j2.properties override
+    // would change baseline logging for every consumer, a worse trade
+    // than one documented line.
     s
   }
 }
