@@ -54,6 +54,40 @@ object Bench {
     * passes from this: the breach is real and reruns can't fix it.
     */
   private val GateFactor = 2.0
+  /** Margin version of the gate trigger (VERDICT r16 ask #3): the r16
+    * artifact recorded 89.35 s against 76.7–80.3 s clean-window runs of
+    * the SAME code — noisy but under every trigger, so the noise became
+    * the round's number of record. A run total past 1.7× the baseline
+    * while the denoised best-known is under that line is already
+    * measurement, not regression; spend the extra pass BEFORE the 2×
+    * gate is at risk rather than exactly at it.
+    */
+  private val GateMarginFactor = 1.7
+
+  /** The one extra-pass decision (spec-pinned in BenchHistorySpec):
+    * Some(reason) when the suite deserves a full extra pass — blown
+    * total vs best_known, inflated canaries, or a gate/gate-margin
+    * breach that the denoised total proves is ambient. None when the
+    * run is clean OR genuinely slow (best_known also over the line —
+    * reruns can't fix real cost).
+    */
+  private[graft] def extraPassReason(runTotal: Double, bestKnown: Double,
+                                     baseline: Double,
+                                     contended: Seq[String]): Option[String] =
+    if (bestKnown <= 0) None
+    else if (runTotal > SecondPassFactor * bestKnown)
+      Some(f"total $runTotal%.1fs > $SecondPassFactor%.1f x best_known $bestKnown%.1fs")
+    else if (contended.nonEmpty)
+      Some(s"canaries ${contended.mkString(",")} > ${CanaryFactor}x their medians")
+    else if (baseline > 0 && runTotal > GateMarginFactor * baseline &&
+             bestKnown <= GateMarginFactor * baseline)
+      Some(f"total $runTotal%.1fs over the $GateMarginFactor%.1fx gate margin " +
+        f"(baseline $baseline%.1fs) while best_known $bestKnown%.1fs is under it")
+    else if (baseline > 0 && runTotal > GateFactor * baseline &&
+             bestKnown <= GateFactor * baseline)
+      Some(f"total $runTotal%.1fs over the $GateFactor%.1fx gate (baseline " +
+        f"$baseline%.1fs) while best_known $bestKnown%.1fs is under it")
+    else None
 
   /** Fingerprint of the library sources (src/main/scala, sorted paths +
     * contents). History lines carry it so the artifact merge below can
@@ -187,6 +221,17 @@ object Bench {
     val historyPath = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       sys.props.getOrElse("user.dir", ".") + "/tools/bench_history.jsonl"))
     val medians = historyMedians(historyPath, sfDir)
+    // Same-code minima ALSO feed the per-query rerun reference (VERDICT
+    // r16 ask #3): the all-history median is stale-high after a query
+    // got faster (bpe_fertility's r16 median spanned older, slower
+    // code, so a 3.13 s excursion over a 0.60-0.81 s same-code history
+    // sailed under 1.5x median) — the tightest honest reference is
+    // min(median, same-code best), and a best-of-k still above 1.5x
+    // THAT is worth the bounded extra attempts.
+    val srcFp = sourceFingerprint()
+    val sameCode = historySameCodeMins(historyPath, sfDir, srcFp)
+    def rerunRef(name: String): Option[Double] =
+      (medians.get(name).toSeq ++ sameCode.get(name).toSeq).minOption
     val spark = GraftSession.local(cpus.toInt)
     // Warm the session (codegen compiler, parquet footers, broadcast
     // machinery) so the first timed query isn't charged for it.
@@ -205,7 +250,7 @@ object Bench {
     // "what's wrong" #2).
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = timeOnce(spark, sfDir, fn, name)
-      val ref = medians.get(name)
+      val ref = rerunRef(name)
       var budget = 1 + MaxExtraReruns // unconditional best-of-2, then outlier retries
       var runs = 0
       // a failed first run spends the SAME rerun budget — a transient
@@ -240,24 +285,12 @@ object Bench {
       Canaries.filter(c => rs.collectFirst { case (`c`, v) => v }.exists(v =>
         v >= 0 && medians.get(c).exists(m => v > CanaryFactor * m)))
     val baseline = baselineTotal(historyPath, sfDir)
-    def gateBreached(rs: Seq[(String, Double)]): Boolean =
-      baseline > 0 && totalOf(rs) > GateFactor * baseline &&
-        bestKnownOf(rs) <= GateFactor * baseline
     var passes = 1
-    var bk = bestKnownOf(results)
-    while (passes <= MaxExtraPasses && bk > 0 &&
-           (totalOf(results) > SecondPassFactor * bk ||
-             contendedCanaries(results).nonEmpty ||
-             gateBreached(results))) {
+    var reason = extraPassReason(totalOf(results), bestKnownOf(results),
+      baseline, contendedCanaries(results))
+    while (passes <= MaxExtraPasses && reason.nonEmpty) {
       passes += 1
-      val why =
-        if (totalOf(results) > SecondPassFactor * bk)
-          f"total ${totalOf(results)}%.1fs > $SecondPassFactor%.1f x best_known ${bk}%.1fs"
-        else if (contendedCanaries(results).nonEmpty)
-          s"canaries ${contendedCanaries(results).mkString(",")} > ${CanaryFactor}x their medians"
-        else
-          f"total ${totalOf(results)}%.1fs over the $GateFactor%.1fx gate (baseline ${baseline}%.1fs) while best_known ${bk}%.1fs is under it"
-      System.err.println(s"[bench] $why — running full pass $passes")
+      System.err.println(s"[bench] ${reason.get} — running full pass $passes")
       var passRaw = 0.0
       results = results.map { case (name, prev) =>
         reruns += 1
@@ -266,14 +299,14 @@ object Bench {
         name -> (if (t >= 0 && (prev < 0 || t < prev)) t else prev)
       }
       passTotals += passRaw
-      bk = bestKnownOf(results)
+      reason = extraPassReason(totalOf(results), bestKnownOf(results),
+        baseline, contendedCanaries(results))
     }
     // Same-code history merge (see [[historySameCodeMins]]): the
     // RECORDED per-query number is min(this run, any earlier run of
     // byte-identical sources at this sf). The raw run is still written
-    // to history below, un-merged.
-    val srcFp = sourceFingerprint()
-    val sameCode = historySameCodeMins(historyPath, sfDir, srcFp)
+    // to history below, un-merged. (srcFp/sameCode computed up top —
+    // they also feed the per-query rerun reference.)
     val merged = results.map { case (k, v) =>
       k -> (if (v >= 0) sameCode.get(k).fold(v)(math.min(v, _)) else v)
     }

@@ -79,19 +79,27 @@ object AnnIndex {
     // above, so the checkpoint is sample-sized, not corpus-sized.
     val base = embeddings.select(col("vec_id"), col("embedding")).localCheckpoint()
     def seedKey = md5(concat(lit("seed:"), col("vec_id").cast("string")).cast("binary"))
-    // Centroid ids 0..k-1 in the deterministic (seedKey, vec_id) order,
-    // via zipWithIndex over the post-limit sorted sliver: TakeOrdered
-    // emits rows already in order, so the index IS the rank — no
-    // empty-partition WindowExec (or its WARN), and unlike the previous
-    // BoundedRank form no O(k²) rank join, which at the documented
-    // k ≈ √N sizing (k > 10⁴ on a real corpus) was this trainer's one
-    // remaining scale ceiling (r16 review).
+    // Centroid ids 0..k-1 in the deterministic (seedKey, vec_id) order.
+    // The rank comes from zipWithIndex over the k-row sliver AFTER a
+    // coalesce(1) + sortWithinPartitions re-sort: the limit alone is
+    // NOT order-stable at the RDD layer (Catalyst lowers sort+limit to
+    // TakeOrderedAndProject only below topKSortFallbackThreshold; past
+    // it, GlobalLimit's single-partition shuffle keeps the rows but not
+    // their order — ADVICE r16, and the documented k ≈ √N sizing puts
+    // real corpora in exactly that regime), while a per-partition sort
+    // on the one coalesced partition pins the iteration order
+    // physically, whatever plan the limit chose. Still no O(k²) rank
+    // join and no empty-partition WindowExec: the re-sort is k rows on
+    // one task.
     val seeds = base
       .filter(VectorOps.norm2(col("embedding")) > 0)
       .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
-      .orderBy(seedKey, col("vec_id"))
+      .withColumn("sk", seedKey)
+      .orderBy(col("sk"), col("vec_id"))
       .limit(k)
-      .select(col("embedding"))
+      .coalesce(1)
+      .sortWithinPartitions(col("sk"), col("vec_id"))
+      .select(col("sk"), col("vec_id"), col("embedding"))
     val spark = embeddings.sparkSession
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("c_id",
@@ -99,8 +107,8 @@ object AnnIndex {
       org.apache.spark.sql.types.StructField("cv",
         seeds.schema("embedding").dataType, nullable = false)))
     var cents = spark.createDataFrame(
-        seeds.rdd.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row(i, r.get(0)) },
+        seeds.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(2)) },
         centSchema)
       .localCheckpoint()
     for (r <- 1 to iters) {

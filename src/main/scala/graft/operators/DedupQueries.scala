@@ -72,7 +72,10 @@ object DedupQueries {
           .reduce(_ + _).as("simhash60"))
   }
 
-  private def shingleSqlRel: String =
+  /** Shared with PipelineQueries' `relay_index_state` oracle (the
+    * stored-index replay gate rebuilds the same minhash CTEs).
+    */
+  private[operators] def shingleSqlRel: String =
     "SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh, unnest(shs) AS sh FROM " +
       s"(SELECT doc_id, ${TextSql.shingles("toks")} AS shs FROM " +
       s"(SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents))"

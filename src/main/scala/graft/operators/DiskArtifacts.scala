@@ -17,19 +17,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filesystem contention — persistence is an optimization, never a
   * correctness dependency.
   *
-  * Layout: `<tmpdir>/graft-artifacts-<corpus>/<name>/` holding one
-  * parquet dir per part plus a `_KEY` file (the corpus fingerprint,
-  * the LAST thing staged before the atomic rename — its presence
-  * certifies the parts are complete). Staleness: `_KEY` mismatch ⇒
-  * rebuild. Concurrency: writers stage under `<name>.tmp-<appId>` and
-  * rename over; concurrent first-populations both build (each returns
-  * its own in-memory result) and the last rename wins with identical
-  * content — readers only ever see a committed dir.
+  * Layout (r17 — content-addressed GENERATIONS, ADVICE r16):
+  * `<tmpdir>/graft-artifacts-<corpus>-<pathmd5>/<name>/<keymd5>/`
+  * holding one parquet dir per part plus a `_KEY` file (the full
+  * corpus fingerprint — the exact-key certificate behind the hashed
+  * dir name). The generation dir is named by the md5 of the corpus
+  * CONTENT key, so:
+  *
+  *  - commit is stage (`<keymd5>.tmp-<appId>`) + one atomic rename —
+  *    there is NO delete of a live committed dir anywhere on the write
+  *    path, so a reader that seeded lazily-evaluated DataFrames from a
+  *    committed generation can never have its files deleted under it
+  *    by a concurrent same-corpus session (the r16 delete-then-rename
+  *    hazard), and a crash mid-commit never drops a committed copy;
+  *  - two sessions racing the first populate both build, and whichever
+  *    rename lands second simply discards its staging — the committed
+  *    content is identical by construction (pure function of the key);
+  *  - a CHANGED corpus lands a NEW generation beside the old one
+  *    instead of replacing it. Old generations are reaped only when
+  *    hour-stale AND non-current — safe because a stale generation
+  *    implies the corpus files themselves were rewritten, so any
+  *    session still holding the old generation's frames already had
+  *    its *source* scans invalidated by that same rewrite; the store
+  *    cannot strand a reader the corpus didn't already strand. A disk
+  *    hit re-touches the generation's mtime so an actively-read
+  *    current generation never looks stale.
+  *
+  * The artifact root carries an md5 of the RAW corpus path beside the
+  * sanitized form: `replaceAll("[^A-Za-z0-9]","_")` alone is not
+  * injective (`/data/sf0.1` vs `/data/sf0_1`), and two distinct
+  * corpora colliding on one root would invalidate each other's
+  * artifacts forever (ADVICE r16).
   */
 private[graft] object DiskArtifacts {
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Content fingerprint of a corpus dir: (name, length, mtime) of
     * every parquet file. The testdata corpora are immutable, so this is
@@ -54,42 +81,58 @@ private[graft] object DiskArtifacts {
 
   private def root(corpusDir: String, name: String): String =
     System.getProperty("java.io.tmpdir") + "/graft-artifacts-" +
-      corpusDir.replaceAll("[^A-Za-z0-9]", "_") + "/" + name
+      corpusDir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
+      md5Hex(corpusDir).take(8) + "/" + name
 
-  /** Reap staging dirs (`<name>.tmp-<appId>`) left by writers that died
-    * mid-persist — without this a crashed JVM leaks a full artifact
-    * copy per crash, forever. Only FOREIGN, hour-stale staging is
-    * touched: a live writer's staging is seconds old (it stages and
-    * renames within one build), so the age cutoff can never race an
-    * in-flight persist, and this writer's own staging is deleted
-    * explicitly on its next attempt anyway.
+  /** The generation dir a given corpus content key commits to / reads
+    * from — `<root>/<md5(key)>`. Exposed for the spec, which injects
+    * corruption at exactly this path.
     */
-  private def gcDeadStaging(fs: org.apache.hadoop.fs.FileSystem,
-                            dir: org.apache.hadoop.fs.Path): Unit =
+  private[operators] def genDir(corpusDir: String, name: String, key: String): String =
+    root(corpusDir, name) + "/" + md5Hex(key)
+
+  /** Reap (a) staging dirs (`<keymd5>.tmp-<appId>`) left by writers
+    * that died mid-persist, and (b) NON-CURRENT generations — both only
+    * when hour-stale. A live writer's staging is seconds old (it stages
+    * and renames within one build), so the cutoff can never race an
+    * in-flight persist; a non-current generation implies the corpus
+    * files were rewritten since it was committed (see the class note on
+    * why reaping it cannot strand a reader), and the hour of slack
+    * covers any plausibly-live handoff window on top.
+    */
+  private def gcStale(fs: org.apache.hadoop.fs.FileSystem,
+                      nameRoot: org.apache.hadoop.fs.Path,
+                      currentGen: String): Unit =
     try {
-      val parent = dir.getParent
-      if (fs.exists(parent)) {
+      if (fs.exists(nameRoot)) {
         val cutoff = System.currentTimeMillis() - 3600L * 1000L
-        fs.listStatus(parent).foreach { st =>
-          if (st.getPath.getName.startsWith(dir.getName + ".tmp-") &&
-              st.getModificationTime < cutoff)
+        fs.listStatus(nameRoot).foreach { st =>
+          val n = st.getPath.getName
+          if (n != currentGen && st.getModificationTime < cutoff)
             fs.delete(st.getPath, true)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Load the named multi-part artifact if a committed copy matches the
-    * corpus fingerprint; otherwise run `build`, persist its parts, and
-    * return the in-memory relations (callers keep their checkpointed
-    * plans on the cold path — no read-back penalty). The Boolean is
-    * true on a disk hit (callers log/characterize cold vs warm).
+  /** Shared load-or-build skeleton: resolve the content key (routing to
+    * an uncached build when the dir is not a corpus root), try the
+    * committed current generation via `tryLoad`, else build, then
+    * stage + rename-commit via `persistParts` — skipping the commit
+    * entirely when the generation dir already exists (another session
+    * won the populate race with identical content; committed dirs are
+    * never touched).
     */
-  def loadOrBuildMany(spark: SparkSession, corpusDir: String, name: String,
-                      parts: Seq[String])(build: => Map[String, DataFrame])
-      : (Map[String, DataFrame], Boolean) = {
-    // a non-corpus dir (corpusKey refuses an empty fingerprint) routes
-    // to a plain uncached build — persistence is an optimization here,
-    // never a prerequisite
+  private def loadOrBuildImpl[A](spark: SparkSession, corpusDir: String, name: String,
+                                 parts: Seq[String], build: => Map[String, A],
+                                 tryLoad: (org.apache.hadoop.fs.FileSystem, String, String) => Option[Map[String, A]],
+                                 persistParts: (org.apache.hadoop.fs.FileSystem, String, Map[String, A]) => Unit)
+      : (Map[String, A], Boolean) = {
+    def checkedBuild(): Map[String, A] = {
+      val built = build
+      require(parts.toSet == built.keySet,
+        s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
+      built
+    }
     val keyOpt =
       try Some(corpusKey(spark, corpusDir))
       catch {
@@ -97,51 +140,93 @@ private[graft] object DiskArtifacts {
           System.err.println(s"[DiskArtifacts] $name uncached: ${e.getMessage}")
           None
       }
-    if (keyOpt.isEmpty) {
-      val built = build
-      require(parts.toSet == built.keySet,
-        s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
-      return (built, false)
-    }
+    if (keyOpt.isEmpty) return (checkedBuild(), false)
     val key = keyOpt.get
-    val dir = root(corpusDir, name)
-    val keyPath = new org.apache.hadoop.fs.Path(s"$dir/_KEY")
-    val fs = fsOf(spark, keyPath)
-    val hit =
-      try {
-        fs.exists(keyPath) && {
-          val in = fs.open(keyPath)
-          val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          stored == key &&
-            parts.forall(p => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")))
+    val dir = genDir(corpusDir, name, key)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dirPath)
+    val loaded =
+      try tryLoad(fs, dir, key)
+      catch { case scala.util.control.NonFatal(_) => None }
+    loaded match {
+      case Some(m) =>
+        // a hit re-touches the generation so the stale-GC hour clock
+        // measures idle time, not age (an actively-read generation of a
+        // LIVE corpus key can also be non-current in a sibling session
+        // that raced a corpus regeneration — touching keeps it safe for
+        // the full idle hour regardless)
+        try fs.setTimes(dirPath, System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () }
+        (m, true)
+      case None =>
+        val built = checkedBuild()
+        try {
+          gcStale(fs, dirPath.getParent, dirPath.getName)
+          // Re-probe at persist time: a concurrent same-key session may
+          // have committed a healthy generation while this one was
+          // building — then there is nothing to do (the content is
+          // identical by construction). A generation that EXISTS but
+          // fails the probe is corrupt (healthy commits are one atomic
+          // rename of a complete staging, so a half dir can only come
+          // from external damage) — repair it, but only once it is
+          // hour-stale: the "no committed dir under an hour old is ever
+          // deleted" invariant stays absolute, so even the tiny window
+          // between this probe and a racer's rename cannot cost anyone
+          // a live dir. Until then the corrupt copy just stays cold
+          // (every session falls back to its in-memory build).
+          val nowHealthy =
+            (try tryLoad(fs, dir, key) catch { case scala.util.control.NonFatal(_) => None })
+              .isDefined
+          if (!nowHealthy) {
+            if (fs.exists(dirPath) &&
+                fs.getFileStatus(dirPath).getModificationTime <
+                  System.currentTimeMillis() - 3600L * 1000L)
+              fs.delete(dirPath, true)
+            if (!fs.exists(dirPath)) {
+              val staging = dir + ".tmp-" + spark.sparkContext.applicationId
+              val stagingPath = new org.apache.hadoop.fs.Path(staging)
+              fs.delete(stagingPath, true) // own crashed previous attempt only
+              persistParts(fs, staging, built)
+              val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_KEY"), true)
+              out.write(key.getBytes("UTF-8")); out.close()
+              fs.mkdirs(dirPath.getParent)
+              if (!fs.rename(stagingPath, dirPath))
+                fs.delete(stagingPath, true) // lost a populate race — other copy is equivalent
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[DiskArtifacts] persist of $name skipped: ${e.getMessage}")
         }
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (hit) {
-      (parts.map(p => p -> spark.read.parquet(s"$dir/$p")).toMap, true)
-    } else {
-      val built = build
-      require(parts.toSet == built.keySet,
-        s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
-      try {
-        gcDeadStaging(fs, new org.apache.hadoop.fs.Path(dir))
-        val staging = dir + ".tmp-" + spark.sparkContext.applicationId
-        val stagingPath = new org.apache.hadoop.fs.Path(staging)
-        fs.delete(stagingPath, true)
-        parts.foreach(p => built(p).write.mode("overwrite").parquet(s"$staging/$p"))
-        val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_KEY"), true)
-        out.write(key.getBytes("UTF-8")); out.close()
-        fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        if (!fs.rename(stagingPath, new org.apache.hadoop.fs.Path(dir)))
-          fs.delete(stagingPath, true) // lost a populate race — other copy is equivalent
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[DiskArtifacts] persist of $name skipped: ${e.getMessage}")
-      }
-      (built, false)
+        (built, false)
     }
   }
+
+  /** Load the named multi-part artifact if a committed generation
+    * matches the corpus fingerprint; otherwise run `build`, persist its
+    * parts, and return the in-memory relations (callers keep their
+    * checkpointed plans on the cold path — no read-back penalty). The
+    * Boolean is true on a disk hit (callers log/characterize cold vs
+    * warm).
+    */
+  def loadOrBuildMany(spark: SparkSession, corpusDir: String, name: String,
+                      parts: Seq[String])(build: => Map[String, DataFrame])
+      : (Map[String, DataFrame], Boolean) =
+    loadOrBuildImpl[DataFrame](spark, corpusDir, name, parts, build,
+      tryLoad = (fs, dir, key) => {
+        val keyPath = new org.apache.hadoop.fs.Path(s"$dir/_KEY")
+        if (fs.exists(keyPath) && {
+            val in = fs.open(keyPath)
+            val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            stored == key && // exact-key certificate behind the hashed dir name
+              parts.forall(p => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p")))
+          })
+          Some(parts.map(p => p -> spark.read.parquet(s"$dir/$p")).toMap)
+        else None
+      },
+      persistParts = (_, staging, built) =>
+        parts.foreach(p => built(p).write.mode("overwrite").parquet(s"$staging/$p")))
 
   /** Single-relation convenience form. */
   def loadOrBuild(spark: SparkSession, corpusDir: String, name: String)
@@ -155,29 +240,13 @@ private[graft] object DiskArtifacts {
     * objects): written straight through the filesystem — shipping a
     * megabyte blob through a one-row DataFrame would serialize it into
     * a task binary (Spark's large-task WARN) for no benefit. Same key +
-    * staging + atomic-rename contract as the relation form.
+    * generation + staging + atomic-rename contract as the relation form.
     */
   def loadOrBuildBlobs(spark: SparkSession, corpusDir: String, name: String,
                        parts: Seq[String])(build: => Map[String, Array[Byte]])
       : (Map[String, Array[Byte]], Boolean) = {
-    val keyOpt =
-      try Some(corpusKey(spark, corpusDir))
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[DiskArtifacts] $name uncached: ${e.getMessage}")
-          None
-      }
-    if (keyOpt.isEmpty) {
-      val built = build
-      require(parts.toSet == built.keySet,
-        s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
-      return (built, false)
-    }
-    val key = keyOpt.get
-    val dir = root(corpusDir, name)
-    val keyPath = new org.apache.hadoop.fs.Path(s"$dir/_KEY")
-    val fs = fsOf(spark, keyPath)
-    def readBytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    def readBytes(fs: org.apache.hadoop.fs.FileSystem,
+                  p: org.apache.hadoop.fs.Path): Array[Byte] = {
       val in = fs.open(p)
       try {
         val out = new java.io.ByteArrayOutputStream()
@@ -185,41 +254,20 @@ private[graft] object DiskArtifacts {
         out.toByteArray
       } finally in.close()
     }
-    val loaded: Option[Map[String, Array[Byte]]] =
-      try {
+    loadOrBuildImpl[Array[Byte]](spark, corpusDir, name, parts, build,
+      tryLoad = (fs, dir, key) => {
+        val keyPath = new org.apache.hadoop.fs.Path(s"$dir/_KEY")
         if (fs.exists(keyPath) &&
-            new String(readBytes(keyPath), "UTF-8") == key &&
+            new String(readBytes(fs, keyPath), "UTF-8") == key &&
             parts.forall(p => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p.bin"))))
           Some(parts.map(p =>
-            p -> readBytes(new org.apache.hadoop.fs.Path(s"$dir/$p.bin"))).toMap)
+            p -> readBytes(fs, new org.apache.hadoop.fs.Path(s"$dir/$p.bin"))).toMap)
         else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-    loaded match {
-      case Some(m) => (m, true)
-      case None =>
-        val built = build
-        require(parts.toSet == built.keySet,
-          s"DiskArtifacts($name): build returned ${built.keySet}, expected $parts")
-        try {
-          gcDeadStaging(fs, new org.apache.hadoop.fs.Path(dir))
-          val staging = dir + ".tmp-" + spark.sparkContext.applicationId
-          val stagingPath = new org.apache.hadoop.fs.Path(staging)
-          fs.delete(stagingPath, true)
-          parts.foreach { p =>
-            val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/$p.bin"), true)
-            out.write(built(p)); out.close()
-          }
-          val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_KEY"), true)
-          out.write(key.getBytes("UTF-8")); out.close()
-          fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
-          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-          if (!fs.rename(stagingPath, new org.apache.hadoop.fs.Path(dir)))
-            fs.delete(stagingPath, true)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[DiskArtifacts] persist of $name skipped: ${e.getMessage}")
-        }
-        (built, false)
-    }
+      },
+      persistParts = (fs, staging, built) =>
+        parts.foreach { p =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/$p.bin"), true)
+          out.write(built(p)); out.close()
+        })
   }
 }

@@ -151,8 +151,31 @@ object MultimodalQueries {
   val audioSamplesUdf = udf { (docId: Long, nChars: Long) =>
     val (n, p, a, pad, trail) = audioParams(docId, nChars)
     val wav = AudioCodec.writeWav(AudioCodec.sawtooth(n, p, a, pad, trail), AudioRate)
-    AudioCodec.decodeWav(wav).map(_._2.toSeq.map(_.toInt)).getOrElse(Seq.empty[Int])
+    val samples = AudioCodec.decodeWav(wav).map(_._2).getOrElse(Array.empty[Short])
+    // guard INSIDE the decode (not a plan-level when/raise_error, which
+    // projection collapse could evaluate the decode twice for) — see
+    // MaxAudioSamplesPerDoc for why over-cap documents must refuse here
+    require(samples.length <= MaxAudioSamplesPerDoc,
+      s"audio_samples: doc $docId decodes to ${samples.length} samples " +
+        s"(> $MaxAudioSamplesPerDoc) — the per-doc sequential window would " +
+        "serialize it through one task; use a chunked interpolation form")
+    samples.toSeq.map(_.toInt)
   }
+
+  /** Per-doc sample ceiling for the audio family (VERDICT r16 watch
+    * item): the lag/lead windows downstream (`audio_resample`, the
+    * zero-crossing lag) are `Window.partitionBy(doc_id).orderBy(i)` —
+    * inherently ONE task per document, which is the right plan while a
+    * document is minutes of audio but a silent scale-killer if a
+    * 2-hour 16 kHz track (~115 M samples) ever lands in the table.
+    * 2²⁴ ≈ 16.8 M samples (~17 min at 16 kHz) is an order above this
+    * corpus and still a sane single-task slice; past it the operator
+    * refuses loudly AT THE DECODE instead of quietly serializing hours
+    * of signal through one core — the fix then is the chunked
+    * interpolation form (fixed sample blocks + a one-row boundary
+    * exchange for each block's lead value), not a bigger cap.
+    */
+  private val MaxAudioSamplesPerDoc = 1 << 24
 
   /** doc_id, sample index i, sample value v — the relation the audio
     * feature queries aggregate. Codec failure yields NO rows for the

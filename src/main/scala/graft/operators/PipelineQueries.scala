@@ -53,8 +53,10 @@ object PipelineQueries {
     // salted (two JVMs must not share a checkpoint — the hot_key_drops
     // lesson).
     "relay_replay_points" -> ((s, d) => {
-      val base = System.getProperty("java.io.tmpdir") + "/graft-relay-" +
-        d.replaceAll("[^A-Za-z0-9]", "_") + "-" + s.sparkContext.applicationId
+      // TmpDirs: shutdown-hook + hour-stale-foreign GC for the salted
+      // artifact set (staged corpus + landed points + checkpoint) —
+      // ADVICE r16: these leaked one full set per JVM forever
+      val base = TmpDirs.salted(s, "relay", d)
       // the file source watches a DIRECTORY (its basePath); stage the
       // corpus file into one — the relay's real deployment shape, where
       // a producer drops files into a watched landing dir
@@ -86,6 +88,103 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("double") * x.cast("double"))), 3).as("norm"),
           col("batch_id").cast("long").as("batch_id"))
         .orderBy("doc_id", "chunk_index")
+    }),
+    // The MAINTENANCE relay driver-gated (VERDICT r16 ask #2 — the last
+    // ScalaTest-only streaming rung): init the dedup + ANN indexes from
+    // 80% of the corpus (doc_id % 5 != 0, batch 0), stage the remaining
+    // 20% as one landing file, push it through the REAL
+    // indexMaintenanceRelay (readStream → foreachBatch → pinned-read
+    // dedupBatch → accept → embedStage → AnnIndex.addBatch, each an
+    // idempotent batch-partition overwrite), then read back ONLY the
+    // PERSISTED index tables. The oracle replays what must have landed:
+    // fp rows (init fps at batch 0; the cross-index survivor set —
+    // exact fp anti-join + minhash band near-dup drop + within-batch
+    // collapse — at batch 1), the distinct (band, sig) LSH rows per
+    // batch, and the inverted file's membership per batch. Reruns are
+    // exactly-once like relay_replay_points: the checkpoint remembers
+    // the file, AvailableNow finds no work, the stored tables re-read
+    // as-is; per-JVM init is pinned by a marker file (init is a full
+    // overwrite, so a crash mid-init just re-inits).
+    "relay_index_state" -> ((s, d) => {
+      val base = TmpDirs.salted(s, "idxrelay", d)
+      val docs = Tables.documents(s, d)
+      val dedupDir = base + "/dedup"; val annDir = base + "/ann"
+      val inDir = base + "/in"
+      val donePath = new org.apache.hadoop.fs.Path(base + "/_INIT_DONE")
+      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(donePath)) {
+        docs.filter(col("doc_id") % 5 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        DedupIndex.init(existing, dedupDir)
+        val emb = IngestPipeline.embedStage(
+            existing.select(col("doc_id"), col("text").as("embedded_text")))
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        AnnIndex.init(emb, annDir,
+          quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
+        fs.create(donePath, true).close()
+      }
+      val q = graft.streaming.EventStreams.indexMaintenanceRelay(
+        s, inDir, dedupDir, annDir, base + "/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      val fp = s.read.parquet(s"$dedupDir/fp").select(
+        lit("fp").as("store"), col("fp").as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      val bands = s.read.parquet(s"$dedupDir/bands").select(
+        lit("bands").as("store"),
+        concat_ws("|", col("band").cast("string"), col("sig")).as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      val cells = s.read.parquet(s"$annDir/cells").select(
+        lit("cells").as("store"), col("vec_id").cast("string").as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      fp.unionByName(bands).unionByName(cells)
+        .orderBy("store", "k1", "batch_id")
+    }),
+    // A BOUNDED-streaming emission hash-gated (VERDICT r16 ask #5): the
+    // events corpus replayed through sessionizeBounded — the
+    // EventTimeTimeout production form — with every emitted session
+    // landed under the micro-batch that emitted it. One staged file ⇒
+    // batch 0 carries the EVENT-DRIVEN closes (a later event crossed
+    // the 30-min gap; the watermark is still 0 during the data batch,
+    // so no timeout can fire there), and the post-data no-data batch
+    // (batch 1) carries the TIMEOUT closes: each user's final session
+    // whose close instant ceil((last+gap)/1000)+1 ms lies at or before
+    // the final watermark floor(max_us/1000) − 600000 ms. Final
+    // sessions inside that 10-minute horizon stay in state — exactly
+    // the bounded form's contract — so the landed relation gates both
+    // emission mechanisms AND the non-emission of in-horizon state.
+    "session_replay" -> ((s, d) => {
+      import s.implicits._
+      val base = TmpDirs.salted(s, "sessrelay", d)
+      val inDir = base + "/in"
+      val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
+      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(donePath)) {
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        fs.create(donePath, true).close()
+      }
+      val stream = s.readStream
+        .schema("user_id LONG, event_id LONG, tsMicros LONG")
+        .parquet(inDir)
+        .as[graft.streaming.EventStreams.EventIn]
+      val q = graft.streaming.EventStreams.sessionizeBounded(stream)
+        .writeStream
+        .option("checkpointLocation", base + "/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.SessionOut],
+           batchId: Long) =>
+            graft.BatchSink.writeBatch(b.toDF(), batchId, base + "/out", full = false)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select(
+        col("user_id"), col("session_start"), col("n_events"),
+        col("batch_id").cast("long").as("batch_id"))
+        .orderBy("user_id", "session_start")
     }),
     // A5 per-batch grouping as a HASH-GATED artifact (VERDICT r15 ask
     // #7): the real embedStage run with tagBatches over the canonical
@@ -310,6 +409,61 @@ object PipelineQueries {
         "md5(doc_id::VARCHAR || ':' || chunk_index::VARCHAR) AS point_id, " +
         "64 AS dim, 1.0 AS norm, CAST(0 AS BIGINT) AS batch_id " +
         "FROM c ORDER BY doc_id, chunk_index"),
+    // the stored index tables after init (batch 0) + one relay cycle
+    // (batch 1): the same minhash/band CTEs the proven
+    // dedup_incremental oracle uses (DedupQueries.shingleSqlRel),
+    // composed to the per-store (k1, batch_id) membership relation
+    "relay_index_state" ->
+      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM (${DedupQueries.shingleSqlRel})), " +
+        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+        "FROM sh, unnest(range(16)) AS r(i)), " +
+        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+        "FROM mh GROUP BY doc_id, perm // 4), " +
+        // NOT EXISTS (not NOT IN): anti-join semantics — see incrementalSql
+        "surv AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 5 = 0 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 5 <> 0 " +
+        "AND md5(e.text) = md5(d.text))), " +
+        "nd AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
+        "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
+        "WHERE i.doc_id IN (SELECT doc_id FROM surv)), " +
+        "acc AS (SELECT s.doc_id, s.fp FROM surv s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM nd WHERE nd.doc_id = s.doc_id) " +
+        "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1) " +
+        "SELECT * FROM (" +
+        "SELECT 'fp' AS store, fp AS k1, CAST(0 AS BIGINT) AS batch_id FROM " +
+        "(SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0) " +
+        "UNION ALL SELECT 'fp', fp, 1 FROM acc " +
+        "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 0 FROM " +
+        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id % 5 <> 0) " +
+        "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 1 FROM " +
+        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc)) " +
+        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 0 FROM documents WHERE doc_id % 5 <> 0 " +
+        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 1 FROM acc" +
+        ") ORDER BY store, k1, batch_id"),
+    // batch sessionization (lag/gap/prefix-sum) + the emission split:
+    // non-final sessions close event-driven in the data batch (0);
+    // a final session lands in the no-data timeout batch (1) iff its
+    // close instant ceil((last+gap)/1000)+1 ms is at or before the
+    // final watermark floor(max_us/1000) - 600000 ms; later finals
+    // stay in state and never land
+    "session_replay" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "o AS (SELECT user_id, event_id, us, " +
+        "lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus FROM ev), " +
+        "g AS (SELECT user_id, us, sum(CASE WHEN pus IS NULL OR us - pus > 1800000000 " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM o), " +
+        "sess AS (SELECT user_id, sid, CAST(min(us) AS BIGINT) AS session_start, " +
+        "CAST(max(us) AS BIGINT) AS last_us, CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM g GROUP BY user_id, sid), " +
+        "wm AS (SELECT CAST(max(us) AS BIGINT) // 1000 - 600000 AS w FROM ev) " +
+        "SELECT user_id, session_start, n_events, batch_id FROM (" +
+        "SELECT user_id, session_start, n_events, " +
+        "CASE WHEN sid < max(sid) OVER (PARTITION BY user_id) THEN CAST(0 AS BIGINT) " +
+        "WHEN (last_us + 1800000000) // 1000 + 1 <= (SELECT w FROM wm) " +
+        "THEN CAST(1 AS BIGINT) ELSE NULL END AS batch_id FROM sess) " +
+        "WHERE batch_id IS NOT NULL ORDER BY user_id, session_start"),
     // grouped(50) over the canonical order ⇒ batch b covers rows
     // [50b, 50b+49] with a partial tail — replayed via row_number
     "a5_batch_bounds" ->

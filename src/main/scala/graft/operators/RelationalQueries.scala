@@ -579,10 +579,9 @@ object RelationalQueries {
         .as[graft.streaming.EventStreams.EventIn]
       // applicationId in the path (ADVICE r15): two JVMs on the same
       // corpus (bench + verify) raced on one fixed dir, each wiping the
-      // other's in-flight audit output.
-      val dir = System.getProperty("java.io.tmpdir") +
-        "/graft-hotkey-" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "-" + s.sparkContext.applicationId
+      // other's in-flight audit output. TmpDirs adds the shutdown-hook
+      // + hour-stale-foreign GC (ADVICE r16: the salted dirs leaked).
+      val dir = TmpDirs.salted(s, "hotkey", d)
       graft.streaming.EventStreams.hotKeyAudit(ev, cap = 50, dir)
         .orderBy("user_id")
     }),

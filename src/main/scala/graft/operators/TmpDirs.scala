@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Hygiene for the applicationId-salted tmp roots the streaming-replay
+  * queries stage into (`graft-relay-*`, `graft-hotkey-*`, ...). The
+  * salt is load-bearing — two JVMs on the same corpus (bench + verify)
+  * must not share a checkpoint — but it also means every JVM leaves a
+  * full artifact set (staged corpus copy + landed partitions +
+  * checkpoint) behind, and unlike [[DiskArtifacts]] staging nothing
+  * reaped it (ADVICE r16): repeated bench runs accumulated unbounded
+  * tmp usage. Two mechanisms close that:
+  *
+  *  - a JVM shutdown hook deletes every dir this session salted — the
+  *    normal-exit path leaves nothing behind;
+  *  - each call reaps hour-stale FOREIGN siblings of the same family —
+  *    the crashed-JVM fallback (its hook never ran). An hour can never
+  *    race a live owner: [[salted]] re-touches the dir on every query
+  *    invocation, so a sibling only looks stale after its owner has
+  *    neither exited cleanly nor run the query for a full hour — and
+  *    even then a reap just costs that owner a from-scratch re-stage
+  *    (fresh checkpoint, same landed output), never wrong data.
+  */
+private[graft] object TmpDirs {
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  /** This session's salted dir for `family` over `corpusDir` —
+    * `<tmpdir>/graft-<family>-<sanitized corpus>-<appId>` — created,
+    * freshly touched, registered for shutdown cleanup; hour-stale
+    * foreign siblings are reaped on the way.
+    */
+  def salted(spark: SparkSession, family: String, corpusDir: String): String = {
+    val base = System.getProperty("java.io.tmpdir")
+    val prefix = "graft-" + family + "-" +
+      corpusDir.replaceAll("[^A-Za-z0-9]", "_") + "-"
+    val dir = base + "/" + prefix + spark.sparkContext.applicationId
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000L
+      Option(new java.io.File(base).listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(prefix) && f.getPath != dir &&
+            f.lastModified() < cutoff)
+          deleteRecursively(f)
+      })
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val own = new java.io.File(dir)
+    own.mkdirs()
+    own.setLastModified(System.currentTimeMillis())
+    if (registered.add(dir) && hookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        registered.forEach(d =>
+          try deleteRecursively(new java.io.File(d))
+          catch { case scala.util.control.NonFatal(_) => () })))
+    dir
+  }
+}

@@ -52,6 +52,31 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(Bench.passTotalsJson(Seq(51.99)) == "[51.990]")
   }
 
+  test("extraPassReason: the r16 noise shape triggers the margin pass; " +
+    "genuine slowness never earns passes") {
+    // clean run — no extra pass
+    assert(Bench.extraPassReason(50.0, 49.0, 51.99, Nil).isEmpty)
+    // blown total vs best_known (the classic r6 trigger)
+    assert(Bench.extraPassReason(80.0, 60.0, -1.0, Nil).nonEmpty)
+    // inflated canaries
+    assert(Bench.extraPassReason(50.0, 49.0, 51.99, Seq("p15_truncate")).nonEmpty)
+    // THE r16 artifact shape (VERDICT r16 ask #3): 89.35 s recorded vs
+    // ~79 s denoised on a 51.99 s baseline — 1.72x raw, under the 1.2x
+    // best_known trigger (94.8) and the 2x gate (103.98), so a noisy
+    // window became the number of record; the 1.7x margin now fires
+    assert(Bench.extraPassReason(89.35, 79.0, 51.99, Nil).nonEmpty)
+    // the r13 shape (2x gate breached, denoised under) still fires
+    assert(Bench.extraPassReason(112.66, 94.1, 51.99, Nil).nonEmpty)
+    // genuinely slow code — best_known ALSO over every line: reruns
+    // cannot fix real cost, no passes are spent
+    assert(Bench.extraPassReason(120.0, 115.0, 51.99, Nil).isEmpty)
+    // no best_known (all queries failed / first ever run): no trigger
+    assert(Bench.extraPassReason(80.0, -1.0, 51.99, Nil).isEmpty)
+    // no baseline recorded: margin/gate triggers disabled, best_known
+    // trigger still live
+    assert(Bench.extraPassReason(89.35, 79.0, -1.0, Nil).isEmpty)
+  }
+
   test("historySameCodeMins: only byte-identical-source same-sf runs merge") {
     val p = histFile(
       s"""{"value":1,"src":"aaaa","queries":{"q1":1.5,"q2":0.2},"sf":"$sf01"}""",

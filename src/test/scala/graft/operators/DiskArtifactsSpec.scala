@@ -4,10 +4,15 @@ import graft.pipeline.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the disk artifact store's contract (r16): fingerprint-keyed
-  * load-or-build, atomic commit (a torn/corrupted dir falls back to a
-  * build, never an error), staleness on corpus change, and the blob
-  * form's byte-exact round trip.
+/** Pins the disk artifact store's contract (r16, generation layout
+  * r17): fingerprint-keyed load-or-build, atomic commit (a torn or
+  * corrupted generation falls back to a build, never an error),
+  * staleness on corpus change, the blob form's byte-exact round trip —
+  * and the generation-dir guarantees the r16 review asked for: a
+  * committed generation's files are never replaced or deleted while
+  * fresh (so concurrent sessions' lazily-read frames stay valid), a
+  * corrupt generation stays safely cold until hour-stale and only then
+  * is repaired.
   */
 class DiskArtifactsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -25,6 +30,20 @@ class DiskArtifactsSpec extends AnyFunSuite {
     java.nio.file.Files.move(part.toPath,
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
     dir
+  }
+
+  private def committedGen(corpus: String, name: String): java.io.File =
+    new java.io.File(DiskArtifacts.genDir(corpus, name,
+      DiskArtifacts.corpusKey(spark, corpus)))
+
+  private def listing(dir: java.io.File): Seq[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(dir).map(f => (f.getPath, f.lastModified())).sortBy(_._1)
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
   }
 
   test("second load is a hit with identical rows; changed corpus rebuilds") {
@@ -50,20 +69,17 @@ class DiskArtifactsSpec extends AnyFunSuite {
     assert(!hit3 && builds == 2, "stale fingerprint must rebuild")
   }
 
-  test("a corrupted committed dir falls back to a build (never an error)") {
+  test("a corrupted committed generation falls back to a build (never an error)") {
     val corpus = freshCorpus("corrupt")
     val (_, h0) = DiskArtifacts.loadOrBuild(spark, corpus, "t_rel") {
       spark.range(3).toDF("id").localCheckpoint()
     }
     assert(!h0)
     // wreck the committed copy: delete the data part but keep _KEY
-    val root = new java.io.File(System.getProperty("java.io.tmpdir") +
-      "/graft-artifacts-" + corpus.replaceAll("[^A-Za-z0-9]", "_") + "/t_rel/data")
-    assert(root.exists, s"expected committed data at $root")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(root)
+    val gen = committedGen(corpus, "t_rel")
+    val data = new java.io.File(gen, "data")
+    assert(data.exists, s"expected committed data at $data")
+    rm(data)
     var rebuilt = false
     val (df, h1) = DiskArtifacts.loadOrBuild(spark, corpus, "t_rel") {
       rebuilt = true
@@ -71,6 +87,51 @@ class DiskArtifactsSpec extends AnyFunSuite {
     }
     assert(!h1 && rebuilt, "missing part must route to the build")
     assert(df.count() == 3L)
+  }
+
+  test("a fresh committed generation's files are never deleted or replaced " +
+    "by later populates; a corrupt one is repaired only once hour-stale") {
+    val corpus = freshCorpus("gen")
+    def load() = DiskArtifacts.loadOrBuild(spark, corpus, "t_rel") {
+      spark.range(4).toDF("id").localCheckpoint()
+    }
+    load()
+    val gen = committedGen(corpus, "t_rel")
+    val committed = listing(gen)
+    assert(committed.nonEmpty)
+    // a warm load re-touches the generation dir but never its files —
+    // the exact files a concurrent session's lazily-evaluated frames
+    // point at stay in place byte for byte (the r16 delete-then-rename
+    // hazard, now structurally absent)
+    val (_, hWarm) = load()
+    assert(hWarm)
+    assert(listing(gen) == committed, "a hit must not touch committed files")
+    // corrupt the generation (_KEY removed): while the dir is UNDER an
+    // hour old a populate must neither error nor delete it — the
+    // session just stays cold on its in-memory build
+    assert(new java.io.File(gen, "_KEY").delete())
+    val afterCorrupt = listing(gen)
+    val (df1, h1) = load()
+    assert(!h1 && df1.count() == 4L)
+    assert(listing(gen) == afterCorrupt,
+      "an under-an-hour-old generation is never repaired in place")
+    // age the dir past the hour: the next populate repairs it (delete +
+    // fresh commit) and the one after hits again
+    assert(gen.setLastModified(System.currentTimeMillis() - 2L * 3600L * 1000L))
+    val (_, h2) = load()
+    assert(!h2, "the repairing populate itself is a cold build")
+    assert(new java.io.File(gen, "_KEY").exists, "repair must recommit _KEY")
+    val (_, h3) = load()
+    assert(h3, "post-repair load must hit")
+  }
+
+  test("distinct corpus paths with identical sanitized names do not share a root") {
+    // ADVICE r16: /x/sf0.1 and /x/sf0_1 sanitize identically; the md5
+    // suffix must keep their artifact roots (and so their generations)
+    // apart
+    val a = DiskArtifacts.genDir("/x/sf0.1", "t", "k")
+    val b = DiskArtifacts.genDir("/x/sf0_1", "t", "k")
+    assert(a != b)
   }
 
   test("blob form round-trips bytes exactly and hits on second load") {
