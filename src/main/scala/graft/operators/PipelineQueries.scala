@@ -186,6 +186,56 @@ object PipelineQueries {
         col("batch_id").cast("long").as("batch_id"))
         .orderBy("user_id", "session_start")
     }),
+    // The OTHER bounded-streaming operator hash-gated (VERDICT r16 ask
+    // #5 named either; session_replay covers sessionizeBounded, this
+    // covers funnelAdvanceBounded): events replayed through the
+    // repeat-conversion funnel — completion CLEARS state, so each
+    // purchase cycle is its own funnel and the emission stream is the
+    // greedy per-cycle advance feed, the semantic delta vs the anchored
+    // batch funnel (funnel_steps) and the NoTimeout funnelAdvance. One
+    // staged file ⇒ every advance emits in the data batch (batch 0);
+    // the no-data batch only EVICTS horizon-stale partial funnels,
+    // which emits nothing — so the constant batch_id 0 on every landed
+    // row is itself a gate (spurious timeout-batch emissions would
+    // hash-mismatch). The oracle replays the greedy fold as a
+    // recursive-CTE cycle chain: cycle k's view is the first at or
+    // after cycle k-1's purchase (ties resolve to the view — the
+    // (ts, type) sort puts 'view' after 'purchase'), click/purchase
+    // strictly after the prior step, partial last cycles emit their
+    // reached prefix.
+    "funnel_advance_replay" -> ((s, d) => {
+      import s.implicits._
+      val base = TmpDirs.salted(s, "funnelrelay", d)
+      val inDir = base + "/in"
+      val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
+      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(donePath)) {
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros"))
+          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        fs.create(donePath, true).close()
+      }
+      val stream = s.readStream
+        .schema("user_id LONG, event_type STRING, tsMicros LONG")
+        .parquet(inDir)
+        .as[graft.streaming.EventStreams.FunnelIn]
+      val q = graft.streaming.EventStreams.funnelAdvanceBounded(stream)
+        .writeStream
+        .option("checkpointLocation", base + "/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.FunnelOut],
+           batchId: Long) =>
+            graft.BatchSink.writeBatch(b.toDF(), batchId, base + "/out", full = false)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(base + "/out").select(
+        col("user_id"), col("step"), col("step_type"),
+        col("tsMicros").as("ts_us"),
+        col("batch_id").cast("long").as("batch_id"))
+        .orderBy("user_id", "ts_us")
+    }),
     // A5 per-batch grouping as a HASH-GATED artifact (VERDICT r15 ask
     // #7): the real embedStage run with tagBatches over the canonical
     // one-sorted-partition layout, aggregated to the batch-boundary
@@ -464,6 +514,46 @@ object PipelineQueries {
         "WHEN (last_us + 1800000000) // 1000 + 1 <= (SELECT w FROM wm) " +
         "THEN CAST(1 AS BIGINT) ELSE NULL END AS batch_id FROM sess) " +
         "WHERE batch_id IS NOT NULL ORDER BY user_id, session_start"),
+    // the greedy repeat-cycle fold as a recursive cycle chain: cycle k
+    // restarts at the first view AT OR AFTER cycle k-1's purchase (the
+    // (ts, type) sort resolves the tie toward the view), later steps
+    // strictly after the prior step's time; partial last cycles emit
+    // their reached prefix; every row carries batch_id 0 (the timeout
+    // batch only evicts, never emits)
+    // (scalar subqueries, not a LATERAL chain: DuckDB's recursive part
+    // silently drops the row when a nested LATERAL's aggregate is NULL
+    // on an empty slice — the trailing PARTIAL cycle vanished; the
+    // re-nested scalar form keeps the NULL-aggregate row)
+    "funnel_advance_replay" ->
+      ("WITH RECURSIVE ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "cyc AS (" +
+        "SELECT user_id, 0 AS k, CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, " +
+        "CAST(-1 AS BIGINT) AS t3 FROM (SELECT DISTINCT user_id FROM ev) " +
+        "UNION ALL " +
+        "SELECT user_id, k + 1, " +
+        "(SELECT CAST(min(us) AS BIGINT) FROM ev e WHERE e.user_id = cyc.user_id " +
+        "AND event_type = 'view' AND us >= cyc.t3), " +
+        "(SELECT CAST(min(us) AS BIGINT) FROM ev e WHERE e.user_id = cyc.user_id " +
+        "AND event_type = 'click' AND us > " +
+        "(SELECT min(us) FROM ev e2 WHERE e2.user_id = cyc.user_id " +
+        "AND event_type = 'view' AND us >= cyc.t3)), " +
+        "(SELECT CAST(min(us) AS BIGINT) FROM ev e WHERE e.user_id = cyc.user_id " +
+        "AND event_type = 'purchase' AND us > " +
+        "(SELECT min(us) FROM ev e2 WHERE e2.user_id = cyc.user_id " +
+        "AND event_type = 'click' AND us > " +
+        "(SELECT min(us) FROM ev e3 WHERE e3.user_id = cyc.user_id " +
+        "AND event_type = 'view' AND us >= cyc.t3))) " +
+        "FROM cyc WHERE cyc.t3 IS NOT NULL AND " +
+        "(SELECT min(us) FROM ev e WHERE e.user_id = cyc.user_id " +
+        "AND event_type = 'view' AND us >= cyc.t3) IS NOT NULL) " +
+        "SELECT user_id, step, step_type, ts_us, CAST(0 AS BIGINT) AS batch_id FROM (" +
+        "SELECT user_id, CAST(1 AS INT) AS step, 'view' AS step_type, t1 AS ts_us " +
+        "FROM cyc WHERE k > 0 AND t1 IS NOT NULL " +
+        "UNION ALL SELECT user_id, CAST(2 AS INT), 'click', t2 " +
+        "FROM cyc WHERE k > 0 AND t2 IS NOT NULL " +
+        "UNION ALL SELECT user_id, CAST(3 AS INT), 'purchase', t3 " +
+        "FROM cyc WHERE k > 0 AND t3 IS NOT NULL" +
+        ") ORDER BY user_id, ts_us"),
     // grouped(50) over the canonical order ⇒ batch b covers rows
     // [50b, 50b+49] with a partial tail — replayed via row_number
     "a5_batch_bounds" ->
