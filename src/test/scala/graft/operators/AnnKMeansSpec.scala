@@ -81,6 +81,33 @@ class AnnKMeansSpec extends AnyFunSuite {
     assert(maxDiff < 1e-6, s"centroids drifted across runs: $maxDiff")
   }
 
+  test("centroid ids survive the GlobalLimit regime (topKSortFallbackThreshold)") {
+    // ADVICE r16: seed ranks came from zipWithIndex over the post-limit
+    // RDD, which is order-stable only while Catalyst lowers sort+limit
+    // to TakeOrderedAndProject; past topKSortFallbackThreshold the
+    // GlobalLimit shuffle keeps rows but not order. The fix re-sorts
+    // the k-row sliver physically — so forcing the fallback regime must
+    // yield byte-identical centroid ids.
+    val e = Tables.embeddings(spark, d)
+    val conf = "spark.sql.execution.topKSortFallbackThreshold"
+    val prev = spark.conf.get(conf)
+    val normal = AnnIndex.kmeans(e, k = 8, iters = 1)
+      .select(col("c_id"), col("cv").as("cv_a"))
+    val fallback =
+      try { spark.conf.set(conf, "1"); AnnIndex.kmeans(e, k = 8, iters = 1) }
+      finally spark.conf.set(conf, prev)
+    val joined = normal.join(fallback.select(col("c_id"), col("cv").as("cv_b")),
+      Seq("c_id"), "full_outer")
+    assert(joined.filter(col("cv_a").isNull || col("cv_b").isNull).count() === 0L,
+      "same c_id set under both physical limit forms")
+    val maxDiff = joined
+      .select(aggregate(zip_with(col("cv_a"), col("cv_b"),
+        (x, y) => abs(x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => greatest(acc, v)).as("md"))
+      .agg(max(col("md"))).head().getDouble(0)
+    assert(maxDiff < 1e-6, s"centroid ids/values drifted under GlobalLimit: $maxDiff")
+  }
+
   test("oracled ann_recall_trained beats the stand-in's ann_recall ivf rows (sf0.01)") {
     // the driver-gated rows, compared at the gate's own scale: a kmeans
     // regression must now fail CORRECTNESS, not just this suite
