@@ -144,16 +144,24 @@ object PipelineQueries {
     // A BOUNDED-streaming emission hash-gated (VERDICT r16 ask #5): the
     // events corpus replayed through sessionizeBounded — the
     // EventTimeTimeout production form — with every emitted session
-    // landed under the micro-batch that emitted it. One staged file ⇒
-    // batch 0 carries the EVENT-DRIVEN closes (a later event crossed
-    // the 30-min gap; the watermark is still 0 during the data batch,
-    // so no timeout can fire there), and the post-data no-data batch
-    // (batch 1) carries the TIMEOUT closes: each user's final session
-    // whose close instant ceil((last+gap)/1000)+1 ms lies at or before
-    // the final watermark floor(max_us/1000) − 600000 ms. Final
-    // sessions inside that 10-minute horizon stay in state — exactly
-    // the bounded form's contract — so the landed relation gates both
-    // emission mechanisms AND the non-emission of in-horizon state.
+    // landed under the micro-batch that emitted it, across TWO data
+    // micro-batches (the corpus split at its time-range midpoint into
+    // two landing files with explicit mtime order + maxFilesPerTrigger
+    // = 1), so the gate covers the whole lifecycle:
+    //  - batch 0: event-driven closes whose closing event (the next
+    //    session's first) lies in file 1 (watermark still 0 — no
+    //    timeout can fire);
+    //  - batch 1: event-driven closes from file 2 — INCLUDING sessions
+    //    whose state carried across the batch boundary — plus TIMEOUT
+    //    closes of file-1 finals whose close instant
+    //    ceil((last+gap)/1000)+1 ms is at or before the post-batch-0
+    //    watermark floor(max_file1_us/1000) − 600000 ms (a key with
+    //    batch-1 data never takes the timeout path, and a session
+    //    extended in batch 1 has target > that watermark by
+    //    construction — the attribution is exact, not heuristic);
+    //  - batch 2 (the no-data batch): remaining finals at or before
+    //    the final watermark. Finals inside the 10-minute horizon stay
+    //    in state — the landed relation also gates their non-emission.
     "session_replay" -> ((s, d) => {
       import s.implicits._
       val base = TmpDirs.salted(s, "sessrelay", d)
@@ -161,13 +169,32 @@ object PipelineQueries {
       val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
       val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(donePath)) {
-        Tables.events(s, d)
+        val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
-          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
+        val split = (mm.getLong(0) + mm.getLong(1)) / 2
+        // one FILE per intended micro-batch, mtimes pinned explicitly
+        // (the file source processes oldest-first) — the
+        // StreamingIndexSpec staging discipline without the sleep
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$base/stage-$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          val dest = new org.apache.hadoop.fs.Path(s"$inDir/$name")
+          fs.mkdirs(dest.getParent)
+          fs.rename(part, dest)
+          fs.setTimes(dest, mtime, -1)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+        val now = System.currentTimeMillis()
+        stage(ev.filter(col("tsMicros") <= split), "ev1.parquet", now - 20000)
+        stage(ev.filter(col("tsMicros") > split), "ev2.parquet", now - 10000)
         fs.create(donePath, true).close()
       }
       val stream = s.readStream
         .schema("user_id LONG, event_id LONG, tsMicros LONG")
+        .option("maxFilesPerTrigger", 1L)
         .parquet(inDir)
         .as[graft.streaming.EventStreams.EventIn]
       val q = graft.streaming.EventStreams.sessionizeBounded(stream)
@@ -491,14 +518,22 @@ object PipelineQueries {
         "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 0 FROM documents WHERE doc_id % 5 <> 0 " +
         "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 1 FROM acc" +
         ") ORDER BY store, k1, batch_id"),
-    // batch sessionization (lag/gap/prefix-sum) + the emission split:
-    // non-final sessions close event-driven in the data batch (0);
-    // a final session lands in the no-data timeout batch (1) iff its
-    // close instant ceil((last+gap)/1000)+1 ms is at or before the
-    // final watermark floor(max_us/1000) - 600000 ms; later finals
-    // stay in state and never land
+    // batch sessionization (lag/gap/prefix-sum) + the three-way batch
+    // attribution: a non-final session closes event-driven in the
+    // batch holding its SUCCESSOR's first event (file 1 => 0, file 2
+    // => 1); a final session times out in batch 1 iff its close
+    // instant ceil((last+gap)/1000)+1 ms is at or before the
+    // post-batch-0 watermark (only reachable for file-1-only finals —
+    // an extended session's target exceeds that watermark by
+    // construction), else in the no-data batch 2 iff at or before the
+    // final watermark; later finals stay in state and never land
     "session_replay" ->
       ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "b AS (SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS split, " +
+        "CAST(max(us) AS BIGINT) AS mx FROM ev), " +
+        "w1 AS (SELECT CAST(max(us) AS BIGINT) // 1000 - 600000 AS w FROM ev " +
+        "WHERE us <= (SELECT split FROM b)), " +
+        "w2 AS (SELECT mx // 1000 - 600000 AS w FROM b), " +
         "o AS (SELECT user_id, event_id, us, " +
         "lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus FROM ev), " +
         "g AS (SELECT user_id, us, sum(CASE WHEN pus IS NULL OR us - pus > 1800000000 " +
@@ -507,12 +542,17 @@ object PipelineQueries {
         "sess AS (SELECT user_id, sid, CAST(min(us) AS BIGINT) AS session_start, " +
         "CAST(max(us) AS BIGINT) AS last_us, CAST(count(*) AS BIGINT) AS n_events " +
         "FROM g GROUP BY user_id, sid), " +
-        "wm AS (SELECT CAST(max(us) AS BIGINT) // 1000 - 600000 AS w FROM ev) " +
+        "sx AS (SELECT *, lead(session_start) OVER (PARTITION BY user_id ORDER BY sid) " +
+        "AS next_first FROM sess) " +
         "SELECT user_id, session_start, n_events, batch_id FROM (" +
         "SELECT user_id, session_start, n_events, " +
-        "CASE WHEN sid < max(sid) OVER (PARTITION BY user_id) THEN CAST(0 AS BIGINT) " +
-        "WHEN (last_us + 1800000000) // 1000 + 1 <= (SELECT w FROM wm) " +
-        "THEN CAST(1 AS BIGINT) ELSE NULL END AS batch_id FROM sess) " +
+        "CASE WHEN next_first IS NOT NULL THEN " +
+        "(CASE WHEN next_first <= (SELECT split FROM b) THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(1 AS BIGINT) END) " +
+        "WHEN (last_us + 1800000000) // 1000 + 1 <= (SELECT w FROM w1) " +
+        "THEN CAST(1 AS BIGINT) " +
+        "WHEN (last_us + 1800000000) // 1000 + 1 <= (SELECT w FROM w2) " +
+        "THEN CAST(2 AS BIGINT) ELSE NULL END AS batch_id FROM sx) " +
         "WHERE batch_id IS NOT NULL ORDER BY user_id, session_start"),
     // the greedy repeat-cycle fold as a recursive cycle chain: cycle k
     // restarts at the first view AT OR AFTER cycle k-1's purchase (the
