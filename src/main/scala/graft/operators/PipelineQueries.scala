@@ -219,17 +219,21 @@ object PipelineQueries {
     // repeat-conversion funnel — completion CLEARS state, so each
     // purchase cycle is its own funnel and the emission stream is the
     // greedy per-cycle advance feed, the semantic delta vs the anchored
-    // batch funnel (funnel_steps) and the NoTimeout funnelAdvance. One
-    // staged file ⇒ every advance emits in the data batch (batch 0);
-    // the no-data batch only EVICTS horizon-stale partial funnels,
-    // which emits nothing — so the constant batch_id 0 on every landed
-    // row is itself a gate (spurious timeout-batch emissions would
-    // hash-mismatch). The oracle replays the greedy fold as a
+    // batch funnel (funnel_steps) and the NoTimeout funnelAdvance.
+    // TWO event-time-ordered landing files (the session_replay staging
+    // discipline: split at the time-range midpoint, explicit mtimes,
+    // maxFilesPerTrigger = 1) ⇒ every advance emits in the batch
+    // holding its ACCEPTED event — batch 0 for first-half advances,
+    // batch 1 for second-half advances INCLUDING those of funnels
+    // whose partial state carried across the batch boundary — and the
+    // timeout path only EVICTS horizon-stale partial funnels, which
+    // emits nothing, so any row landing past batch 1 would
+    // hash-mismatch. The oracle replays the greedy fold as a
     // recursive-CTE cycle chain: cycle k's view is the first at or
     // after cycle k-1's purchase (ties resolve to the view — the
     // (ts, type) sort puts 'view' after 'purchase'), click/purchase
     // strictly after the prior step, partial last cycles emit their
-    // reached prefix.
+    // reached prefix, batch = which half holds the step's event.
     "funnel_advance_replay" -> ((s, d) => {
       import s.implicits._
       val base = TmpDirs.salted(s, "funnelrelay", d)
@@ -237,13 +241,29 @@ object PipelineQueries {
       val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
       val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(donePath)) {
-        Tables.events(s, d)
+        val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros"))
-          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
+        val split = (mm.getLong(0) + mm.getLong(1)) / 2
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$base/stage-$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          val dest = new org.apache.hadoop.fs.Path(s"$inDir/$name")
+          fs.mkdirs(dest.getParent)
+          fs.rename(part, dest)
+          fs.setTimes(dest, mtime, -1)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+        val now = System.currentTimeMillis()
+        stage(ev.filter(col("tsMicros") <= split), "ev1.parquet", now - 20000)
+        stage(ev.filter(col("tsMicros") > split), "ev2.parquet", now - 10000)
         fs.create(donePath, true).close()
       }
       val stream = s.readStream
         .schema("user_id LONG, event_type STRING, tsMicros LONG")
+        .option("maxFilesPerTrigger", 1L)
         .parquet(inDir)
         .as[graft.streaming.EventStreams.FunnelIn]
       val q = graft.streaming.EventStreams.funnelAdvanceBounded(stream)
@@ -558,14 +578,15 @@ object PipelineQueries {
     // restarts at the first view AT OR AFTER cycle k-1's purchase (the
     // (ts, type) sort resolves the tie toward the view), later steps
     // strictly after the prior step's time; partial last cycles emit
-    // their reached prefix; every row carries batch_id 0 (the timeout
-    // batch only evicts, never emits)
+    // their reached prefix; batch = which corpus half holds the step's
+    // accepted event (the timeout batch only evicts, never emits)
     // (scalar subqueries, not a LATERAL chain: DuckDB's recursive part
     // silently drops the row when a nested LATERAL's aggregate is NULL
     // on an empty slice — the trailing PARTIAL cycle vanished; the
     // re-nested scalar form keeps the NULL-aggregate row)
     "funnel_advance_replay" ->
       ("WITH RECURSIVE ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "b AS (SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS split FROM ev), " +
         "cyc AS (" +
         "SELECT user_id, 0 AS k, CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, " +
         "CAST(-1 AS BIGINT) AS t3 FROM (SELECT DISTINCT user_id FROM ev) " +
@@ -586,7 +607,9 @@ object PipelineQueries {
         "FROM cyc WHERE cyc.t3 IS NOT NULL AND " +
         "(SELECT min(us) FROM ev e WHERE e.user_id = cyc.user_id " +
         "AND event_type = 'view' AND us >= cyc.t3) IS NOT NULL) " +
-        "SELECT user_id, step, step_type, ts_us, CAST(0 AS BIGINT) AS batch_id FROM (" +
+        "SELECT user_id, step, step_type, ts_us, " +
+        "CASE WHEN ts_us <= (SELECT split FROM b) THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(1 AS BIGINT) END AS batch_id FROM (" +
         "SELECT user_id, CAST(1 AS INT) AS step, 'view' AS step_type, t1 AS ts_us " +
         "FROM cyc WHERE k > 0 AND t1 IS NOT NULL " +
         "UNION ALL SELECT user_id, CAST(2 AS INT), 'click', t2 " +
