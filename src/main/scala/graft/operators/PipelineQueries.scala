@@ -92,18 +92,24 @@ object PipelineQueries {
     // The MAINTENANCE relay driver-gated (VERDICT r16 ask #2 — the last
     // ScalaTest-only streaming rung): init the dedup + ANN indexes from
     // 80% of the corpus (doc_id % 5 != 0, batch 0), stage the remaining
-    // 20% as one landing file, push it through the REAL
+    // 20% as TWO mtime-ordered landing files (doc_id % 10 == 0, then
+    // % 10 == 5; maxFilesPerTrigger = 1 ⇒ two maintenance cycles,
+    // batches 1 and 2), push them through the REAL
     // indexMaintenanceRelay (readStream → foreachBatch → pinned-read
     // dedupBatch → accept → embedStage → AnnIndex.addBatch, each an
     // idempotent batch-partition overwrite), then read back ONLY the
     // PERSISTED index tables. The oracle replays what must have landed:
-    // fp rows (init fps at batch 0; the cross-index survivor set —
-    // exact fp anti-join + minhash band near-dup drop + within-batch
-    // collapse — at batch 1), the distinct (band, sig) LSH rows per
-    // batch, and the inverted file's membership per batch. Reruns are
-    // exactly-once like relay_replay_points: the checkpoint remembers
-    // the file, AvailableNow finds no work, the stored tables re-read
-    // as-is; per-JVM init is pinned by a marker file (init is a full
+    // init fps at batch 0; batch 1's survivor set (exact fp anti-join +
+    // minhash band near-dup drop + within-batch collapse vs the INIT
+    // index); batch 2's survivor set vs init ∪ BATCH 1'S ACCEPT — the
+    // cross-batch property (a batch-2 near-dup of a batch-1 doc is
+    // catchable only because batch 1's accept landed) that was
+    // previously pinned only by StreamingIndexSpec, now hash-gated;
+    // plus the distinct (band, sig) LSH rows and the inverted file's
+    // membership per batch. Reruns are exactly-once like
+    // relay_replay_points: the checkpoint remembers both files,
+    // AvailableNow finds no work, the stored tables re-read as-is;
+    // per-JVM init is pinned by a marker file (init is a full
     // overwrite, so a crash mid-init just re-inits).
     "relay_index_state" -> ((s, d) => {
       val base = TmpDirs.salted(s, "idxrelay", d)
@@ -113,8 +119,11 @@ object PipelineQueries {
       val donePath = new org.apache.hadoop.fs.Path(base + "/_INIT_DONE")
       val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(donePath)) {
-        docs.filter(col("doc_id") % 5 === 0)
-          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        val now = System.currentTimeMillis()
+        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 0),
+          s"$inDir/in1.parquet", now - 20000)
+        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 5),
+          s"$inDir/in2.parquet", now - 10000)
         val existing = docs.filter(col("doc_id") % 5 =!= 0)
         DedupIndex.init(existing, dedupDir)
         val emb = IngestPipeline.embedStage(
@@ -126,6 +135,7 @@ object PipelineQueries {
       }
       val q = graft.streaming.EventStreams.indexMaintenanceRelay(
         s, inDir, dedupDir, annDir, base + "/ckpt",
+        maxFilesPerTrigger = Some(1),
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
       val fp = s.read.parquet(s"$dedupDir/fp").select(
@@ -173,23 +183,11 @@ object PipelineQueries {
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
         val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
         val split = (mm.getLong(0) + mm.getLong(1)) / 2
-        // one FILE per intended micro-batch, mtimes pinned explicitly
-        // (the file source processes oldest-first) — the
-        // StreamingIndexSpec staging discipline without the sleep
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$base/stage-$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-          val dest = new org.apache.hadoop.fs.Path(s"$inDir/$name")
-          fs.mkdirs(dest.getParent)
-          fs.rename(part, dest)
-          fs.setTimes(dest, mtime, -1)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        }
         val now = System.currentTimeMillis()
-        stage(ev.filter(col("tsMicros") <= split), "ev1.parquet", now - 20000)
-        stage(ev.filter(col("tsMicros") > split), "ev2.parquet", now - 10000)
+        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") <= split),
+          s"$inDir/ev1.parquet", now - 20000)
+        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
+          s"$inDir/ev2.parquet", now - 10000)
         fs.create(donePath, true).close()
       }
       val stream = s.readStream
@@ -245,20 +243,11 @@ object PipelineQueries {
           .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros"))
         val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
         val split = (mm.getLong(0) + mm.getLong(1)) / 2
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$base/stage-$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-          val dest = new org.apache.hadoop.fs.Path(s"$inDir/$name")
-          fs.mkdirs(dest.getParent)
-          fs.rename(part, dest)
-          fs.setTimes(dest, mtime, -1)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        }
         val now = System.currentTimeMillis()
-        stage(ev.filter(col("tsMicros") <= split), "ev1.parquet", now - 20000)
-        stage(ev.filter(col("tsMicros") > split), "ev2.parquet", now - 10000)
+        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") <= split),
+          s"$inDir/ev1.parquet", now - 20000)
+        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
+          s"$inDir/ev2.parquet", now - 10000)
         fs.create(donePath, true).close()
       }
       val stream = s.readStream
@@ -506,10 +495,12 @@ object PipelineQueries {
         "md5(doc_id::VARCHAR || ':' || chunk_index::VARCHAR) AS point_id, " +
         "64 AS dim, 1.0 AS norm, CAST(0 AS BIGINT) AS batch_id " +
         "FROM c ORDER BY doc_id, chunk_index"),
-    // the stored index tables after init (batch 0) + one relay cycle
-    // (batch 1): the same minhash/band CTEs the proven
-    // dedup_incremental oracle uses (DedupQueries.shingleSqlRel),
-    // composed to the per-store (k1, batch_id) membership relation
+    // the stored index tables after init (batch 0) + TWO relay cycles:
+    // the same minhash/band CTEs the proven dedup_incremental oracle
+    // uses (DedupQueries.shingleSqlRel), replayed twice — batch 2's
+    // existing side is init ∪ batch 1's accept, which is exactly the
+    // cross-batch visibility the relay must provide — composed to the
+    // per-store (k1, batch_id) membership relation
     "relay_index_state" ->
       (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM (${DedupQueries.shingleSqlRel})), " +
         "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
@@ -518,25 +509,39 @@ object PipelineQueries {
         "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
         "FROM mh GROUP BY doc_id, perm // 4), " +
         // NOT EXISTS (not NOT IN): anti-join semantics — see incrementalSql
-        "surv AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 5 = 0 " +
+        "surv1 AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 10 = 0 " +
         "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 5 <> 0 " +
         "AND md5(e.text) = md5(d.text))), " +
-        "nd AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
+        "nd1 AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
         "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
-        "WHERE i.doc_id IN (SELECT doc_id FROM surv)), " +
-        "acc AS (SELECT s.doc_id, s.fp FROM surv s WHERE NOT EXISTS " +
-        "(SELECT 1 FROM nd WHERE nd.doc_id = s.doc_id) " +
+        "WHERE i.doc_id IN (SELECT doc_id FROM surv1)), " +
+        "acc1 AS (SELECT s.doc_id, s.fp FROM surv1 s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM nd1 WHERE nd1.doc_id = s.doc_id) " +
+        "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1), " +
+        "surv2 AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 10 = 5 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents e WHERE (e.doc_id % 5 <> 0 " +
+        "OR e.doc_id IN (SELECT doc_id FROM acc1)) AND md5(e.text) = md5(d.text))), " +
+        "nd2 AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
+        "ON i.band = e.band AND i.sig = e.sig " +
+        "WHERE (e.doc_id % 5 <> 0 OR e.doc_id IN (SELECT doc_id FROM acc1)) " +
+        "AND i.doc_id IN (SELECT doc_id FROM surv2)), " +
+        "acc2 AS (SELECT s.doc_id, s.fp FROM surv2 s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM nd2 WHERE nd2.doc_id = s.doc_id) " +
         "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1) " +
         "SELECT * FROM (" +
         "SELECT 'fp' AS store, fp AS k1, CAST(0 AS BIGINT) AS batch_id FROM " +
         "(SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0) " +
-        "UNION ALL SELECT 'fp', fp, 1 FROM acc " +
+        "UNION ALL SELECT 'fp', fp, 1 FROM acc1 " +
+        "UNION ALL SELECT 'fp', fp, 2 FROM acc2 " +
         "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 0 FROM " +
         "(SELECT DISTINCT band, sig FROM bd WHERE doc_id % 5 <> 0) " +
         "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 1 FROM " +
-        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc)) " +
+        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc1)) " +
+        "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 2 FROM " +
+        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc2)) " +
         "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 0 FROM documents WHERE doc_id % 5 <> 0 " +
-        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 1 FROM acc" +
+        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 1 FROM acc1 " +
+        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 2 FROM acc2" +
         ") ORDER BY store, k1, batch_id"),
     // batch sessionization (lag/gap/prefix-sum) + the three-way batch
     // attribution: a non-final session closes event-driven in the

@@ -32,6 +32,26 @@ private[graft] object TmpDirs {
     f.delete()
   }
 
+  /** Stage `df` as ONE parquet landing file at `destPath` with a
+    * pinned mtime — the micro-batch staging discipline the replay
+    * gates share: a file stream processes files oldest-first, so
+    * explicit mtimes make "one file per intended micro-batch" a
+    * deterministic property instead of a sleep-and-hope one.
+    */
+  def stageLandingFile(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                       destPath: String, mtime: Long): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = destPath + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(dest.getParent)
+    fs.rename(part, dest)
+    fs.setTimes(dest, mtime, -1)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** This session's salted dir for `family` over `corpusDir` —
     * `<tmpdir>/graft-<family>-<sanitized corpus>-<appId>` — created,
     * freshly touched, registered for shutdown cleanup; hour-stale
