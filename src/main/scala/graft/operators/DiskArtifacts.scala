@@ -79,10 +79,44 @@ private[graft] object DiskArtifacts {
     key
   }
 
-  private def root(corpusDir: String, name: String): String =
+  /** One-time (per JVM) reap of PRE-r17 artifact roots (ADVICE r17):
+    * the layout gained a `-<pathmd5>` suffix, so old
+    * `graft-artifacts-<corpus>/` roots are orphaned — no session will
+    * ever read or GC them again, leaking a full artifact set in tmp
+    * forever. An old-layout name lacks the 8-hex suffix; hour-stale
+    * guarded like every other reap here (an old root's mtime can only
+    * be fresh if some not-yet-upgraded JVM is still writing it — leave
+    * that live owner alone, the next upgraded session reaps it).
+    * Deleting a matching root is always safe for correctness —
+    * persistence is an optimization — and the suffix regex keeps
+    * new-layout roots (current generations included) untouched.
+    */
+  private val oldLayoutReaped = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Re-arm the one-time sweep so the spec can exercise it on demand. */
+  private[operators] def resetOldLayoutReapForSpec(): Unit =
+    oldLayoutReaped.set(false)
+  private def reapOldLayoutRoots(): Unit =
+    if (oldLayoutReaped.compareAndSet(false, true)) try {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 3600L * 1000L
+      val newLayout = "^graft-artifacts-.*-[0-9a-f]{8}$".r
+      Option(base.listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("graft-artifacts-") &&
+            newLayout.findFirstIn(f.getName).isEmpty && f.lastModified() < cutoff) {
+          def rm(g: java.io.File): Unit = {
+            Option(g.listFiles()).foreach(_.foreach(rm)); g.delete()
+          }
+          rm(f)
+        }
+      })
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def root(corpusDir: String, name: String): String = {
+    reapOldLayoutRoots()
     System.getProperty("java.io.tmpdir") + "/graft-artifacts-" +
       corpusDir.replaceAll("[^A-Za-z0-9]", "_") + "-" +
       md5Hex(corpusDir).take(8) + "/" + name
+  }
 
   /** The generation dir a given corpus content key commits to / reads
     * from — `<root>/<md5(key)>`. Exposed for the spec, which injects

@@ -164,12 +164,13 @@ object PipelineQueries {
     //  - batch 1: event-driven closes from file 2 — INCLUDING sessions
     //    whose state carried across the batch boundary — plus TIMEOUT
     //    closes of file-1 finals whose close instant
-    //    ceil((last+gap)/1000)+1 ms is at or before the post-batch-0
-    //    watermark floor(max_file1_us/1000) − 600000 ms (a key with
-    //    batch-1 data never takes the timeout path, and a session
-    //    extended in batch 1 has target > that watermark by
+    //    ceil((last+gap)/1000)+1 ms is STRICTLY before the post-batch-0
+    //    watermark floor(max_file1_us/1000) − 600000 ms (Spark fires a
+    //    timeout only when timeoutTimestamp < watermark — ADVICE r17;
+    //    a key with batch-1 data never takes the timeout path, and a
+    //    session extended in batch 1 has target > that watermark by
     //    construction — the attribution is exact, not heuristic);
-    //  - batch 2 (the no-data batch): remaining finals at or before
+    //  - batch 2 (the no-data batch): remaining finals strictly before
     //    the final watermark. Finals inside the 10-minute horizon stay
     //    in state — the landed relation also gates their non-emission.
     "session_replay" -> ((s, d) => {
@@ -547,11 +548,11 @@ object PipelineQueries {
     // attribution: a non-final session closes event-driven in the
     // batch holding its SUCCESSOR's first event (file 1 => 0, file 2
     // => 1); a final session times out in batch 1 iff its close
-    // instant ceil((last+gap)/1000)+1 ms is at or before the
+    // instant ceil((last+gap)/1000)+1 ms is STRICTLY before the
     // post-batch-0 watermark (only reachable for file-1-only finals —
     // an extended session's target exceeds that watermark by
-    // construction), else in the no-data batch 2 iff at or before the
-    // final watermark; later finals stay in state and never land
+    // construction), else in the no-data batch 2 iff strictly before
+    // the final watermark; later finals stay in state and never land
     "session_replay" ->
       ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "b AS (SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS split, " +
@@ -574,9 +575,13 @@ object PipelineQueries {
         "CASE WHEN next_first IS NOT NULL THEN " +
         "(CASE WHEN next_first <= (SELECT split FROM b) THEN CAST(0 AS BIGINT) " +
         "ELSE CAST(1 AS BIGINT) END) " +
-        "WHEN (last_us + 1800000000) // 1000 + 1 <= (SELECT w FROM w1) " +
+        // STRICT <, not <=: Spark fires EventTimeTimeout only when the
+        // stored timeoutTimestamp is strictly below the eviction
+        // watermark (ADVICE r17 — a target landing exactly ON the
+        // watermark defers to the next batch / never fires)
+        "WHEN (last_us + 1800000000) // 1000 + 1 < (SELECT w FROM w1) " +
         "THEN CAST(1 AS BIGINT) " +
-        "WHEN (last_us + 1800000000) // 1000 + 1 <= (SELECT w FROM w2) " +
+        "WHEN (last_us + 1800000000) // 1000 + 1 < (SELECT w FROM w2) " +
         "THEN CAST(2 AS BIGINT) ELSE NULL END AS batch_id FROM sx) " +
         "WHERE batch_id IS NOT NULL ORDER BY user_id, session_start"),
     // the greedy repeat-cycle fold as a recursive cycle chain: cycle k

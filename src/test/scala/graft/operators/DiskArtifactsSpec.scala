@@ -116,13 +116,48 @@ class DiskArtifactsSpec extends AnyFunSuite {
     assert(listing(gen) == afterCorrupt,
       "an under-an-hour-old generation is never repaired in place")
     // age the dir past the hour: the next populate repairs it (delete +
-    // fresh commit) and the one after hits again
+    // fresh commit) and the one after hits again. The sentinel file
+    // proves the repair DELETED the corrupt dir and recommitted a fresh
+    // staging rather than patching in place (VERDICT r17 ask #4)
+    assert(new java.io.File(gen, "_SENTINEL").createNewFile())
     assert(gen.setLastModified(System.currentTimeMillis() - 2L * 3600L * 1000L))
     val (_, h2) = load()
     assert(!h2, "the repairing populate itself is a cold build")
     assert(new java.io.File(gen, "_KEY").exists, "repair must recommit _KEY")
+    assert(!new java.io.File(gen, "_SENTINEL").exists,
+      "repair must delete the corrupt generation, not patch it in place")
     val (_, h3) = load()
     assert(h3, "post-repair load must hit")
+  }
+
+  test("hour-stale OLD-LAYOUT roots are reaped; new-layout roots survive") {
+    // ADVICE r17: pre-generation-layout roots (no -<pathmd5> suffix)
+    // were orphaned by the rename — nothing scanned them, so they
+    // leaked forever. The one-time sweep reaps hour-stale old-layout
+    // dirs and leaves suffixed (new-layout) ones alone. The sweep
+    // latch is per-JVM and an earlier test's load may already have
+    // tripped it, so re-arm it before staging the fixture dirs.
+    val base = System.getProperty("java.io.tmpdir")
+    val old = new java.io.File(base, "graft-artifacts-_spec_old_layout")
+    val nw = new java.io.File(base, "graft-artifacts-_spec_new_layout-0123abcd")
+    try {
+      assert(old.mkdirs() && new java.io.File(old, "x").createNewFile())
+      assert(nw.mkdirs())
+      assert(old.setLastModified(System.currentTimeMillis() - 2L * 3600L * 1000L))
+      assert(nw.setLastModified(System.currentTimeMillis() - 2L * 3600L * 1000L))
+      DiskArtifacts.resetOldLayoutReapForSpec()
+      val corpus = freshCorpus("reap")
+      DiskArtifacts.loadOrBuild(spark, corpus, "t_rel") {
+        spark.range(2).toDF("id").localCheckpoint()
+      }
+      assert(!old.exists, "hour-stale old-layout root must be reaped")
+      assert(nw.exists, "new-layout roots are NEVER touched by the old-layout sweep")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      Seq(old, nw).foreach(rm)
+    }
   }
 
   test("distinct corpus paths with identical sanitized names do not share a root") {

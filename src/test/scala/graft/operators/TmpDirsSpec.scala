@@ -39,4 +39,32 @@ class TmpDirsSpec extends AnyFunSuite {
       Seq(stale, fresh).foreach(rm)
     }
   }
+
+  test("stageLandingFile is re-entrant: a second stage into the same dest " +
+    "replaces the file (never silently keeps the stale one) and re-pins mtime") {
+    // VERDICT r17 ask #5: fs.rename onto an existing dest returns false
+    // on the local filesystem; before the require()+replace, a caller
+    // whose marker write crashed after staging would re-enter and
+    // silently keep the FIRST file.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage-spec").toString
+    try {
+      val dest = s"$dir/in/landing.parquet"
+      TmpDirs.stageLandingFile(spark, Seq((1L, "old")).toDF("id", "v"), dest, 1000000L)
+      assert(new java.io.File(dest).lastModified() == 1000000L)
+      TmpDirs.stageLandingFile(spark, Seq((2L, "new"), (3L, "new")).toDF("id", "v"),
+        dest, 2000000L)
+      val f = new java.io.File(dest)
+      assert(f.lastModified() == 2000000L, "re-stage must re-pin the mtime")
+      val rows = spark.read.parquet(dest).orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L),
+        "re-stage must land the SECOND dataframe, not keep the stale file")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
