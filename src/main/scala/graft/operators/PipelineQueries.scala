@@ -173,45 +173,24 @@ object PipelineQueries {
     //  - batch 2 (the no-data batch): remaining finals strictly before
     //    the final watermark. Finals inside the 10-minute horizon stay
     //    in state — the landed relation also gates their non-emission.
-    "session_replay" -> ((s, d) => {
-      import s.implicits._
-      val base = TmpDirs.salted(s, "sessrelay", d)
-      val inDir = base + "/in"
-      val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
-      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(donePath)) {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
-        val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
-        val split = (mm.getLong(0) + mm.getLong(1)) / 2
-        val now = System.currentTimeMillis()
-        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") <= split),
-          s"$inDir/ev1.parquet", now - 20000)
-        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
-          s"$inDir/ev2.parquet", now - 10000)
-        fs.create(donePath, true).close()
-      }
-      val stream = s.readStream
-        .schema("user_id LONG, event_id LONG, tsMicros LONG")
-        .option("maxFilesPerTrigger", 1L)
-        .parquet(inDir)
-        .as[graft.streaming.EventStreams.EventIn]
-      val q = graft.streaming.EventStreams.sessionizeBounded(stream)
-        .writeStream
-        .option("checkpointLocation", base + "/ckpt")
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.SessionOut],
-           batchId: Long) =>
-            graft.BatchSink.writeBatch(b.toDF(), batchId, base + "/out", full = false)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(base + "/out").select(
-        col("user_id"), col("session_start"), col("n_events"),
-        col("batch_id").cast("long").as("batch_id"))
-        .orderBy("user_id", "session_start")
-    }),
+    "session_replay" -> ((s, d) => sessionReplayLanded(s, d, "sessrelay", lateFile = false)),
+    // The LATE-DATA DROP arm hash-gated (VERDICT r17 ask #3 — the one
+    // streaming semantics branch with no hash evidence): same two
+    // staged micro-batches as session_replay, plus a THIRD landing file
+    // replaying file-1 events at least 2× the watermark delay behind
+    // file 1's max — provably late under BOTH the eviction watermark
+    // and the one-batch-lagged input filter (see the staging note in
+    // sessionReplayLanded), so the stream must DROP the whole
+    // batch. The oracle is session_replay's relation unchanged: if any
+    // late event were accepted, batch 2's timeout closes would change
+    // (a late event for a pending final perturbs n_events and defers
+    // its timeout target past the frozen watermark — the close row
+    // VANISHES) and resurrected users would land rows in later batches
+    // the oracle doesn't have; the shared batch_id column makes any
+    // row past batch 2 a mismatch too. No new sessions, no
+    // resurrections, no timeout drift — the drop arm of
+    // sessionizeBounded (EventStreams.scala) is now driver-gated.
+    "session_replay_late" -> ((s, d) => sessionReplayLanded(s, d, "sesslate", lateFile = true)),
     // The OTHER bounded-streaming operator hash-gated (VERDICT r16 ask
     // #5 named either; session_replay covers sessionizeBounded, this
     // covers funnelAdvanceBounded): events replayed through the
@@ -233,46 +212,17 @@ object PipelineQueries {
     // (ts, type) sort puts 'view' after 'purchase'), click/purchase
     // strictly after the prior step, partial last cycles emit their
     // reached prefix, batch = which half holds the step's event.
-    "funnel_advance_replay" -> ((s, d) => {
-      import s.implicits._
-      val base = TmpDirs.salted(s, "funnelrelay", d)
-      val inDir = base + "/in"
-      val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
-      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(donePath)) {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros"))
-        val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
-        val split = (mm.getLong(0) + mm.getLong(1)) / 2
-        val now = System.currentTimeMillis()
-        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") <= split),
-          s"$inDir/ev1.parquet", now - 20000)
-        TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
-          s"$inDir/ev2.parquet", now - 10000)
-        fs.create(donePath, true).close()
-      }
-      val stream = s.readStream
-        .schema("user_id LONG, event_type STRING, tsMicros LONG")
-        .option("maxFilesPerTrigger", 1L)
-        .parquet(inDir)
-        .as[graft.streaming.EventStreams.FunnelIn]
-      val q = graft.streaming.EventStreams.funnelAdvanceBounded(stream)
-        .writeStream
-        .option("checkpointLocation", base + "/ckpt")
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.FunnelOut],
-           batchId: Long) =>
-            graft.BatchSink.writeBatch(b.toDF(), batchId, base + "/out", full = false)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(base + "/out").select(
-        col("user_id"), col("step"), col("step_type"),
-        col("tsMicros").as("ts_us"),
-        col("batch_id").cast("long").as("batch_id"))
-        .orderBy("user_id", "ts_us")
-    }),
+    "funnel_advance_replay" -> ((s, d) => funnelReplayLanded(s, d, "funnelrelay", lateFile = false)),
+    // funnelAdvanceBounded's late-data arm (VERDICT r17 ask #3, the
+    // funnel half): the third landing file replays file 1's funnel
+    // events, all provably behind the post-batch-1 watermark — the
+    // stream must IGNORE them. Sharpness: completion CLEARS state, so
+    // if a late 'view' survived the watermark filter it would open a
+    // fresh cycle for a completed user and land a step-1 row in batch 2
+    // that funnel_advance_replay's oracle does not have (the timeout
+    // path only evicts, emitting nothing, so a correct run lands zero
+    // rows past batch 1).
+    "funnel_advance_late" -> ((s, d) => funnelReplayLanded(s, d, "funnellate", lateFile = true)),
     // A5 per-batch grouping as a HASH-GATED artifact (VERDICT r15 ask
     // #7): the real embedStage run with tagBatches over the canonical
     // one-sorted-partition layout, aggregated to the batch-boundary
@@ -425,6 +375,126 @@ object PipelineQueries {
     })
   )
 
+  /** Shared staging + replay body of `session_replay` / `_late`: split
+    * the events corpus at its time-range midpoint into two
+    * event-time-ordered landing files (pinned mtimes,
+    * maxFilesPerTrigger = 1 ⇒ one micro-batch each), optionally stage a
+    * THIRD file replaying file 1's events verbatim — all of them far
+    * behind the post-batch-1 watermark (~15-day-old events vs a
+    * 10-minute delay), the deliberate late-data batch — then run the
+    * REAL sessionizeBounded and land every emission under its
+    * micro-batch id.
+    */
+  private def sessionReplayLanded(s: SparkSession, d: String, family: String,
+                                  lateFile: Boolean): DataFrame = {
+    import s.implicits._
+    val base = TmpDirs.salted(s, family, d)
+    val inDir = base + "/in"
+    val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
+      val split = (mm.getLong(0) + mm.getLong(1)) / 2
+      val now = System.currentTimeMillis()
+      val file1 = ev.filter(col("tsMicros") <= split)
+      TmpDirs.stageLandingFile(s, file1, s"$inDir/ev1.parquet", now - 30000)
+      TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
+        s"$inDir/ev2.parquet", now - 20000)
+      if (lateFile) {
+        // MEASURED Spark semantic (pinned by this gate failing without
+        // the margin): the late-INPUT filter in batch N uses the
+        // watermark of batch N-1 while timeout EVICTION uses batch N's
+        // — one batch of lag. A file-1 event within the 10-minute
+        // delay of file 1's max would therefore SURVIVE batch 2's
+        // filter (it beats the post-batch-0 watermark), extend a
+        // pending session and re-arm its timer past the frozen final
+        // watermark. Replay only events ≥ 2× the delay behind file 1's
+        // max: late under BOTH watermarks, with margin for ms rounding.
+        val mx1 = file1.agg(max(col("tsMicros"))).head().getLong(0)
+        TmpDirs.stageLandingFile(s,
+          ev.filter(col("tsMicros") <= mx1 - 1200000000L),
+          s"$inDir/ev3_late.parquet", now - 10000)
+      }
+      fs.create(donePath, true).close()
+    }
+    val stream = s.readStream
+      .schema("user_id LONG, event_id LONG, tsMicros LONG")
+      .option("maxFilesPerTrigger", 1L)
+      .parquet(inDir)
+      .as[graft.streaming.EventStreams.EventIn]
+    val q = graft.streaming.EventStreams.sessionizeBounded(stream)
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.SessionOut],
+         batchId: Long) =>
+          graft.BatchSink.writeBatch(b.toDF(), batchId, base + "/out", full = false)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(base + "/out").select(
+      col("user_id"), col("session_start"), col("n_events"),
+      col("batch_id").cast("long").as("batch_id"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** The funnel twin of [[sessionReplayLanded]] — same staging
+    * discipline over (user_id, event_type) funnel events through the
+    * REAL funnelAdvanceBounded.
+    */
+  private def funnelReplayLanded(s: SparkSession, d: String, family: String,
+                                 lateFile: Boolean): DataFrame = {
+    import s.implicits._
+    val base = TmpDirs.salted(s, family, d)
+    val inDir = base + "/in"
+    val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros"))
+      val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
+      val split = (mm.getLong(0) + mm.getLong(1)) / 2
+      val now = System.currentTimeMillis()
+      val file1 = ev.filter(col("tsMicros") <= split)
+      TmpDirs.stageLandingFile(s, file1, s"$inDir/ev1.parquet", now - 30000)
+      TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
+        s"$inDir/ev2.parquet", now - 20000)
+      if (lateFile) {
+        // 2×-delay margin vs file 1's max — the late-input filter lags
+        // the eviction watermark by one batch (see sessionReplayLanded)
+        val mx1 = file1.agg(max(col("tsMicros"))).head().getLong(0)
+        TmpDirs.stageLandingFile(s,
+          ev.filter(col("tsMicros") <= mx1 - 1200000000L),
+          s"$inDir/ev3_late.parquet", now - 10000)
+      }
+      fs.create(donePath, true).close()
+    }
+    val stream = s.readStream
+      .schema("user_id LONG, event_type STRING, tsMicros LONG")
+      .option("maxFilesPerTrigger", 1L)
+      .parquet(inDir)
+      .as[graft.streaming.EventStreams.FunnelIn]
+    val q = graft.streaming.EventStreams.funnelAdvanceBounded(stream)
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.FunnelOut],
+         batchId: Long) =>
+          graft.BatchSink.writeBatch(b.toDF(), batchId, base + "/out", full = false)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(base + "/out").select(
+      col("user_id"), col("step"), col("step_type"),
+      col("tsMicros").as("ts_us"),
+      col("batch_id").cast("long").as("batch_id"))
+      .orderBy("user_id", "ts_us")
+  }
+
   // DuckDB mirrors. Shared fragments:
   private val filteredDocs =
     "SELECT * FROM documents WHERE length(trim(text)) > 0 AND n_chars <= 52428800"
@@ -443,7 +513,7 @@ object PipelineQueries {
       "CASE WHEN regexp_matches(chunk_text, '[A-Za-z]') THEN 'en' END, " +
       "CASE WHEN regexp_matches(chunk_text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END)"
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "shard_export_manifest" ->
       ("SELECT doc_id % 8 AS shard, count(*) AS n_rows, " +
         "min(doc_id) AS min_key, max(doc_id) AS max_key " +
@@ -710,4 +780,14 @@ object PipelineQueries {
         "FROM c WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh') " +
         "ORDER BY source_drive_file, chunk_index")
   )
+
+  /** The late-data gates reuse their base queries' oracles VERBATIM:
+    * a correct stream drops the provably-late third batch, so the
+    * landed relation must be identical to the two-batch run — any
+    * accepted late event, resurrected session/funnel cycle, or
+    * timeout-target drift hash-mismatches against the unchanged oracle.
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "session_replay_late" -> oraclesBase("session_replay"),
+    "funnel_advance_late" -> oraclesBase("funnel_advance_replay"))
 }
