@@ -112,32 +112,8 @@ object PipelineQueries {
     // per-JVM init is pinned by a marker file (init is a full
     // overwrite, so a crash mid-init just re-inits).
     "relay_index_state" -> ((s, d) => {
-      val base = TmpDirs.salted(s, "idxrelay", d)
-      val docs = Tables.documents(s, d)
+      val base = ensureIdxRelay(s, d)
       val dedupDir = base + "/dedup"; val annDir = base + "/ann"
-      val inDir = base + "/in"
-      val donePath = new org.apache.hadoop.fs.Path(base + "/_INIT_DONE")
-      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(donePath)) {
-        val now = System.currentTimeMillis()
-        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 0),
-          s"$inDir/in1.parquet", now - 20000)
-        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 5),
-          s"$inDir/in2.parquet", now - 10000)
-        val existing = docs.filter(col("doc_id") % 5 =!= 0)
-        DedupIndex.init(existing, dedupDir)
-        val emb = IngestPipeline.embedStage(
-            existing.select(col("doc_id"), col("text").as("embedded_text")))
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-        AnnIndex.init(emb, annDir,
-          quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
-        fs.create(donePath, true).close()
-      }
-      val q = graft.streaming.EventStreams.indexMaintenanceRelay(
-        s, inDir, dedupDir, annDir, base + "/ckpt",
-        maxFilesPerTrigger = Some(1),
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination()
       val fp = s.read.parquet(s"$dedupDir/fp").select(
         lit("fp").as("store"), col("fp").as("k1"),
         col("batch_id").cast("long").as("batch_id"))
@@ -150,6 +126,67 @@ object PipelineQueries {
         col("batch_id").cast("long").as("batch_id"))
       fp.unionByName(bands).unionByName(cells)
         .orderBy("store", "k1", "batch_id")
+    }),
+    // The maintenance relay's MODEL/SKETCH/PQ stores driver-gated
+    // (VERDICT r17 ask #2 — previously pinned only by
+    // StreamingIndexSpec): the SAME relay run as relay_index_state
+    // (shared ensureIdxRelay — one init + two maintenance cycles per
+    // JVM serve both gates) also maintains the NB quality-classifier
+    // statistics, the language-ID statistics, the BPE vocab counts,
+    // the per-source union-minhash and KMV-distinct sketches, and the
+    // PQ code store. This key reads back ONLY those persisted tables,
+    // normalized to one (store, k1, n, batch_id) relation:
+    //  - nbc1/nbc0/nbp: per-bucket class token counts + class priors
+    //    over each batch's TRAIN docs — value-exact;
+    //  - langc/langp: per-(lang, bucket) train counts + per-lang
+    //    priors — value-exact;
+    //  - bpe: full per-batch vocab word counts — value-exact (the
+    //    fold-exactness contract: per-batch FULL counts, not top-V);
+    //  - sketch: the (source, perm, m) minhash cells — value-exact
+    //    (m is the md5 minimum itself);
+    //  - kmv: the per-source 64-smallest distinct shingle hashes —
+    //    value-exact;
+    //  - pq: per-batch code membership (code VALUES depend on the
+    //    hash-projection embedding, which DuckDB cannot mirror — same
+    //    membership-level gate as relay_index_state's `cells`).
+    // The oracle recomputes each store's sufficient statistics in
+    // closed form over the SAME three doc sets the relay must have
+    // used — init (batch 0) and the two survivor sets acc1/acc2 —
+    // so a store updated from the wrong doc set (e.g. raw arrivals
+    // instead of dedup survivors), a skipped batch, or a torn write
+    // hash-mismatches.
+    "relay_model_state" -> ((s, d) => {
+      val base = ensureIdxRelay(s, d)
+      def rd(sub: String) = s.read.parquet(s"$base/$sub")
+      val nbc = rd("nbmodel/counts")
+      val nb1 = nbc.select(lit("nbc1").as("store"), col("b").cast("string").as("k1"),
+        col("c1").cast("long").as("n"), col("batch_id").cast("long").as("batch_id"))
+      val nb0 = nbc.select(lit("nbc0").as("store"), col("b").cast("string").as("k1"),
+        col("c0").cast("long").as("n"), col("batch_id").cast("long").as("batch_id"))
+      val nbprs = rd("nbmodel/priors")
+      val nbp = nbprs.select(lit("nbp").as("store"), lit("n1").as("k1"),
+          col("n1").cast("long").as("n"), col("batch_id").cast("long").as("batch_id"))
+        .unionByName(nbprs.select(lit("nbp").as("store"), lit("n0").as("k1"),
+          col("n0").cast("long").as("n"), col("batch_id").cast("long").as("batch_id")))
+      val lc = rd("langmodel/counts").select(lit("langc").as("store"),
+        concat_ws("|", col("lang"), col("b").cast("string")).as("k1"),
+        col("c").cast("long").as("n"), col("batch_id").cast("long").as("batch_id"))
+      val lp = rd("langmodel/priors").select(lit("langp").as("store"),
+        col("lang").as("k1"), col("np").cast("long").as("n"),
+        col("batch_id").cast("long").as("batch_id"))
+      val bpe = rd("bpestats").select(lit("bpe").as("store"), col("word").as("k1"),
+        col("cnt").cast("long").as("n"), col("batch_id").cast("long").as("batch_id"))
+      val sk = rd("sketch").select(lit("sketch").as("store"),
+        concat_ws("|", col("source"), col("perm").cast("string"), col("m")).as("k1"),
+        lit(0L).as("n"), col("batch_id").cast("long").as("batch_id"))
+      val kmv = rd("distinct").select(lit("kmv").as("store"), col("source").as("k1"),
+        col("h").cast("long").as("n"), col("batch_id").cast("long").as("batch_id"))
+      val pq = rd("pq/codes").select(lit("pq").as("store"),
+        col("vec_id").cast("string").as("k1"), lit(0L).as("n"),
+        col("batch_id").cast("long").as("batch_id"))
+      nb1.unionByName(nb0).unionByName(nbp).unionByName(lc).unionByName(lp)
+        .unionByName(bpe).unionByName(sk).unionByName(kmv).unionByName(pq)
+        .orderBy("store", "k1", "n", "batch_id")
     }),
     // A BOUNDED-streaming emission hash-gated (VERDICT r16 ask #5): the
     // events corpus replayed through sessionizeBounded — the
@@ -375,6 +412,68 @@ object PipelineQueries {
     })
   )
 
+  /** The ONE maintenance-relay run behind `relay_index_state` AND
+    * `relay_model_state` (r18): init EVERY store the relay maintains
+    * from the 80% existing corpus (doc_id % 5 != 0, batch 0), stage the
+    * remaining 20% as two mtime-ordered landing files (doc_id % 10 == 0
+    * then % 10 == 5; maxFilesPerTrigger = 1 ⇒ two maintenance cycles,
+    * batches 1 and 2), and drive the REAL indexMaintenanceRelay with
+    * all optional store dirs wired. Reruns are exactly-once: the
+    * per-JVM marker pins init (a full overwrite, so a crash mid-init
+    * re-inits), the checkpoint remembers both files, AvailableNow finds
+    * no new work, and both gate queries then just re-read the stored
+    * tables. Sharing one run halves the relay cost of the two gates.
+    */
+  private def ensureIdxRelay(s: SparkSession, d: String): String = {
+    val base = TmpDirs.salted(s, "idxrelay", d)
+    val docs = Tables.documents(s, d)
+    val dedupDir = base + "/dedup"; val annDir = base + "/ann"
+    val inDir = base + "/in"
+    val donePath = new org.apache.hadoop.fs.Path(base + "/_INIT_DONE")
+    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(donePath)) {
+      val now = System.currentTimeMillis()
+      TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 0),
+        s"$inDir/in1.parquet", now - 20000)
+      TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 5),
+        s"$inDir/in2.parquet", now - 10000)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      DedupIndex.init(existing, dedupDir)
+      // one embed pass feeds both vector-store inits
+      val emb = IngestPipeline.embedStage(
+          existing.select(col("doc_id"), col("text").as("embedded_text")))
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      AnnIndex.init(emb, annDir,
+        quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
+      // the default id-slice (100..107) straddles doc_ids divisible by
+      // 5, which the existing side excludes — pre-filter to 101..104,
+      // the longest contiguous in-corpus run (K shrinks to 4, which
+      // init and encode agree on by construction)
+      AnnPqStore.init(emb, s"$base/pq",
+        codebooks = Some(AnnPq.codebooks(
+          emb.filter(col("vec_id").between(101L, 104L)), baseId = 101L)))
+      SourceSketch.init(existing, s"$base/sketch")
+      DistinctSketch.init(existing, s"$base/distinct")
+      NbModelStore.init(existing, s"$base/nbmodel")
+      LangModelStore.init(existing, s"$base/langmodel")
+      BpeStatsStore.init(existing, s"$base/bpestats")
+      fs.create(donePath, true).close()
+    }
+    val q = graft.streaming.EventStreams.indexMaintenanceRelay(
+      s, inDir, dedupDir, annDir, base + "/ckpt",
+      maxFilesPerTrigger = Some(1),
+      pqDir = Some(s"$base/pq"),
+      sketchDir = Some(s"$base/sketch"),
+      distinctSketchDir = Some(s"$base/distinct"),
+      nbModelDir = Some(s"$base/nbmodel"),
+      langModelDir = Some(s"$base/langmodel"),
+      bpeStatsDir = Some(s"$base/bpestats"),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    base
+  }
+
   /** Shared staging + replay body of `session_replay` / `_late`: split
     * the events corpus at its time-range midpoint into two
     * event-time-ordered landing files (pinned mtimes,
@@ -513,7 +612,112 @@ object PipelineQueries {
       "CASE WHEN regexp_matches(chunk_text, '[A-Za-z]') THEN 'en' END, " +
       "CASE WHEN regexp_matches(chunk_text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' END)"
 
+  /** The relay gates' shared survivor derivation: per-doc minhash
+    * bands (DedupQueries.shingleSqlRel — the proven dedup_incremental
+    * CTEs), then two accept cycles — acc1 vs the init corpus
+    * (doc_id % 5 <> 0), acc2 vs init ∪ acc1 (the cross-batch
+    * visibility property). NOT EXISTS (not NOT IN): anti-join
+    * semantics — see incrementalSql.
+    */
+  private val relayAccCtes: String =
+    s"sh AS (SELECT DISTINCT doc_id, sh FROM (${DedupQueries.shingleSqlRel})), " +
+      "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
+      "FROM sh, unnest(range(16)) AS r(i)), " +
+      "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
+      "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
+      "FROM mh GROUP BY doc_id, perm // 4), " +
+      "surv1 AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 10 = 0 " +
+      "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 5 <> 0 " +
+      "AND md5(e.text) = md5(d.text))), " +
+      "nd1 AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
+      "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
+      "WHERE i.doc_id IN (SELECT doc_id FROM surv1)), " +
+      "acc1 AS (SELECT s.doc_id, s.fp FROM surv1 s WHERE NOT EXISTS " +
+      "(SELECT 1 FROM nd1 WHERE nd1.doc_id = s.doc_id) " +
+      "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1), " +
+      "surv2 AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 10 = 5 " +
+      "AND NOT EXISTS (SELECT 1 FROM documents e WHERE (e.doc_id % 5 <> 0 " +
+      "OR e.doc_id IN (SELECT doc_id FROM acc1)) AND md5(e.text) = md5(d.text))), " +
+      "nd2 AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
+      "ON i.band = e.band AND i.sig = e.sig " +
+      "WHERE (e.doc_id % 5 <> 0 OR e.doc_id IN (SELECT doc_id FROM acc1)) " +
+      "AND i.doc_id IN (SELECT doc_id FROM surv2)), " +
+      "acc2 AS (SELECT s.doc_id, s.fp FROM surv2 s WHERE NOT EXISTS " +
+      "(SELECT 1 FROM nd2 WHERE nd2.doc_id = s.doc_id) " +
+      "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1)"
+
+  /** One batch's model/sketch-store statistics over a doc set `ds`
+    * (doc_id, text, lang, source), normalized to (store, k1, n,
+    * batch_id). Each CTE chain is a copy of its PROVEN oracle sibling:
+    * nb from quality_classifier_model's, lang from
+    * lang_classifier_model's, bpe from bpe_merges' word counts, sketch
+    * from source_overlap_minhash's md5(i:sh) minima, kmv from
+    * distinct_kmv's 64-smallest distinct hash60s. `pq` gates code-row
+    * MEMBERSHIP (the code values depend on the hash-projection
+    * embedding, which DuckDB cannot mirror).
+    */
+  private def modelStateBatchSql(ds: String, b: Int): String = {
+    val tokBucketSql =
+      "CAST(list_reduce([strpos('0123456789abcdef', x) - 1 for x in " +
+        "regexp_extract_all(substr(md5(tok), 1, 4), '.')], (a,b) -> a*16 + b) % 64 AS INT)"
+    val bucketSql = graft.functions.TextSql.bucketSql()
+    val tokensSql = graft.functions.TextSql.tokens("lower(text)")
+    s"SELECT store, k1, n, CAST($b AS BIGINT) AS batch_id FROM (" +
+      s"WITH ds AS ($ds), " +
+      s"tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM ds), " +
+      s"lb AS (SELECT doc_id, CAST(100 * count(*) FILTER (tok IN " +
+      s"${graft.functions.TextSql.StopwordsSql}) >= 7 * count(*) AS INT) AS y, " +
+      s"$bucketSql < 80 AS tr FROM tk GROUP BY doc_id), " +
+      s"nbcc AS (SELECT $tokBucketSql AS b, " +
+      "CAST(count(*) FILTER (y = 1) AS BIGINT) AS c1, " +
+      "CAST(count(*) FILTER (y = 0) AS BIGINT) AS c0 " +
+      "FROM tk JOIN lb USING (doc_id) WHERE tr GROUP BY 1), " +
+      "nbpr AS (SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1, " +
+      "CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0 FROM lb WHERE tr), " +
+      s"llb AS (SELECT doc_id, lang, $bucketSql < 80 AS tr FROM ds), " +
+      s"lcc AS (SELECT llb.lang, $tokBucketSql AS b, CAST(count(*) AS BIGINT) AS c " +
+      "FROM tk JOIN llb USING (doc_id) WHERE llb.tr GROUP BY 1, 2), " +
+      "lpr AS (SELECT lang, CAST(count(*) AS BIGINT) AS np FROM llb WHERE tr GROUP BY 1), " +
+      "bpe AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1), " +
+      s"dsh AS (SELECT source, unnest(${graft.functions.TextSql.shingles("toks")}) AS sh " +
+      s"FROM (SELECT source, ${graft.functions.TextSql.tokens("text")} AS toks FROM ds)), " +
+      "ssh AS (SELECT DISTINCT source, sh FROM dsh), " +
+      "smh AS (SELECT source, r.i AS perm, min(md5(r.i::VARCHAR || ':' || sh)) AS m " +
+      "FROM ssh, unnest(range(16)) AS r(i) GROUP BY 1, 2), " +
+      "kh AS (SELECT DISTINCT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM dsh), " +
+      "kmv AS (SELECT source, h FROM (SELECT source, h, " +
+      "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM kh) WHERE rn <= 64) " +
+      "SELECT 'nbc1' AS store, CAST(b AS VARCHAR) AS k1, c1 AS n FROM nbcc " +
+      "UNION ALL SELECT 'nbc0', CAST(b AS VARCHAR), c0 FROM nbcc " +
+      "UNION ALL SELECT 'nbp', 'n1', n1 FROM nbpr " +
+      "UNION ALL SELECT 'nbp', 'n0', n0 FROM nbpr " +
+      "UNION ALL SELECT 'langc', lang || '|' || CAST(b AS VARCHAR), c FROM lcc " +
+      "UNION ALL SELECT 'langp', lang, np FROM lpr " +
+      "UNION ALL SELECT 'bpe', word, cnt FROM bpe " +
+      "UNION ALL SELECT 'sketch', source || '|' || CAST(perm AS VARCHAR) || '|' || m, " +
+      "CAST(0 AS BIGINT) FROM smh " +
+      "UNION ALL SELECT 'kmv', source, h FROM kmv " +
+      "UNION ALL SELECT 'pq', CAST(doc_id AS VARCHAR), CAST(0 AS BIGINT) FROM ds" +
+      ")"
+  }
+
+  private val modelStateDocCols = "doc_id, text, lang, source"
+
   private val oraclesBase: Map[String, String] = Map(
+    "relay_model_state" ->
+      (s"WITH $relayAccCtes " +
+        "SELECT * FROM (" +
+        modelStateBatchSql(
+          s"SELECT $modelStateDocCols FROM documents WHERE doc_id % 5 <> 0", 0) +
+        " UNION ALL " +
+        modelStateBatchSql(
+          s"SELECT $modelStateDocCols FROM documents " +
+            "WHERE doc_id IN (SELECT doc_id FROM acc1)", 1) +
+        " UNION ALL " +
+        modelStateBatchSql(
+          s"SELECT $modelStateDocCols FROM documents " +
+            "WHERE doc_id IN (SELECT doc_id FROM acc2)", 2) +
+        ") ORDER BY store, k1, n, batch_id"),
     "shard_export_manifest" ->
       ("SELECT doc_id % 8 AS shard, count(*) AS n_rows, " +
         "min(doc_id) AS min_key, max(doc_id) AS max_key " +
@@ -573,32 +777,7 @@ object PipelineQueries {
     // cross-batch visibility the relay must provide — composed to the
     // per-store (k1, batch_id) membership relation
     "relay_index_state" ->
-      (s"WITH sh AS (SELECT DISTINCT doc_id, sh FROM (${DedupQueries.shingleSqlRel})), " +
-        "hx AS (SELECT doc_id, r.i AS perm, md5(r.i::VARCHAR || ':' || sh) AS h " +
-        "FROM sh, unnest(range(16)) AS r(i)), " +
-        "mh AS (SELECT doc_id, perm, min(h) AS m FROM hx GROUP BY doc_id, perm), " +
-        "bd AS (SELECT doc_id, perm // 4 AS band, string_agg(m, '_' ORDER BY perm) AS sig " +
-        "FROM mh GROUP BY doc_id, perm // 4), " +
-        // NOT EXISTS (not NOT IN): anti-join semantics — see incrementalSql
-        "surv1 AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 10 = 0 " +
-        "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 5 <> 0 " +
-        "AND md5(e.text) = md5(d.text))), " +
-        "nd1 AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
-        "ON i.band = e.band AND i.sig = e.sig AND e.doc_id % 5 <> 0 " +
-        "WHERE i.doc_id IN (SELECT doc_id FROM surv1)), " +
-        "acc1 AS (SELECT s.doc_id, s.fp FROM surv1 s WHERE NOT EXISTS " +
-        "(SELECT 1 FROM nd1 WHERE nd1.doc_id = s.doc_id) " +
-        "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1), " +
-        "surv2 AS (SELECT d.doc_id, md5(d.text) AS fp FROM documents d WHERE d.doc_id % 10 = 5 " +
-        "AND NOT EXISTS (SELECT 1 FROM documents e WHERE (e.doc_id % 5 <> 0 " +
-        "OR e.doc_id IN (SELECT doc_id FROM acc1)) AND md5(e.text) = md5(d.text))), " +
-        "nd2 AS (SELECT DISTINCT i.doc_id FROM bd i JOIN bd e " +
-        "ON i.band = e.band AND i.sig = e.sig " +
-        "WHERE (e.doc_id % 5 <> 0 OR e.doc_id IN (SELECT doc_id FROM acc1)) " +
-        "AND i.doc_id IN (SELECT doc_id FROM surv2)), " +
-        "acc2 AS (SELECT s.doc_id, s.fp FROM surv2 s WHERE NOT EXISTS " +
-        "(SELECT 1 FROM nd2 WHERE nd2.doc_id = s.doc_id) " +
-        "QUALIFY row_number() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1) " +
+      (s"WITH $relayAccCtes " +
         "SELECT * FROM (" +
         "SELECT 'fp' AS store, fp AS k1, CAST(0 AS BIGINT) AS batch_id FROM " +
         "(SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0) " +
