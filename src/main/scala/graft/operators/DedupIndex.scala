@@ -372,18 +372,39 @@ object DedupIndex {
   /** Create/replace the bucketed index tables from an initial corpus
     * (batch 0). fp is bucketed by `fp`, bands by `(band, sig)` — each
     * table's own join key.
+    *
+    * `location = Some(dir)` creates EXTERNAL tables at `dir/fp` and
+    * `dir/bands` instead of warehouse-managed ones — the deployment
+    * shape where the table data lives with the pipeline's other
+    * artifacts (and, for the driver-gated relay replay, inside a
+    * salted tmp root its GC already owns). Because DROP TABLE leaves
+    * external data behind, a re-init CLEARS the two locations first —
+    * the init contract ("a rebuild can never leave stale batch
+    * partitions behind") must hold for both table kinds. Note
+    * `compactBucketed`'s staging swap stays warehouse-managed; it is
+    * quiesce-only anyway and a compacted external store should be
+    * re-inited at its location afterwards if external placement must
+    * be preserved.
     */
   def initBucketed(docs: DataFrame, fpTable: String, bandsTable: String,
-                   buckets: Int = 8): Unit = {
+                   buckets: Int = 8, location: Option[String] = None): Unit = {
     val s = docs.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $fpTable")
     s.sql(s"DROP TABLE IF EXISTS $bandsTable")
-    fingerprints(docs).select(col("fp"), lit(0L).as("batch_id"))
-      .write.partitionBy("batch_id")
+    location.foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$loc/fp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$loc/bands"), true)
+    }
+    def writer(df: DataFrame, sub: String) = {
+      val w = df.write.partitionBy("batch_id")
+      location.fold(w)(loc => w.option("path", s"$loc/$sub"))
+    }
+    writer(fingerprints(docs).select(col("fp"), lit(0L).as("batch_id")), "fp")
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(fpTable)
-    bandRows(docs).select(col("band"), col("sig"), lit(0L).as("batch_id"))
-      .write.partitionBy("batch_id")
+    writer(bandRows(docs).select(col("band"), col("sig"), lit(0L).as("batch_id")), "bands")
       .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
       .format("parquet").saveAsTable(bandsTable)
   }

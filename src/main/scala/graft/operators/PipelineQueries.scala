@@ -188,6 +188,63 @@ object PipelineQueries {
         .unionByName(bpe).unionByName(sk).unionByName(kmv).unionByName(pq)
         .orderBy("store", "k1", "n", "batch_id")
     }),
+    // The BUCKETED relay mode driver-gated (r18 — the last
+    // indirectly-gated relay leg): the same init/two-cycle staging as
+    // relay_index_state, but the dedup leg runs against the BUCKETED
+    // catalog store (DedupIndex.initBucketed/dedupBatchBucketed/
+    // acceptBucketed — zero index-side Exchange per increment, the
+    // post-promotion far-scale mode). Tables are applicationId-salted
+    // EXTERNAL tables whose data lives inside the TmpDirs-salted base,
+    // so the existing shutdown-hook + hour-stale GC owns their files
+    // (the in-memory catalog entries die with the JVM; a real
+    // metastore deployment would manage named tables instead). The
+    // oracle is relay_index_state's RELATION VERBATIM: the bucketed
+    // store must land byte-identical per-batch state to the dir store
+    // — same fps, same bands, same accepted membership in the inverted
+    // file — or the hash mismatches.
+    "relay_bucketed_state" -> ((s, d) => {
+      val base = TmpDirs.salted(s, "bktrelay", d)
+      val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val fpT = s"graft_rb_fp_$app"; val bandsT = s"graft_rb_bands_$app"
+      val docs = Tables.documents(s, d)
+      val inDir = base + "/in"; val annDir = base + "/ann"
+      val donePath = new org.apache.hadoop.fs.Path(base + "/_INIT_DONE")
+      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(donePath)) {
+        val now = System.currentTimeMillis()
+        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 0),
+          s"$inDir/in1.parquet", now - 20000)
+        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 5),
+          s"$inDir/in2.parquet", now - 10000)
+        val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        DedupIndex.initBucketed(existing, fpT, bandsT,
+          location = Some(s"$base/tables"))
+        val emb = IngestPipeline.embedStage(
+            existing.select(col("doc_id"), col("text").as("embedded_text")))
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        AnnIndex.init(emb, annDir,
+          quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
+        fs.create(donePath, true).close()
+      }
+      val q = graft.streaming.EventStreams.indexMaintenanceRelay(
+        s, inDir, base + "/dedup-unused", annDir, base + "/ckpt",
+        maxFilesPerTrigger = Some(1),
+        bucketedDedup = Some((fpT, bandsT)),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      val fp = s.table(fpT).select(
+        lit("fp").as("store"), col("fp").as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      val bands = s.table(bandsT).select(
+        lit("bands").as("store"),
+        concat_ws("|", col("band").cast("string"), col("sig")).as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      val cells = s.read.parquet(s"$annDir/cells").select(
+        lit("cells").as("store"), col("vec_id").cast("string").as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      fp.unionByName(bands).unionByName(cells)
+        .orderBy("store", "k1", "batch_id")
+    }),
     // A BOUNDED-streaming emission hash-gated (VERDICT r16 ask #5): the
     // events corpus replayed through sessionizeBounded — the
     // EventTimeTimeout production form — with every emitted session
@@ -968,5 +1025,8 @@ object PipelineQueries {
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "session_replay_late" -> oraclesBase("session_replay"),
-    "funnel_advance_late" -> oraclesBase("funnel_advance_replay"))
+    "funnel_advance_late" -> oraclesBase("funnel_advance_replay"),
+    // the bucketed store must land the SAME per-batch state as the dir
+    // store — one relation, two physical backings
+    "relay_bucketed_state" -> oraclesBase("relay_index_state"))
 }

@@ -135,6 +135,45 @@ class DedupIndexBucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("external-location init: data lands at the location, bucket spec kept, " +
+    "re-init clears stale external data") {
+    // r18 (relay_bucketed_state): external tables put the bucketed
+    // store's files where the caller's GC owns them; DROP TABLE leaves
+    // external data behind, so init must clear the location itself or
+    // a re-init would resurrect stale batches under the fresh catalog
+    // entry.
+    val s = spark
+    val loc = java.nio.file.Files.createTempDirectory("graft-dbk-ext").toString
+    try {
+      DedupIndex.initBucketed(docs(1 to 6, "x"), "dbk_ext_fp", "dbk_ext_bands",
+        location = Some(loc))
+      assert(new java.io.File(s"$loc/fp").exists && new java.io.File(s"$loc/bands").exists,
+        "external init must land table data at the location")
+      val spec = s.sql("DESCRIBE TABLE EXTENDED dbk_ext_fp")
+        .collect().map(r => r.getString(0) + ":" + r.getString(1)).mkString("\n")
+      assert(spec.contains("Num Buckets") && spec.contains("fp"),
+        s"external table must keep the bucket spec, got\n$spec")
+      // accept a batch, then RE-INIT from a smaller corpus: the old
+      // batch-1 partition must be gone from both catalog and disk
+      DedupIndex.acceptBucketed(
+        DedupIndex.dedupBatchBucketed(s, "dbk_ext_fp", "dbk_ext_bands",
+          docs(10 to 12, "y"), 1L),
+        "dbk_ext_fp", "dbk_ext_bands", 1L)
+      assert(s.table("dbk_ext_fp").filter(col("batch_id") === 1L).count() === 3L)
+      DedupIndex.initBucketed(docs(1 to 2, "x"), "dbk_ext_fp", "dbk_ext_bands",
+        location = Some(loc))
+      assert(s.table("dbk_ext_fp").count() === 2L,
+        "re-init must not resurrect stale external batch partitions")
+      assert(s.table("dbk_ext_fp").filter(col("batch_id") === 1L).count() === 0L)
+    } finally {
+      dropTables("dbk_ext_fp", "dbk_ext_bands")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(loc))
+    }
+  }
+
   test("recoverBucketedSwap heals both compaction crash windows") {
     val s = spark
     try {
