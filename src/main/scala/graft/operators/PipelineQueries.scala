@@ -146,9 +146,10 @@ object PipelineQueries {
     //    (m is the md5 minimum itself);
     //  - kmv: the per-source 64-smallest distinct shingle hashes —
     //    value-exact;
-    //  - pq: per-batch code membership (code VALUES depend on the
-    //    hash-projection embedding, which DuckDB cannot mirror — same
-    //    membership-level gate as relay_index_state's `cells`).
+    //  - pq / lsh: per-batch membership (code and signature VALUES
+    //    depend on the hash-projection embedding / pinned plane space,
+    //    which DuckDB cannot mirror — same membership-level gate as
+    //    relay_index_state's `cells`).
     // The oracle recomputes each store's sufficient statistics in
     // closed form over the SAME three doc sets the relay must have
     // used — init (batch 0) and the two survivor sets acc1/acc2 —
@@ -184,8 +185,15 @@ object PipelineQueries {
       val pq = rd("pq/codes").select(lit("pq").as("store"),
         col("vec_id").cast("string").as("k1"), lit(0L).as("n"),
         col("batch_id").cast("long").as("batch_id"))
+      // lsh, like pq, gates MEMBERSHIP per batch (the signature values
+      // live in the plane space AnnLshIndex pins at init, which DuckDB
+      // cannot mirror)
+      val lsh = rd("lsh/vectors").select(lit("lsh").as("store"),
+        col("vec_id").cast("string").as("k1"), lit(0L).as("n"),
+        col("batch_id").cast("long").as("batch_id"))
       nb1.unionByName(nb0).unionByName(nbp).unionByName(lc).unionByName(lp)
         .unionByName(bpe).unionByName(sk).unionByName(kmv).unionByName(pq)
+        .unionByName(lsh)
         .orderBy("store", "k1", "n", "batch_id")
     }),
     // The BUCKETED relay mode driver-gated (r18 — the last
@@ -510,6 +518,7 @@ object PipelineQueries {
       AnnPqStore.init(emb, s"$base/pq",
         codebooks = Some(AnnPq.codebooks(
           emb.filter(col("vec_id").between(101L, 104L)), baseId = 101L)))
+      AnnLshIndex.init(emb, s"$base/lsh")
       SourceSketch.init(existing, s"$base/sketch")
       DistinctSketch.init(existing, s"$base/distinct")
       NbModelStore.init(existing, s"$base/nbmodel")
@@ -521,6 +530,7 @@ object PipelineQueries {
       s, inDir, dedupDir, annDir, base + "/ckpt",
       maxFilesPerTrigger = Some(1),
       pqDir = Some(s"$base/pq"),
+      lshDir = Some(s"$base/lsh"),
       sketchDir = Some(s"$base/sketch"),
       distinctSketchDir = Some(s"$base/distinct"),
       nbModelDir = Some(s"$base/nbmodel"),
@@ -754,7 +764,8 @@ object PipelineQueries {
       "UNION ALL SELECT 'sketch', source || '|' || CAST(perm AS VARCHAR) || '|' || m, " +
       "CAST(0 AS BIGINT) FROM smh " +
       "UNION ALL SELECT 'kmv', source, h FROM kmv " +
-      "UNION ALL SELECT 'pq', CAST(doc_id AS VARCHAR), CAST(0 AS BIGINT) FROM ds" +
+      "UNION ALL SELECT 'pq', CAST(doc_id AS VARCHAR), CAST(0 AS BIGINT) FROM ds " +
+      "UNION ALL SELECT 'lsh', CAST(doc_id AS VARCHAR), CAST(0 AS BIGINT) FROM ds" +
       ")"
   }
 

@@ -153,6 +153,21 @@ class DedupIndexBucketedSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) + ":" + r.getString(1)).mkString("\n")
       assert(spec.contains("Num Buckets") && spec.contains("fp"),
         s"external table must keep the bucket spec, got\n$spec")
+      // the scale property must survive external placement: the probe
+      // plan reads the index straight from its bucketed files — zero
+      // index-side Exchange, same assertion as the managed-table case
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val probe = DedupIndex.dedupBatchBucketed(s, "dbk_ext_fp", "dbk_ext_bands",
+          docs(20 to 22, "z"), 1L)
+        val bad = indexSideExchanges(probe, Set("dbk_ext_fp", "dbk_ext_bands"))
+        assert(bad.isEmpty,
+          s"external bucketed tables must not exchange index-side, got ${bad.size}")
+      } finally {
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.unset("spark.sql.adaptive.enabled")
+      }
       // accept a batch, then RE-INIT from a smaller corpus: the old
       // batch-1 partition must be gone from both catalog and disk
       DedupIndex.acceptBucketed(
