@@ -166,6 +166,68 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeBounded late data (back-to-back file batches, the replay-gate " +
+    "regime): rows behind the LAGGED filter watermark drop; the input filter " +
+    "lags the eviction watermark by one batch (measured r18)") {
+    // The semantic the r18 late-replay gates depend on, pinned at unit
+    // scale IN THE GATES' EXECUTION SHAPE (file source, AvailableNow,
+    // maxFilesPerTrigger=1, batches back-to-back): Spark filters a
+    // stateful operator's late INPUT with the watermark of batch N-1
+    // while firing timeouts with batch N's — one batch of lag
+    // (measured against spark-sql 4.1.2 while building
+    // session_replay_late: a late event inside the lag window
+    // SURVIVED, extended a pending session, and re-armed its timer
+    // past the frozen watermark). NOTE the lag is regime-specific:
+    // with idle gaps between MemoryStream batches the watermark is
+    // recomputed before planning and there is NO lag (both late rows
+    // drop). The gates therefore stage late events with a 2x-delay
+    // margin — provably late under BOTH watermarks. This spec pins:
+    //  - u9 (older than the lagged watermark) drops — the property
+    //    the gates need;
+    //  - u8 (between the two watermarks) currently survives the
+    //    filter in this regime — the lag itself. If a Spark upgrade
+    //    removes the lag, this assertion fails and the staging margin
+    //    can shrink to one delay.
+    val s = spark
+    import s.implicits._
+    val Sec = 1000000L
+    val base = java.nio.file.Files.createTempDirectory("graft-late-lag").toString
+    def stage(rows: Seq[(Long, Long, Long)], name: String, mtime: Long): Unit =
+      graft.operators.TmpDirs.stageLandingFile(s,
+        rows.toDF("user_id", "event_id", "tsMicros"), s"$base/in/$name", mtime)
+    val now = System.currentTimeMillis()
+    stage(Seq((1L, 1L, 1000L * Sec)), "f1.parquet", now - 30000) // batch 0 -> wm 1000 s
+    stage(Seq((1L, 2L, 2000L * Sec)), "f2.parquet", now - 20000) // batch 1 -> wm 2000 s
+    // batch 2: u9 behind BOTH watermarks, u8 between them
+    stage(Seq((9L, 3L, 500L * Sec), (8L, 4L, 1500L * Sec)), "f3.parquet", now - 10000)
+    val stream = s.readStream.schema("user_id LONG, event_id LONG, tsMicros LONG")
+      .option("maxFilesPerTrigger", 1L).parquet(s"$base/in")
+      .as[EventStreams.EventIn]
+    val q = EventStreams.sessionizeBounded(stream,
+        gapMicros = 100L * Sec, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_late")
+      .option("checkpointLocation", s"$base/ckpt").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val rows = s.sql("SELECT user_id, session_start, n_events FROM sess_late ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 1000L * Sec, 1L)),
+        s"only u1's event-driven close may land; got ${rows.toSeq}")
+      val batch2 = q.recentProgress.filter(_.numInputRows == 2L).last
+      assert(batch2.stateOperators.head.numRowsDroppedByWatermark == 1L,
+        "exactly u9 drops: the filter applies the PREVIOUS batch's watermark")
+      assert(batch2.stateOperators.head.numRowsTotal == 2L,
+        "u1's pending session + u8's filter-surviving new state")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("stream-stream interval join: purchases attribute to prior views") {
     // watermarked stream-stream join — the attribution shape (purchase
     // joins views by the same user within the preceding hour); state on
