@@ -389,6 +389,23 @@ object DedupIndex {
   def initBucketed(docs: DataFrame, fpTable: String, bandsTable: String,
                    buckets: Int = 8, location: Option[String] = None): Unit = {
     val s = docs.sparkSession
+    // If a PREVIOUS incarnation of either table was EXTERNAL, clear its
+    // data before dropping it (review finding r18): DROP TABLE leaves
+    // external data behind, so a re-init that omits or changes
+    // `location` would otherwise orphan the old batch history forever
+    // — the same stale-resurrection hazard the new-location clear below
+    // guards, one incarnation earlier.
+    Seq(fpTable, bandsTable).foreach { tbl =>
+      val cat = s.sessionState.catalog
+      val id = s.sessionState.sqlParser.parseTableIdentifier(tbl)
+      if (cat.tableExists(id)) {
+        val meta = cat.getTableMetadata(id)
+        if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL) {
+          val loc = new org.apache.hadoop.fs.Path(meta.location)
+          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+      }
+    }
     s.sql(s"DROP TABLE IF EXISTS $fpTable")
     s.sql(s"DROP TABLE IF EXISTS $bandsTable")
     location.foreach { loc =>

@@ -103,8 +103,13 @@ private[graft] object DiskArtifacts {
       Option(base.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory && f.getName.startsWith("graft-artifacts-") &&
             newLayout.findFirstIn(f.getName).isEmpty && f.lastModified() < cutoff) {
+          // unlink symlinks, never recurse through them (review finding
+          // r18): this sweep walks attacker-nameable names in
+          // world-writable tmp
           def rm(g: java.io.File): Unit = {
-            Option(g.listFiles()).foreach(_.foreach(rm)); g.delete()
+            if (!java.nio.file.Files.isSymbolicLink(g.toPath))
+              Option(g.listFiles()).foreach(_.foreach(rm))
+            g.delete()
           }
           rm(f)
         }

@@ -227,9 +227,11 @@ object PipelineQueries {
         val existing = docs.filter(col("doc_id") % 5 =!= 0)
         DedupIndex.initBucketed(existing, fpT, bandsT,
           location = Some(s"$base/tables"))
+        // one embed pass feeds the k-means iterations AND the init
         val emb = IngestPipeline.embedStage(
             existing.select(col("doc_id"), col("text").as("embedded_text")))
           .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint()
         AnnIndex.init(emb, annDir,
           quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
         fs.create(donePath, true).close()
@@ -541,26 +543,39 @@ object PipelineQueries {
     base
   }
 
-  /** Shared staging + replay body of `session_replay` / `_late`: split
-    * the events corpus at its time-range midpoint into two
-    * event-time-ordered landing files (pinned mtimes,
-    * maxFilesPerTrigger = 1 ⇒ one micro-batch each), optionally stage a
-    * THIRD file replaying file 1's events verbatim — all of them far
-    * behind the post-batch-1 watermark (~15-day-old events vs a
-    * 10-minute delay), the deliberate late-data batch — then run the
-    * REAL sessionizeBounded and land every emission under its
-    * micro-batch id.
+  /** The watermark delay both bounded-replay gates pass to their
+    * operators, and the late-file margin DERIVED from it (review
+    * finding r18: two magic 1.2e9 literals silently hard-coupled to
+    * the operators' default delay). The margin is 2× the delay because
+    * of a MEASURED Spark semantic (pinned by the late gates failing
+    * without it, and by EventStreamsSpec's file-regime case): the
+    * late-INPUT filter in batch N uses the watermark of batch N-1
+    * while timeout EVICTION uses batch N's — one batch of lag. An
+    * event within one delay of file 1's max would SURVIVE batch 2's
+    * filter (it beats the post-batch-0 watermark), extend a pending
+    * session and re-arm its timer past the frozen final watermark; an
+    * event ≥ 2× the delay behind file 1's max is late under BOTH
+    * watermarks, with margin for ms rounding.
     */
-  private def sessionReplayLanded(s: SparkSession, d: String, family: String,
-                                  lateFile: Boolean): DataFrame = {
-    import s.implicits._
-    val base = TmpDirs.salted(s, family, d)
+  private val ReplayWatermarkDelay = "10 minutes"
+  private val ReplayDelayMicros = 600000000L
+  private val LateMarginMicros = 2L * ReplayDelayMicros
+
+  /** The staging discipline both bounded-replay gates share: split the
+    * projected events at their time-range midpoint into two
+    * event-time-ordered landing files (pinned mtimes,
+    * maxFilesPerTrigger = 1 ⇒ one micro-batch each); with `lateFile`,
+    * stage a THIRD file of events ≥ [[LateMarginMicros]] behind file
+    * 1's max — the deliberate late-data batch the stream must drop.
+    * Idempotent per salted base via the _STAGED marker. Returns the
+    * landing dir.
+    */
+  private def stageSplitLanding(s: SparkSession, base: String,
+                                ev: DataFrame, lateFile: Boolean): String = {
     val inDir = base + "/in"
     val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
     val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(donePath)) {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
       val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
       val split = (mm.getLong(0) + mm.getLong(1)) / 2
       val now = System.currentTimeMillis()
@@ -569,28 +584,34 @@ object PipelineQueries {
       TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
         s"$inDir/ev2.parquet", now - 20000)
       if (lateFile) {
-        // MEASURED Spark semantic (pinned by this gate failing without
-        // the margin): the late-INPUT filter in batch N uses the
-        // watermark of batch N-1 while timeout EVICTION uses batch N's
-        // — one batch of lag. A file-1 event within the 10-minute
-        // delay of file 1's max would therefore SURVIVE batch 2's
-        // filter (it beats the post-batch-0 watermark), extend a
-        // pending session and re-arm its timer past the frozen final
-        // watermark. Replay only events ≥ 2× the delay behind file 1's
-        // max: late under BOTH watermarks, with margin for ms rounding.
         val mx1 = file1.agg(max(col("tsMicros"))).head().getLong(0)
         TmpDirs.stageLandingFile(s,
-          ev.filter(col("tsMicros") <= mx1 - 1200000000L),
+          ev.filter(col("tsMicros") <= mx1 - LateMarginMicros),
           s"$inDir/ev3_late.parquet", now - 10000)
       }
       fs.create(donePath, true).close()
     }
+    inDir
+  }
+
+  /** `session_replay` / `_late` body: [[stageSplitLanding]] over
+    * (user_id, event_id) events, the REAL sessionizeBounded, every
+    * emission landed under its micro-batch id.
+    */
+  private def sessionReplayLanded(s: SparkSession, d: String, family: String,
+                                  lateFile: Boolean): DataFrame = {
+    import s.implicits._
+    val base = TmpDirs.salted(s, family, d)
+    val inDir = stageSplitLanding(s, base, Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros")),
+      lateFile)
     val stream = s.readStream
       .schema("user_id LONG, event_id LONG, tsMicros LONG")
       .option("maxFilesPerTrigger", 1L)
       .parquet(inDir)
       .as[graft.streaming.EventStreams.EventIn]
-    val q = graft.streaming.EventStreams.sessionizeBounded(stream)
+    val q = graft.streaming.EventStreams
+      .sessionizeBounded(stream, watermarkDelay = ReplayWatermarkDelay)
       .writeStream
       .option("checkpointLocation", base + "/ckpt")
       .foreachBatch {
@@ -607,43 +628,24 @@ object PipelineQueries {
       .orderBy("user_id", "session_start")
   }
 
-  /** The funnel twin of [[sessionReplayLanded]] — same staging
-    * discipline over (user_id, event_type) funnel events through the
-    * REAL funnelAdvanceBounded.
+  /** The funnel twin of [[sessionReplayLanded]] — same
+    * [[stageSplitLanding]] discipline over (user_id, event_type)
+    * events through the REAL funnelAdvanceBounded.
     */
   private def funnelReplayLanded(s: SparkSession, d: String, family: String,
                                  lateFile: Boolean): DataFrame = {
     import s.implicits._
     val base = TmpDirs.salted(s, family, d)
-    val inDir = base + "/in"
-    val donePath = new org.apache.hadoop.fs.Path(base + "/_STAGED")
-    val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(donePath)) {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros"))
-      val mm = ev.agg(min(col("tsMicros")), max(col("tsMicros"))).head()
-      val split = (mm.getLong(0) + mm.getLong(1)) / 2
-      val now = System.currentTimeMillis()
-      val file1 = ev.filter(col("tsMicros") <= split)
-      TmpDirs.stageLandingFile(s, file1, s"$inDir/ev1.parquet", now - 30000)
-      TmpDirs.stageLandingFile(s, ev.filter(col("tsMicros") > split),
-        s"$inDir/ev2.parquet", now - 20000)
-      if (lateFile) {
-        // 2×-delay margin vs file 1's max — the late-input filter lags
-        // the eviction watermark by one batch (see sessionReplayLanded)
-        val mx1 = file1.agg(max(col("tsMicros"))).head().getLong(0)
-        TmpDirs.stageLandingFile(s,
-          ev.filter(col("tsMicros") <= mx1 - 1200000000L),
-          s"$inDir/ev3_late.parquet", now - 10000)
-      }
-      fs.create(donePath, true).close()
-    }
+    val inDir = stageSplitLanding(s, base, Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros")),
+      lateFile)
     val stream = s.readStream
       .schema("user_id LONG, event_type STRING, tsMicros LONG")
       .option("maxFilesPerTrigger", 1L)
       .parquet(inDir)
       .as[graft.streaming.EventStreams.FunnelIn]
-    val q = graft.streaming.EventStreams.funnelAdvanceBounded(stream)
+    val q = graft.streaming.EventStreams
+      .funnelAdvanceBounded(stream, watermarkDelay = ReplayWatermarkDelay)
       .writeStream
       .option("checkpointLocation", base + "/ckpt")
       .foreachBatch {
@@ -753,7 +755,8 @@ object PipelineQueries {
       "FROM ssh, unnest(range(16)) AS r(i) GROUP BY 1, 2), " +
       "kh AS (SELECT DISTINCT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM dsh), " +
       "kmv AS (SELECT source, h FROM (SELECT source, h, " +
-      "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM kh) WHERE rn <= 64) " +
+      "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM kh) " +
+      s"WHERE rn <= ${graft.functions.KmvAggregator.K}) " +
       "SELECT 'nbc1' AS store, CAST(b AS VARCHAR) AS k1, c1 AS n FROM nbcc " +
       "UNION ALL SELECT 'nbc0', CAST(b AS VARCHAR), c0 FROM nbcc " +
       "UNION ALL SELECT 'nbp', 'n1', n1 FROM nbpr " +

@@ -35,7 +35,12 @@ private[graft] object TmpDirs {
   private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    // NEVER recurse through a symlink (review finding r18): these
+    // sweeps walk attacker-nameable dirs in world-writable tmp — a
+    // planted link must be unlinked, not have its TARGET's contents
+    // deleted
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
 
@@ -58,14 +63,19 @@ private[graft] object TmpDirs {
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = destPath + ".stage"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-    fs.mkdirs(dest.getParent)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    require(fs.rename(part, dest),
-      s"stageLandingFile: rename $part -> $dest failed — landing file not staged")
-    fs.setTimes(dest, mtime, -1)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    try {
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(dest.getParent)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      require(fs.rename(part, dest),
+        s"stageLandingFile: rename $part -> $dest failed — landing file not staged")
+      fs.setTimes(dest, mtime, -1)
+    } finally {
+      // the staging dir must go even when the rename require() throws —
+      // callers outside a salted root have no other reaper
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
   }
 
   /** This session's salted dir for `family` over `corpusDir` —
