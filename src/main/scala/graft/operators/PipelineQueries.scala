@@ -255,6 +255,59 @@ object PipelineQueries {
       fp.unionByName(bands).unionByName(cells)
         .orderBy("store", "k1", "batch_id")
     }),
+    // The in-stream COMPACTION cadence driver-gated (r18 — the last
+    // relay knob with spec-only evidence): the relay_index_state
+    // staging run with compactEvery = 2, so epoch 2 folds the
+    // strictly-earlier batch partitions {0 (init), 1 (acc1)} of every
+    // index table into their max (1) BEFORE processing file 2 — the
+    // replay-safe compactBelow form (the current epoch's id never
+    // moves, pinned reads select the same rows before and after the
+    // fold). The oracle is the SAME membership relation with init's
+    // rows expected at batch 1: a fold at the wrong epoch, over the
+    // wrong ids, or that loses/moves any row hash-mismatches — and so
+    // would a fold that broke the pinned-read contract, because acc2
+    // is derived through dedupBatch against the folded tables.
+    "relay_compacted_state" -> ((s, d) => {
+      val base = TmpDirs.salted(s, "cmprelay", d)
+      val docs = Tables.documents(s, d)
+      val dedupDir = base + "/dedup"; val annDir = base + "/ann"
+      val inDir = base + "/in"
+      val donePath = new org.apache.hadoop.fs.Path(base + "/_INIT_DONE")
+      val fs = donePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(donePath)) {
+        val now = System.currentTimeMillis()
+        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 0),
+          s"$inDir/in1.parquet", now - 20000)
+        TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 5),
+          s"$inDir/in2.parquet", now - 10000)
+        val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        DedupIndex.init(existing, dedupDir)
+        val emb = IngestPipeline.embedStage(
+            existing.select(col("doc_id"), col("text").as("embedded_text")))
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        AnnIndex.init(emb, annDir,
+          quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
+        fs.create(donePath, true).close()
+      }
+      val q = graft.streaming.EventStreams.indexMaintenanceRelay(
+        s, inDir, dedupDir, annDir, base + "/ckpt",
+        maxFilesPerTrigger = Some(1),
+        compactEvery = Some(2),
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      val fp = s.read.parquet(s"$dedupDir/fp").select(
+        lit("fp").as("store"), col("fp").as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      val bands = s.read.parquet(s"$dedupDir/bands").select(
+        lit("bands").as("store"),
+        concat_ws("|", col("band").cast("string"), col("sig")).as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      val cells = s.read.parquet(s"$annDir/cells").select(
+        lit("cells").as("store"), col("vec_id").cast("string").as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      fp.unionByName(bands).unionByName(cells)
+        .orderBy("store", "k1", "batch_id")
+    }),
     // A BOUNDED-streaming emission hash-gated (VERDICT r16 ask #5): the
     // events corpus replayed through sessionizeBounded — the
     // EventTimeTimeout production form — with every emitted session
@@ -774,6 +827,32 @@ object PipelineQueries {
 
   private val modelStateDocCols = "doc_id, text, lang, source"
 
+  /** The relay-state membership relation shared by `relay_index_state`
+    * (initBatch = 0, the un-compacted layout), `relay_bucketed_state`
+    * (same), and `relay_compacted_state` (initBatch = 1 — the
+    * compactEvery=2 cadence folds the strictly-earlier partitions
+    * {0, 1} into their max before epoch 2 runs, so init rows sit
+    * beside acc1's under batch 1).
+    */
+  private def relayStateSql(initBatch: Int): String =
+    s"WITH $relayAccCtes " +
+      "SELECT * FROM (" +
+      s"SELECT 'fp' AS store, fp AS k1, CAST($initBatch AS BIGINT) AS batch_id FROM " +
+      "(SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0) " +
+      "UNION ALL SELECT 'fp', fp, 1 FROM acc1 " +
+      "UNION ALL SELECT 'fp', fp, 2 FROM acc2 " +
+      s"UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, $initBatch FROM " +
+      "(SELECT DISTINCT band, sig FROM bd WHERE doc_id % 5 <> 0) " +
+      "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 1 FROM " +
+      "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc1)) " +
+      "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 2 FROM " +
+      "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc2)) " +
+      s"UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), $initBatch " +
+      "FROM documents WHERE doc_id % 5 <> 0 " +
+      "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 1 FROM acc1 " +
+      "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 2 FROM acc2" +
+      ") ORDER BY store, k1, batch_id"
+
   private val oraclesBase: Map[String, String] = Map(
     "relay_model_state" ->
       (s"WITH $relayAccCtes " +
@@ -847,23 +926,16 @@ object PipelineQueries {
     // existing side is init ∪ batch 1's accept, which is exactly the
     // cross-batch visibility the relay must provide — composed to the
     // per-store (k1, batch_id) membership relation
-    "relay_index_state" ->
-      (s"WITH $relayAccCtes " +
-        "SELECT * FROM (" +
-        "SELECT 'fp' AS store, fp AS k1, CAST(0 AS BIGINT) AS batch_id FROM " +
-        "(SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0) " +
-        "UNION ALL SELECT 'fp', fp, 1 FROM acc1 " +
-        "UNION ALL SELECT 'fp', fp, 2 FROM acc2 " +
-        "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 0 FROM " +
-        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id % 5 <> 0) " +
-        "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 1 FROM " +
-        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc1)) " +
-        "UNION ALL SELECT 'bands', CAST(band AS VARCHAR) || '|' || sig, 2 FROM " +
-        "(SELECT DISTINCT band, sig FROM bd WHERE doc_id IN (SELECT doc_id FROM acc2)) " +
-        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 0 FROM documents WHERE doc_id % 5 <> 0 " +
-        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 1 FROM acc1 " +
-        "UNION ALL SELECT 'cells', CAST(doc_id AS VARCHAR), 2 FROM acc2" +
-        ") ORDER BY store, k1, batch_id"),
+    "relay_index_state" -> relayStateSql(initBatch = 0),
+    // the SAME relation after the in-stream compactEvery=2 fold: the
+    // epoch-2 cadence folds strictly-earlier partitions {0, 1} into
+    // their max (1) BEFORE processing, so init rows land at batch 1
+    // beside acc1's (disjoint by the accept semantics — acc1 fps are
+    // anti-joined and its bands semi-join-excluded against init) and
+    // acc2 stays at 2. A fold that ran at the wrong epoch, folded the
+    // wrong ids, moved the current epoch's partition, or changed any
+    // ROW while moving it hash-mismatches.
+    "relay_compacted_state" -> relayStateSql(initBatch = 1),
     // batch sessionization (lag/gap/prefix-sum) + the three-way batch
     // attribution: a non-final session closes event-driven in the
     // batch holding its SUCCESSOR's first event (file 1 => 0, file 2
