@@ -135,4 +135,23 @@ object VectorSql {
     */
   def rankedCosineScore(a: String, b: String, dim: Int = 64, scale: Int = 6): String =
     s"coalesce(${cosineScore(a, b, dim, scale)}, -2.0)"
+
+  /** [[graft.pipeline.Md5ProjectionEmbedder]]'s pre-normalization
+    * component list, bit-exact: 8 hex chars of `md5((j/4) + ":" + text)`
+    * as an exact integer < 2^32 (exact in double), divided by 2^31 (a
+    * power of two — exact), minus 1. One md5 per component here (the
+    * Scala twin reuses each digest for 4 components) — same values,
+    * oracle-side cost only.
+    */
+  def md5ProjComponents(textExpr: String, dim: Int = 64): String =
+    s"[('0x' || substr(md5(CAST(j // 4 AS VARCHAR) || ':' || $textExpr), " +
+      s"(j % 4) * 8 + 1, 8))::BIGINT / 2147483648.0 - 1.0 for j in range($dim)]"
+
+  /** Unit-normalize a [[md5ProjComponents]] list `x` to the FLOAT[]
+    * embedding: sequential list_reduce norm (mirrors the Scala while
+    * loop), then round-to-nearest float cast — both engines agree
+    * bit-for-bit.
+    */
+  def md5ProjNormalize(x: String): String =
+    s"[CAST(v / sqrt(list_reduce([y * y for y in $x], (a, b) -> a + b)) AS FLOAT) for v in $x]"
 }

@@ -380,7 +380,19 @@ object DedupIndex {
     * salted tmp root its GC already owns). Because DROP TABLE leaves
     * external data behind, a re-init CLEARS the two locations first —
     * the init contract ("a rebuild can never leave stale batch
-    * partitions behind") must hold for both table kinds. Note
+    * partitions behind") must hold for both table kinds.
+    *
+    * DESTRUCTIVE-CLEAR SCOPE (ADVICE r18): the pre-drop clear of a
+    * PREVIOUS external incarnation recursively deletes that
+    * incarnation's location — but ONLY when the location's leaf
+    * directory is named `fp` or `bands`, the layout this store itself
+    * creates. A prior incarnation whose location points anywhere else
+    * (e.g. a shared directory some other tool registered the table
+    * over) is left untouched: its table entry is dropped, its data
+    * orphaned deliberately — the caller who placed it there owns it.
+    * The `location` passed to THIS call is always cleared at
+    * `location/fp` and `location/bands` (never the root), so a shared
+    * parent directory only ever loses those two subtrees. Note
     * `compactBucketed`'s staging swap stays warehouse-managed; it is
     * quiesce-only anyway and a compacted external store should be
     * re-inited at its location afterwards if external placement must
@@ -402,7 +414,12 @@ object DedupIndex {
         val meta = cat.getTableMetadata(id)
         if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL) {
           val loc = new org.apache.hadoop.fs.Path(meta.location)
-          loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+          // scope guard (ADVICE r18): only clear a location whose leaf
+          // matches this store's own layout — a prior incarnation
+          // registered over a foreign directory is dropped from the
+          // catalog but its data is NOT deleted (see scaladoc)
+          if (loc.getName == "fp" || loc.getName == "bands")
+            loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
         }
       }
     }

@@ -102,17 +102,13 @@ private[graft] object DiskArtifacts {
       val newLayout = "^graft-artifacts-.*-[0-9a-f]{8}$".r
       Option(base.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory && f.getName.startsWith("graft-artifacts-") &&
-            newLayout.findFirstIn(f.getName).isEmpty && f.lastModified() < cutoff) {
-          // unlink symlinks, never recurse through them (review finding
-          // r18): this sweep walks attacker-nameable names in
-          // world-writable tmp
-          def rm(g: java.io.File): Unit = {
-            if (!java.nio.file.Files.isSymbolicLink(g.toPath))
-              Option(g.listFiles()).foreach(_.foreach(rm))
-            g.delete()
-          }
-          rm(f)
-        }
+            newLayout.findFirstIn(f.getName).isEmpty && f.lastModified() < cutoff)
+          // TmpDirs' walkFileTree delete: NOFOLLOW attribute reads mean a
+          // symlink — even one swapped in for a directory mid-walk — is
+          // unlinked, never traversed (ADVICE r18 closed the
+          // check-then-recurse TOCTOU the old File-based recursion had);
+          // this sweep walks attacker-nameable names in world-writable tmp
+          TmpDirs.deleteRecursively(f)
       })
     } catch { case scala.util.control.NonFatal(_) => () }
 

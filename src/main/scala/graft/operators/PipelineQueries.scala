@@ -146,10 +146,12 @@ object PipelineQueries {
     //    (m is the md5 minimum itself);
     //  - kmv: the per-source 64-smallest distinct shingle hashes —
     //    value-exact;
-    //  - pq / lsh: per-batch membership (code and signature VALUES
-    //    depend on the hash-projection embedding / pinned plane space,
-    //    which DuckDB cannot mirror — same membership-level gate as
-    //    relay_index_state's `cells`).
+    //  - pq / lsh: per-batch membership (PQ code values depend on the
+    //    trained subspace codebooks and LSH signatures on the pinned
+    //    plane space — k-means/plane replays deliberately not mirrored
+    //    here; the stored-code VALUE gap is closed by relay_int8_topk,
+    //    which ranks off the IVF store's int8 codes integer-exactly
+    //    now that the relay embeds with the mirrorable md5 projection).
     // The oracle recomputes each store's sufficient statistics in
     // closed form over the SAME three doc sets the relay must have
     // used — init (batch 0) and the two survivor sets acc1/acc2 —
@@ -308,6 +310,29 @@ object PipelineQueries {
       fp.unionByName(bands).unionByName(cells)
         .orderBy("store", "k1", "batch_id")
     }),
+    // The int8 read path served FROM THE RELAY-MAINTAINED store,
+    // VALUE-exact (VERDICT r19 ask #3 — closing the membership-only gap
+    // of the relay gates): three fixed query texts are embedded with
+    // the relay's own md5-projection provider and searched via
+    // AnnIndex.searchInt8 against the SAME $base/ann store the two
+    // maintenance cycles of ensureIdxRelay built — ranking by the exact
+    // integer dot of the STORED int8 codes (never the float column).
+    // nprobe = 8 = the init quantizer's k, so every cell is probed and
+    // the oracle needs no centroid replay: it re-derives each stored
+    // vector (init ∪ acc1 ∪ acc2 doc texts → md5-projection floats →
+    // floor-quantized codes — every step bit-replayable) and ranks all
+    // candidates by the same integer dots. A store holding a wrong
+    // vector, a missed batch, codes quantized off the true embedding,
+    // or scale drift all change integer dots and hash-mismatch.
+    "relay_int8_topk" -> ((s, d) => {
+      val base = ensureIdxRelay(s, d)
+      import s.implicits._
+      val queries = RelayInt8QueryTexts.zipWithIndex.map { case (t, i) =>
+        (-(i + 1).toLong, RelayEmbedProvider.embed(Seq(t)).head)
+      }.toDF("q_id", "qv")
+      AnnIndex.searchInt8(s, base + "/ann", queries, nprobe = 8, k = 10)
+        .orderBy("q_id", "rnk")
+    }),
     // A BOUNDED-streaming emission hash-gated (VERDICT r16 ask #5): the
     // events corpus replayed through sessionizeBounded — the
     // EventTimeTimeout production form — with every emitted session
@@ -380,6 +405,30 @@ object PipelineQueries {
     // path only evicts, emitting nothing, so a correct run lands zero
     // rows past batch 1).
     "funnel_advance_late" -> ((s, d) => funnelReplayLanded(s, d, "funnellate", lateFile = true)),
+    // LATE-DROP OBSERVABILITY oracle-gated (VERDICT r19 ask #4): the
+    // late gates prove drops HAPPEN; production wants to SEE them. Both
+    // bounded operators' late-file runs flush the engine's own per-batch
+    // `numRowsDroppedByWatermark` (+ input rows) to a queryable relation
+    // — the hot_key_drops pattern applied to watermark drops. The runs
+    // are SHARED with session_replay_late / funnel_advance_late (same
+    // salted families — whichever key executes first does the streaming
+    // work and flushes; the other re-reads). The oracle replays the
+    // staging math in closed form: batches 0/1 carry the two corpus
+    // halves and drop nothing (every file-2 event beats the post-file-1
+    // watermark by construction: f2 times > split >= f1's max); batch 2
+    // carries exactly the staged late set and drops ALL of it — each
+    // late event is >= 2× the delay behind file 1's max, late under the
+    // lagged filter watermark of either preceding batch.
+    "late_drop_metrics" -> ((s, d) => {
+      sessionReplayLanded(s, d, "sesslate", lateFile = true)
+      funnelReplayLanded(s, d, "funnellate", lateFile = true)
+      def metrics(family: String, op: String) =
+        s.read.parquet(TmpDirs.salted(s, family, d) + "/metrics")
+          .select(lit(op).as("op"), col("batch_id"), col("rows_input"),
+            col("rows_dropped"))
+      metrics("sesslate", "session").unionByName(metrics("funnellate", "funnel"))
+        .orderBy("op", "batch_id")
+    }),
     // A5 per-batch grouping as a HASH-GATED artifact (VERDICT r15 ask
     // #7): the real embedStage run with tagBatches over the canonical
     // one-sorted-partition layout, aggregated to the batch-boundary
@@ -489,6 +538,27 @@ object PipelineQueries {
       IngestPipeline.cascadeDelete(points, deleted)
         .orderBy("source_drive_file", "chunk_index")
     }),
+    // The FLAGSHIP SERVING LIFECYCLE hash-gated end to end (VERDICT r19
+    // ask #1 — the last spec-only composition, FlagshipLifecycleSpec's
+    // shape driven under the DuckDB gate): §3.1 → §3.2 composed the way
+    // the reference actually serves (tasks/process_embedding.py:16-239
+    // feeding services/search_service.py:63-128). Two staged landing
+    // files — the v1 snapshot, then ONLY the CDC increment (docDiff's
+    // added ∪ changed docs; removed docs never travel) — stream through
+    // the REAL ingestRelay (batches 0 and 1); CollectionStore init+merge
+    // replays the same diff so the store is the liveness authority; the
+    // read side takes the NEWEST vector per point id from the relay's
+    // append-only log, gates it by the store's live point set, RLS-
+    // filters, and serves a dense top-k. The oracle derives the answer
+    // DIRECTLY from the v2 snapshot — i.e. the cross-engine gate IS the
+    // lifecycle law "serve off relay log + store == serve off a fresh
+    // snapshot, with only the increment re-embedded". Value-exact
+    // similarity scores (not membership): the relay embeds with
+    // Md5ProjectionEmbedder, whose float vectors DuckDB replays
+    // bit-for-bit (see its scaladoc), so a stale vector (changed doc's
+    // old embedding surviving), a resurrected removed doc, a dropped
+    // increment, or an RLS leak all hash-mismatch on score or row set.
+    "flagship_lifecycle" -> ((s, d) => flagshipLifecycle(s, d)),
     // CDC merge of the point collection (CollectionStore — the consumer
     // the snapshot-diff pair gained in r13): an old docs snapshot
     // (doc_id % 5 == 1 missing = to-be-added; % 5 == 3 truncated =
@@ -532,17 +602,157 @@ object PipelineQueries {
     })
   )
 
-  /** The ONE maintenance-relay run behind `relay_index_state` AND
-    * `relay_model_state` (r18): init EVERY store the relay maintains
-    * from the 80% existing corpus (doc_id % 5 != 0, batch 0), stage the
-    * remaining 20% as two mtime-ordered landing files (doc_id % 10 == 0
-    * then % 10 == 5; maxFilesPerTrigger = 1 ⇒ two maintenance cycles,
-    * batches 1 and 2), and drive the REAL indexMaintenanceRelay with
-    * all optional store dirs wired. Reruns are exactly-once: the
-    * per-JVM marker pins init (a full overwrite, so a crash mid-init
-    * re-inits), the checkpoint remembers both files, AvailableNow finds
-    * no new work, and both gate queries then just re-read the stored
-    * tables. Sharing one run halves the relay cost of the two gates.
+  /** The one-row query the flagship lifecycle serves; mirrored as a SQL
+    * literal in the oracle, so keep it quote-free.
+    */
+  private val FlagshipQueryText = "data pipeline quality words"
+
+  /** `flagship_lifecycle` body — see the queries-map comment. Staging
+    * and the store build are marker-guarded per salted base (a crash
+    * mid-way re-runs them; stage replaces, init/merge land a fresh
+    * committed generation); the relay itself is exactly-once via its
+    * checkpoint like every other relay gate.
+    */
+  private def flagshipLifecycle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.expressions.GraftFunctions.register(s)
+    val base = TmpDirs.salted(s, "flagship", d)
+    val docs = Tables.documents(s, d)
+    // v1 = the old snapshot (doc_id % 5 == 1 not yet arrived; % 5 == 3
+    // still the truncated draft); v2 = the current one (% 5 == 2
+    // removed) — the same seam collection_merge gates, so the two keys
+    // share one CDC fixture family
+    val old = docs.filter(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 5 === 3,
+        substring(col("text"), 1, 100)).otherwise(col("text")))
+    val nw = docs.filter(col("doc_id") % 5 =!= 2)
+    val inDir = base + "/in"
+    val hc = s.sparkContext.hadoopConfiguration
+    val stagedMark = new org.apache.hadoop.fs.Path(base + "/_STAGED")
+    val fs = stagedMark.getFileSystem(hc)
+    if (!fs.exists(stagedMark)) {
+      val now = System.currentTimeMillis()
+      TmpDirs.stageLandingFile(s, old, s"$inDir/v1.parquet", now - 20000)
+      // the increment feed: ONLY added/changed docs travel, from the
+      // REAL doc-level diff — the no-re-embed property the gate proves
+      val feedIds = graft.pipeline.CollectionStore.docDiff(old, nw)
+        .filter(col("status").isin("added", "changed")).select(col("doc_id"))
+      TmpDirs.stageLandingFile(s,
+        nw.join(feedIds, Seq("doc_id"), "left_semi"),
+        s"$inDir/v2.parquet", now - 10000)
+      fs.create(stagedMark, true).close()
+    }
+    val q = graft.streaming.EventStreams.ingestRelay(
+      s, inDir, base + "/points", base + "/ckpt",
+      settings = graft.PipelineSettings.smallDocs,
+      provider = new graft.pipeline.Md5ProjectionEmbedder(64),
+      maxFilesPerTrigger = Some(1), fixedChunker = true,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    val storeDir = base + "/store"
+    val storeMark = new org.apache.hadoop.fs.Path(base + "/_STORE_MERGED")
+    if (!fs.exists(storeMark)) {
+      graft.pipeline.CollectionStore.init(old, storeDir)
+      graft.pipeline.CollectionStore.merge(s, storeDir,
+        graft.pipeline.CollectionStore.docDiff(old, nw), nw)
+      fs.create(storeMark, true).close()
+    }
+    // newest vector per point id off the append-only relay log (a
+    // changed doc's point keeps its id, its embedding moves) ...
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("point_id")).orderBy(col("batch_id").desc)
+    val latest = s.read.parquet(base + "/points")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    // ... gated by the STORE's live point set — the store, not the log,
+    // is the liveness authority, so the removed doc's vectors drop here
+    // without any delete pass over the log
+    val live = latest.join(
+      graft.pipeline.CollectionStore.read(s, storeDir).select("point_id"),
+      Seq("point_id"), "left_semi")
+    val accessible = docs
+      .filter(col("lang").isin("en", "de") || col("source") === "src_3")
+      .select(col("doc_id"))
+    val gated = graft.search.SearchService.rlsFilter(
+      live, accessible, idCol = "source_drive_file")
+    val qv = new graft.pipeline.Md5ProjectionEmbedder(64)
+      .embed(Seq(FlagshipQueryText)).head
+    val query = Seq(Tuple1(qv)).toDF("qv")
+    graft.search.SearchService.denseTopK(
+        gated.select(col("point_id"), col("source_drive_file").as("doc_id"),
+          col("chunk_index").cast("long").as("chunk_index"), col("embedding")),
+        query, k = 12, idCol = "point_id")
+      .select(col("point_id"), col("doc_id"), col("chunk_index"), col("score"))
+      .orderBy(col("score").desc, col("point_id"))
+  }
+
+  /** The maintenance relay's embed provider — md5-projection so the
+    * vector stores it maintains hold DuckDB-replayable floats (and
+    * therefore replayable int8 codes; see relay_int8_topk). The
+    * membership-level gates are provider-agnostic by construction.
+    */
+  private def RelayEmbedProvider = new graft.pipeline.Md5ProjectionEmbedder(64)
+
+  /** relay_int8_topk's query texts — mirrored as SQL literals in the
+    * oracle, so keep them quote-free.
+    */
+  private val RelayInt8QueryTexts = Seq(
+    "fast data quality checks",
+    "vector search at scale",
+    "language detection tokens")
+
+  /** Init EVERY store the maintenance relay maintains from the 80%
+    * existing corpus (doc_id % 5 != 0, batch 0). Each init is a FULL
+    * overwrite, so re-running after a crash anywhere in the sequence
+    * converges to the same state as a clean-room init — the property
+    * `ensureIdxRelay`'s single `_INIT_DONE` marker relies on (VERDICT
+    * r18 watch item), pinned by RelayInitCrashSpec, which dirties a
+    * prefix of these stores with partial data and asserts the re-run
+    * lands byte-identical store contents. Package-private for that
+    * spec; gate callers go through [[ensureIdxRelay]].
+    */
+  private[operators] def initRelayStores(s: SparkSession, d: String, base: String): Unit = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    DedupIndex.init(existing, base + "/dedup")
+    // one embed pass feeds both vector-store inits — with the
+    // ORACLE-MIRRORABLE md5-projection provider (r19): the membership
+    // gates don't care which deterministic provider fills the vector
+    // stores, and mirrorable floats let relay_int8_topk check the
+    // stored-code ranking VALUE-exactly (the gap VERDICT r18 named)
+    val emb = IngestPipeline.embedStage(
+        existing.select(col("doc_id"), col("text").as("embedded_text")),
+        RelayEmbedProvider)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    AnnIndex.init(emb, base + "/ann",
+      quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
+    // the default id-slice (100..107) straddles doc_ids divisible by
+    // 5, which the existing side excludes — pre-filter to 101..104,
+    // the longest contiguous in-corpus run (K shrinks to 4, which
+    // init and encode agree on by construction)
+    AnnPqStore.init(emb, s"$base/pq",
+      codebooks = Some(AnnPq.codebooks(
+        emb.filter(col("vec_id").between(101L, 104L)), baseId = 101L)))
+    AnnLshIndex.init(emb, s"$base/lsh")
+    SourceSketch.init(existing, s"$base/sketch")
+    DistinctSketch.init(existing, s"$base/distinct")
+    NbModelStore.init(existing, s"$base/nbmodel")
+    LangModelStore.init(existing, s"$base/langmodel")
+    BpeStatsStore.init(existing, s"$base/bpestats")
+  }
+
+  /** The ONE maintenance-relay run behind `relay_index_state`,
+    * `relay_model_state` AND `relay_int8_topk`: [[initRelayStores]]
+    * over the 80% existing corpus, stage the remaining 20% as two
+    * mtime-ordered landing files (doc_id % 10 == 0 then % 10 == 5;
+    * maxFilesPerTrigger = 1 ⇒ two maintenance cycles, batches 1 and
+    * 2), and drive the REAL indexMaintenanceRelay with all optional
+    * store dirs wired. Reruns are exactly-once: the per-JVM marker
+    * pins init (every store init is a full overwrite, so a crash
+    * mid-init re-inits — RelayInitCrashSpec), the checkpoint remembers
+    * both files, AvailableNow finds no new work, and the gate queries
+    * then just re-read the stored tables. Sharing one run splits the
+    * relay cost across the three gates.
     */
   private def ensureIdxRelay(s: SparkSession, d: String): String = {
     val base = TmpDirs.salted(s, "idxrelay", d)
@@ -557,32 +767,12 @@ object PipelineQueries {
         s"$inDir/in1.parquet", now - 20000)
       TmpDirs.stageLandingFile(s, docs.filter(col("doc_id") % 10 === 5),
         s"$inDir/in2.parquet", now - 10000)
-      val existing = docs.filter(col("doc_id") % 5 =!= 0)
-      DedupIndex.init(existing, dedupDir)
-      // one embed pass feeds both vector-store inits
-      val emb = IngestPipeline.embedStage(
-          existing.select(col("doc_id"), col("text").as("embedded_text")))
-        .select(col("doc_id").as("vec_id"), col("embedding"))
-        .localCheckpoint()
-      AnnIndex.init(emb, annDir,
-        quantizer = Some(AnnIndex.kmeans(emb, k = 8, iters = 2)))
-      // the default id-slice (100..107) straddles doc_ids divisible by
-      // 5, which the existing side excludes — pre-filter to 101..104,
-      // the longest contiguous in-corpus run (K shrinks to 4, which
-      // init and encode agree on by construction)
-      AnnPqStore.init(emb, s"$base/pq",
-        codebooks = Some(AnnPq.codebooks(
-          emb.filter(col("vec_id").between(101L, 104L)), baseId = 101L)))
-      AnnLshIndex.init(emb, s"$base/lsh")
-      SourceSketch.init(existing, s"$base/sketch")
-      DistinctSketch.init(existing, s"$base/distinct")
-      NbModelStore.init(existing, s"$base/nbmodel")
-      LangModelStore.init(existing, s"$base/langmodel")
-      BpeStatsStore.init(existing, s"$base/bpestats")
+      initRelayStores(s, d, base)
       fs.create(donePath, true).close()
     }
     val q = graft.streaming.EventStreams.indexMaintenanceRelay(
       s, inDir, dedupDir, annDir, base + "/ckpt",
+      provider = RelayEmbedProvider,
       maxFilesPerTrigger = Some(1),
       pqDir = Some(s"$base/pq"),
       lshDir = Some(s"$base/lsh"),
@@ -638,9 +828,17 @@ object PipelineQueries {
         s"$inDir/ev2.parquet", now - 20000)
       if (lateFile) {
         val mx1 = file1.agg(max(col("tsMicros"))).head().getLong(0)
-        TmpDirs.stageLandingFile(s,
-          ev.filter(col("tsMicros") <= mx1 - LateMarginMicros),
-          s"$inDir/ev3_late.parquet", now - 10000)
+        val late = ev.filter(col("tsMicros") <= mx1 - LateMarginMicros)
+        // ADVICE r18: on a corpus whose event span is under the margin
+        // this set is empty and the late gate would pass VACUOUSLY —
+        // landing the same rows as the base gate while never exercising
+        // the drop arm. Fail loudly instead of silently testing nothing.
+        require(!late.isEmpty,
+          "stageSplitLanding: no event is >= " + LateMarginMicros +
+            "us behind file 1's max — the corpus event span is too " +
+            "narrow to stage a provably-late batch; the late-drop gate " +
+            "would be vacuous on this corpus")
+        TmpDirs.stageLandingFile(s, late, s"$inDir/ev3_late.parquet", now - 10000)
       }
       fs.create(donePath, true).close()
     }
@@ -675,10 +873,36 @@ object PipelineQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    flushLateDropMetrics(s, q, base)
     s.read.parquet(base + "/out").select(
       col("user_id"), col("session_start"), col("n_events"),
       col("batch_id").cast("long").as("batch_id"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Persist each DATA micro-batch's watermark-drop counter next to the
+    * landed output (VERDICT r19 ask #4 — the late gates PROVE drops
+    * happen, production wants to SEE them; same accumulator→flush→
+    * queryable-relation shape as hotKeyDropMetrics/`hot_key_drops`).
+    * Source: the engine's own `numRowsDroppedByWatermark` from each
+    * StreamingQueryProgress (the one stateful operator per stream).
+    * Flushed only by the run that actually processed input — a rerun's
+    * AvailableNow finds no new files, reports no data batches, and must
+    * not clobber the recorded history with an empty relation. No-data
+    * watermark-advance batches are excluded: they can't drop rows and
+    * whether one runs is an engine scheduling detail, not an operator
+    * property.
+    */
+  private def flushLateDropMetrics(
+      s: SparkSession, q: org.apache.spark.sql.streaming.StreamingQuery,
+      base: String): Unit = {
+    import s.implicits._
+    val dataBatches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    if (dataBatches.nonEmpty)
+      dataBatches.map(p => (p.batchId, p.numInputRows,
+          p.stateOperators.headOption.fold(0L)(_.numRowsDroppedByWatermark)))
+        .toDF("batch_id", "rows_input", "rows_dropped")
+        .coalesce(1).write.mode("overwrite").parquet(base + "/metrics")
   }
 
   /** The funnel twin of [[sessionReplayLanded]] — same
@@ -709,6 +933,7 @@ object PipelineQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    flushLateDropMetrics(s, q, base)
     s.read.parquet(base + "/out").select(
       col("user_id"), col("step"), col("step_type"),
       col("tsMicros").as("ts_us"),
@@ -826,6 +1051,53 @@ object PipelineQueries {
   }
 
   private val modelStateDocCols = "doc_id, text, lang, source"
+
+  // SQL mirrors of the int8 quantization helpers (dim 64, fold order =
+  // Spark's) — the same one-liners AnnQueries' inline int8 oracles use,
+  // here applied to md5-projection vectors re-derived from doc text.
+  private def i8Norm(a: String) = s"sqrt(${graft.functions.VectorSql.dot(a, a, 64)})"
+  private def i8Max(a: String, n: String) =
+    s"list_reduce([abs(CAST($a[i+1] AS DOUBLE) / $n) for i in range(64)], (x,y) -> greatest(x,y))"
+  private def i8Quant(a: String, n: String, m: String) =
+    s"[floor(CAST($a[i+1] AS DOUBLE) / $n / $m * 127.0 + 0.5) for i in range(64)]"
+
+  /** relay_int8_topk's oracle: the store's doc set is init ∪ acc1 ∪
+    * acc2 (the same survivor CTEs every relay gate shares); each doc's
+    * md5-projection embedding, int8 codes and scales are re-derived in
+    * closed form; all (query, candidate) pairs are ranked by the exact
+    * integer dot — no centroid replay needed because nprobe = k probes
+    * every cell.
+    */
+  private def relayInt8Sql: String = {
+    val qVals = RelayInt8QueryTexts.zipWithIndex.map { case (t, i) =>
+      s"(CAST(${-(i + 1)} AS BIGINT), '$t')"
+    }.mkString(", ")
+    val proj = graft.functions.VectorSql
+    s"WITH $relayAccCtes, " +
+      "sd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0 " +
+      "UNION ALL SELECT d.doc_id, d.text FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM acc1) " +
+      "UNION ALL SELECT d.doc_id, d.text FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM acc2)), " +
+      s"px AS (SELECT doc_id, ${proj.md5ProjComponents("text")} AS x FROM sd), " +
+      s"pe AS (SELECT doc_id AS vec_id, ${proj.md5ProjNormalize("x")} AS emb FROM px), " +
+      s"p1 AS (SELECT vec_id, emb, ${i8Norm("emb")} AS pn FROM pe), " +
+      "p2 AS (SELECT * FROM p1 WHERE pn > 0), " +
+      s"p3 AS (SELECT *, ${i8Max("emb", "pn")} AS pm FROM p2), " +
+      s"p4 AS (SELECT vec_id, ${i8Quant("emb", "pn", "pm")} AS pq, pm / 127.0 AS sp FROM p3), " +
+      s"qt AS (SELECT * FROM (VALUES $qVals) AS t(q_id, qtext)), " +
+      s"qx AS (SELECT q_id, ${proj.md5ProjComponents("qtext")} AS x FROM qt), " +
+      s"qe AS (SELECT q_id, ${proj.md5ProjNormalize("x")} AS qv FROM qx), " +
+      s"q1 AS (SELECT q_id, qv, ${i8Norm("qv")} AS qn FROM qe), " +
+      "q2 AS (SELECT * FROM q1 WHERE qn > 0), " +
+      s"q3 AS (SELECT *, ${i8Max("qv", "qn")} AS qm FROM q2), " +
+      s"q AS (SELECT q_id, ${i8Quant("qv", "qn", "qm")} AS qq, qm / 127.0 AS sq FROM q3), " +
+      "sc AS (SELECT q.q_id, p4.vec_id, " +
+      "CAST(list_reduce([p4.pq[i+1] * q.qq[i+1] for i in range(64)], (x,y) -> x+y) AS BIGINT) AS idot, " +
+      "p4.sp, q.sq FROM p4, q) " +
+      "SELECT q_id, vec_id, rnk, idot, score8 FROM (" +
+      "SELECT q_id, vec_id, idot, round(idot * sp * sq, 6) AS score8, " +
+      "CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(idot * sp * sq, 6) DESC, vec_id) AS INT) AS rnk " +
+      "FROM sc) WHERE rnk <= 10 ORDER BY q_id, rnk"
+  }
 
   /** The relay-state membership relation shared by `relay_index_state`
     * (initBatch = 0, the un-compacted layout), `relay_bucketed_state`
@@ -1100,7 +1372,35 @@ object PipelineQueries {
         "SELECT doc_id AS source_drive_file, chunk_index, " +
         "md5(doc_id::VARCHAR || ':' || chunk_index::VARCHAR) AS point_id " +
         "FROM c WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'zh') " +
-        "ORDER BY source_drive_file, chunk_index")
+        "ORDER BY source_drive_file, chunk_index"),
+    // the lifecycle law, derived DIRECTLY from the v2 snapshot: chunk it
+    // (the proven pipeline_e2e CTEs over the % 5 <> 2 docs), embed each
+    // chunk's embedded_text with the bit-replayable md5 projection,
+    // RLS-filter, dense top-12 by the same rounded cosine — what a
+    // fresh full-pipeline run on v2 must serve, which the relay-log +
+    // store composition must equal exactly
+    "flagship_lifecycle" ->
+      ("WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2 " +
+        "AND length(trim(text)) > 0 AND n_chars <= 52428800), " +
+        "c AS (SELECT doc_id, text, s.start // 160 AS chunk_index, " +
+        "substr(text, s.start + 1, 200) AS chunk_text FROM nd d, " +
+        "unnest(generate_series(0, greatest(length(d.text) - 1, 0), 160)) AS s(start)), " +
+        s"e AS (SELECT doc_id, chunk_index, CASE WHEN ctx = '' THEN chunk_text " +
+        "ELSE ctx || chr(10) || chr(10) || chunk_text END AS et FROM " +
+        s"(SELECT *, $ctxExpr AS ctx FROM (SELECT *, $headExpr AS head FROM c))), " +
+        s"xs AS (SELECT doc_id, chunk_index, " +
+        s"${graft.functions.VectorSql.md5ProjComponents("et")} AS x FROM e), " +
+        "ev AS (SELECT doc_id, chunk_index, " +
+        s"${graft.functions.VectorSql.md5ProjNormalize("x")} AS emb FROM xs), " +
+        s"qx AS (SELECT ${graft.functions.VectorSql.md5ProjComponents(s"'$FlagshipQueryText'")} AS x), " +
+        s"q AS (SELECT ${graft.functions.VectorSql.md5ProjNormalize("x")} AS qv FROM qx), " +
+        "acc AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'de') OR source = 'src_3'), " +
+        "sc AS (SELECT e.doc_id, e.chunk_index, " +
+        "md5(e.doc_id::VARCHAR || ':' || e.chunk_index::VARCHAR) AS point_id, " +
+        s"${graft.functions.VectorSql.rankedCosineScore("e.emb", "q.qv")} AS score " +
+        "FROM ev e, q WHERE e.doc_id IN (SELECT doc_id FROM acc)) " +
+        "SELECT point_id, doc_id, chunk_index, score FROM sc " +
+        "ORDER BY score DESC, point_id LIMIT 12")
   )
 
   /** The late-data gates reuse their base queries' oracles VERBATIM:
@@ -1114,5 +1414,28 @@ object PipelineQueries {
     "funnel_advance_late" -> oraclesBase("funnel_advance_replay"),
     // the bucketed store must land the SAME per-batch state as the dir
     // store — one relation, two physical backings
-    "relay_bucketed_state" -> oraclesBase("relay_index_state"))
+    "relay_bucketed_state" -> oraclesBase("relay_index_state"),
+    "relay_int8_topk" -> relayInt8Sql,
+    // the staging math in closed form (see the query comment): per-batch
+    // input counts from the midpoint split, drops only in the late batch
+    // — and there, everything; identical for both operator families
+    // (same events corpus, same split)
+    "late_drop_metrics" ->
+      ("WITH ev AS (SELECT epoch_us(ts) AS us FROM events), " +
+        "b AS (SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS split FROM ev), " +
+        "m AS (SELECT CAST(max(us) AS BIGINT) AS mx1 FROM ev WHERE us <= (SELECT split FROM b)), " +
+        "cnt AS (SELECT " +
+        "CAST(count(*) FILTER (us <= (SELECT split FROM b)) AS BIGINT) AS n1, " +
+        "CAST(count(*) FILTER (us > (SELECT split FROM b)) AS BIGINT) AS n2, " +
+        s"CAST(count(*) FILTER (us <= (SELECT mx1 FROM m) - $LateMarginMicros) AS BIGINT) AS nl " +
+        "FROM ev) " +
+        "SELECT op, batch_id, rows_input, rows_dropped FROM (" +
+        "SELECT 'session' AS op, CAST(0 AS BIGINT) AS batch_id, n1 AS rows_input, " +
+        "CAST(0 AS BIGINT) AS rows_dropped FROM cnt " +
+        "UNION ALL SELECT 'session', 1, n2, 0 FROM cnt " +
+        "UNION ALL SELECT 'session', 2, nl, nl FROM cnt " +
+        "UNION ALL SELECT 'funnel', 0, n1, 0 FROM cnt " +
+        "UNION ALL SELECT 'funnel', 1, n2, 0 FROM cnt " +
+        "UNION ALL SELECT 'funnel', 2, nl, nl FROM cnt" +
+        ") ORDER BY op, batch_id"))
 }

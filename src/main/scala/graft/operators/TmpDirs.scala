@@ -34,14 +34,33 @@ private[graft] object TmpDirs {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    // NEVER recurse through a symlink (review finding r18): these
-    // sweeps walk attacker-nameable dirs in world-writable tmp — a
-    // planted link must be unlinked, not have its TARGET's contents
-    // deleted
-    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
+  /** TOCTOU-hard recursive delete for attacker-nameable names in
+    * world-writable tmp (review finding r18 closed the recurse-through-
+    * symlink hole; ADVICE r18 narrowed the residual check-then-recurse
+    * window): `Files.walkFileTree` WITHOUT `FOLLOW_LINKS` reads each
+    * entry's attributes with NOFOLLOW semantics and reports a symlink —
+    * even one swapped in for a directory mid-walk — to `visitFile`,
+    * where it is unlinked, never traversed. Best-effort per entry: one
+    * undeletable file must not strand the rest of a reap sweep.
+    */
+  private[operators] def deleteRecursively(f: java.io.File): Unit = {
+    import java.nio.file.{Files, FileVisitResult, Path, SimpleFileVisitor}
+    val p = f.toPath
+    if (!Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
+    try Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+      override def visitFile(file: Path, attrs: java.nio.file.attribute.BasicFileAttributes) = {
+        try Files.deleteIfExists(file) catch { case scala.util.control.NonFatal(_) => () }
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(file: Path, exc: java.io.IOException) = {
+        try Files.deleteIfExists(file) catch { case scala.util.control.NonFatal(_) => () }
+        FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(dir: Path, exc: java.io.IOException) = {
+        try Files.deleteIfExists(dir) catch { case scala.util.control.NonFatal(_) => () }
+        FileVisitResult.CONTINUE
+      }
+    }) catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Stage `df` as ONE parquet landing file at `destPath` with a

@@ -66,6 +66,61 @@ trait EmbeddingProvider extends Serializable {
   def embed(texts: Seq[String]): Seq[Array[Float]]
 }
 
+/** Deterministic md5-projection embedder — the ORACLE-MIRRORABLE
+  * provider (r19): component j of text t is an exact dyadic rational
+  * derived from 8 hex chars of `md5((j/4) + ":" + t)`, unit-normalized.
+  * Every arithmetic step is bit-replayable in DuckDB SQL
+  * (`('0x' || substr(md5(...), 1+8*(j%4), 8))::BIGINT / 2147483648.0
+  * - 1.0`, sequential `list_reduce` norm, `CAST(... AS FLOAT)`):
+  *  - h is an exact integer < 2^32 (exact in double);
+  *  - h / 2^31 is a division by a power of two — EXACT, no rounding;
+  *  - the norm fold is sequential in index order in both engines;
+  *  - the final float cast is round-to-nearest in both.
+  * So the float vectors — and everything downstream: cosine scores,
+  * int8 codes, integer dots — agree bit-for-bit across engines, which
+  * is what lets the flagship-lifecycle and relay-int8 gates check
+  * similarity VALUES instead of membership (the HashProjectionEmbedder
+  * below mixes with Java overflow arithmetic DuckDB cannot replay).
+  * One md5 per 4 components: dim 64 costs 16 digests per text.
+  * Zero-norm is impossible: component j is 0 only when its 32-bit
+  * slice is exactly 2^31, and a text hitting that for ALL components
+  * would be an md5 preimage miracle (any single non-zero component
+  * makes the norm positive).
+  */
+final class Md5ProjectionEmbedder(val dimension: Int = 64) extends EmbeddingProvider {
+  require(dimension % 4 == 0, s"Md5ProjectionEmbedder: dimension must be a multiple of 4, got $dimension")
+  def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.map { t0 =>
+      val t = Option(t0).getOrElse("")
+      val x = new Array[Double](dimension)
+      var i = 0
+      while (i < dimension / 4) {
+        md.reset()
+        val digest = md.digest((i.toString + ":" + t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var s = 0
+        while (s < 4) {
+          // 4 big-endian bytes -> uint32, matching the 8-hex-char slice
+          val off = s * 4
+          val h = ((digest(off) & 0xFFL) << 24) | ((digest(off + 1) & 0xFFL) << 16) |
+            ((digest(off + 2) & 0xFFL) << 8) | (digest(off + 3) & 0xFFL)
+          x(i * 4 + s) = h / 2147483648.0 - 1.0
+          s += 1
+        }
+        i += 1
+      }
+      var ss = 0.0
+      var j = 0
+      while (j < dimension) { ss += x(j) * x(j); j += 1 } // sequential: mirrors list_reduce
+      val n = math.sqrt(ss)
+      val out = new Array[Float](dimension)
+      j = 0
+      while (j < dimension) { out(j) = (x(j) / n).toFloat; j += 1 }
+      out
+    }
+  }
+}
+
 /** Deterministic hash-projection embedder: token t contributes ±1/k to
   * dimension j by the parity of a 64-bit mix of (token, j). Stable across
   * JVMs (no object hashCode), unit-normalized. Dim default mirrors the

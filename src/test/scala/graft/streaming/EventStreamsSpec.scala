@@ -214,7 +214,14 @@ class EventStreamsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(rows.toSeq == Seq((1L, 1000L * Sec, 1L)),
         s"only u1's event-driven close may land; got ${rows.toSeq}")
-      val batch2 = q.recentProgress.filter(_.numInputRows == 2L).last
+      // lastOption + a descriptive assert (ADVICE r18): a missing
+      // progress entry must fail with THIS test's message, not an
+      // opaque NoSuchElementException from .last
+      val batch2Opt = q.recentProgress.filter(_.numInputRows == 2L).lastOption
+      assert(batch2Opt.isDefined,
+        s"no progress entry with numInputRows == 2 (the f3 batch) — got " +
+          s"[${q.recentProgress.map(_.numInputRows).mkString(", ")}]")
+      val batch2 = batch2Opt.get
       assert(batch2.stateOperators.head.numRowsDroppedByWatermark == 1L,
         "exactly u9 drops: the filter applies the PREVIOUS batch's watermark")
       assert(batch2.stateOperators.head.numRowsTotal == 2L,
