@@ -26,6 +26,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("flagship_lifecycle: store-gated serving read is top-k + broadcast semi-joins") {
+    // the r19 flagship gate's READ side: newest-per-point window, then
+    // the store-liveness and RLS semi-joins (both KB-sized sides) must
+    // broadcast, and the dense top-k must lower to TakeOrderedAndProject
+    // — at 100 TB this is one corpus pass + local heaps, no global sort
+    // and no shuffle of the vector log beyond the per-point window
+    val p = finalPlan("flagship_lifecycle")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("j1_enrich_broadcast: dimension side is broadcast, not sort-merge") {
     val p = finalPlan("j1_enrich_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
