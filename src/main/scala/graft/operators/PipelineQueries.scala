@@ -146,12 +146,11 @@ object PipelineQueries {
     //    (m is the md5 minimum itself);
     //  - kmv: the per-source 64-smallest distinct shingle hashes —
     //    value-exact;
-    //  - pq / lsh: per-batch membership (PQ code values depend on the
-    //    trained subspace codebooks and LSH signatures on the pinned
-    //    plane space — k-means/plane replays deliberately not mirrored
-    //    here; the stored-code VALUE gap is closed by relay_int8_topk,
-    //    which ranks off the IVF store's int8 codes integer-exactly
-    //    now that the relay embeds with the mirrorable md5 projection).
+    //  - pq / lsh: per-batch membership HERE; their VALUES are gated
+    //    by relay_code_state (code quadruples + signatures re-derived
+    //    in closed form) and the int8 ranking by relay_int8_topk —
+    //    this key keeps the one-relation-per-store membership shape
+    //    its oracle already proves.
     // The oracle recomputes each store's sufficient statistics in
     // closed form over the SAME three doc sets the relay must have
     // used — init (batch 0) and the two survivor sets acc1/acc2 —
@@ -309,6 +308,30 @@ object PipelineQueries {
         col("batch_id").cast("long").as("batch_id"))
       fp.unionByName(bands).unionByName(cells)
         .orderBy("store", "k1", "batch_id")
+    }),
+    // The PQ-code and LSH-signature stores VALUE-exact (r19, closing
+    // the literally-last membership-only rows of the relay gates): the
+    // md5-projection provider makes the relay's vector space DuckDB-
+    // replayable, the PQ codebooks are deterministic corpus slices
+    // (subvectors of docs 101..104's embeddings — no k-means), and the
+    // LSH planes are md5("p:j")-parity literals — so the stored code
+    // quadruples (c0..c3: per-subspace argmin of sequential-fold L2²,
+    // ties toward the smaller entry) and 8-plane signatures are
+    // re-derived value-for-value over init ∪ acc1 ∪ acc2 per batch.
+    // A code encoded off the wrong vector, against stale codebooks, in
+    // the wrong plane space, or landed under the wrong batch
+    // hash-mismatches.
+    "relay_code_state" -> ((s, d) => {
+      val base = ensureIdxRelay(s, d)
+      val pq = s.read.parquet(s"$base/pq/codes").select(
+        lit("pq").as("store"),
+        concat_ws("|", col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3")).as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      val lsh = s.read.parquet(s"$base/lsh/vectors").select(
+        lit("lsh").as("store"),
+        concat_ws("|", col("vec_id"), col("sig")).as("k1"),
+        col("batch_id").cast("long").as("batch_id"))
+      pq.unionByName(lsh).orderBy("store", "k1", "batch_id")
     }),
     // The int8 read path served FROM THE RELAY-MAINTAINED store,
     // VALUE-exact (VERDICT r19 ask #3 — closing the membership-only gap
@@ -1052,6 +1075,62 @@ object PipelineQueries {
 
   private val modelStateDocCols = "doc_id, text, lang, source"
 
+  /** relay_code_state's oracle: re-derive the PQ codes and LSH
+    * signatures of every stored vector (init ∪ acc1 ∪ acc2 doc texts →
+    * md5-projection floats) in closed form. Codebook entry (m, j) is
+    * the m-th 16-dim subvector of doc (101+j)'s embedding (the
+    * deterministic slice AnnPq.codebooks builds — ensureIdxRelay
+    * pre-filters to 101..104, so K = 4 contiguous entries); a vector's
+    * code c_m is the j minimizing the sequential-fold squared L2 (ties
+    * toward smaller j — the struct-min contract). The signature is the
+    * 8 md5("p:j")-parity plane dots thresholded at > 0, same fold
+    * order as the UDF (the proven ann_lsh_topk mirror, rebuilt here
+    * from the public plane matrix).
+    */
+  private def relayCodeSql: String = {
+    val proj = graft.functions.VectorSql
+    val sigExpr = (0 until graft.operators.AnnQueries.NumPlanes).map { p =>
+      val plane = graft.operators.AnnQueries.planesFor(graft.operators.AnnQueries.NumPlanes)(p)
+        .map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce([CAST(emb[i+1] AS DOUBLE) * ($plane)[i+1] " +
+        s"for i in range(64)], (x,y) -> x+y) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val diff = "(CAST(s2.sv[i+1] AS DOUBLE) - CAST(c.cb[i+1] AS DOUBLE))"
+    s"WITH $relayAccCtes, " +
+      "sd AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS batch_id FROM documents WHERE doc_id % 5 <> 0 " +
+      "UNION ALL SELECT d.doc_id, d.text, 1 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM acc1) " +
+      "UNION ALL SELECT d.doc_id, d.text, 2 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM acc2)), " +
+      s"xs AS (SELECT doc_id, batch_id, ${proj.md5ProjComponents("text")} AS x FROM sd), " +
+      s"ev AS (SELECT doc_id, batch_id, ${proj.md5ProjNormalize("x")} AS emb FROM xs), " +
+      s"cbx AS (SELECT doc_id - 101 AS j, ${proj.md5ProjComponents("text")} AS x " +
+      "FROM documents WHERE doc_id BETWEEN 101 AND 104), " +
+      s"cbe AS (SELECT j, ${proj.md5ProjNormalize("x")} AS emb FROM cbx), " +
+      "cb AS (SELECT mm.m AS m, cbe.j, list_slice(cbe.emb, mm.m * 16 + 1, mm.m * 16 + 16) AS cb " +
+      "FROM cbe, unnest(range(4)) AS mm(m)), " +
+      "sv AS (SELECT doc_id, batch_id, mm.m AS m, " +
+      "list_slice(emb, mm.m * 16 + 1, mm.m * 16 + 16) AS sv " +
+      "FROM ev, unnest(range(4)) AS mm(m)), " +
+      "dist AS (SELECT s2.doc_id, s2.batch_id, s2.m, c.j, " +
+      s"list_reduce([$diff * $diff for i in range(16)], (x,y) -> x+y) AS d2 " +
+      "FROM sv s2 JOIN cb c ON s2.m = c.m), " +
+      "pick AS (SELECT doc_id, batch_id, m, j FROM (" +
+      "SELECT doc_id, batch_id, m, j, row_number() OVER " +
+      "(PARTITION BY doc_id, batch_id, m ORDER BY d2, j) AS rn FROM dist) WHERE rn = 1), " +
+      "codes AS (SELECT doc_id, batch_id, " +
+      "CAST(max(CASE WHEN m = 0 THEN j END) AS VARCHAR) AS c0, " +
+      "CAST(max(CASE WHEN m = 1 THEN j END) AS VARCHAR) AS c1, " +
+      "CAST(max(CASE WHEN m = 2 THEN j END) AS VARCHAR) AS c2, " +
+      "CAST(max(CASE WHEN m = 3 THEN j END) AS VARCHAR) AS c3 " +
+      "FROM pick GROUP BY doc_id, batch_id), " +
+      s"sigs AS (SELECT doc_id, batch_id, $sigExpr AS sig FROM ev) " +
+      "SELECT store, k1, batch_id FROM (" +
+      "SELECT 'pq' AS store, CAST(doc_id AS VARCHAR) || '|' || c0 || '|' || c1 || " +
+      "'|' || c2 || '|' || c3 AS k1, batch_id FROM codes " +
+      "UNION ALL SELECT 'lsh', CAST(doc_id AS VARCHAR) || '|' || CAST(sig AS VARCHAR), " +
+      "batch_id FROM sigs" +
+      ") ORDER BY store, k1, batch_id"
+  }
+
   // SQL mirrors of the int8 quantization helpers (dim 64, fold order =
   // Spark's) — the same one-liners AnnQueries' inline int8 oracles use,
   // here applied to md5-projection vectors re-derived from doc text.
@@ -1416,6 +1495,7 @@ object PipelineQueries {
     // store — one relation, two physical backings
     "relay_bucketed_state" -> oraclesBase("relay_index_state"),
     "relay_int8_topk" -> relayInt8Sql,
+    "relay_code_state" -> relayCodeSql,
     // the staging math in closed form (see the query comment): per-batch
     // input counts from the midpoint split, drops only in the late batch
     // — and there, everything; identical for both operator families
