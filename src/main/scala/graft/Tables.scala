@@ -48,6 +48,33 @@ object Tables {
     * preserves the stored micros value exactly — the same value DuckDB
     * reads — and oracle parity holds for every shape.
     */
+  /** Widen a NARROW scan so CPU-heavy per-row kernels (codecs, hashing,
+    * tokenize passes) that follow use every core — and do nothing at all
+    * when the scan is already wide (guide §2.5: unsplittable/one-row-group
+    * input is repartitioned right after the read; §1.2: the distributed
+    * algorithm first). An unconditional `repartition` would round-robin
+    * the full corpus before every kernel; at 100 TB (a scan with ~800k
+    * splits at 128 MB `maxPartitionBytes`) that is a corpus-sized
+    * exchange bought for zero extra parallelism. The gate keeps the
+    * small-file win (a single-row-group parquet file is ONE effective
+    * split, so every kernel downstream of it runs on one core without
+    * this) and keeps the production path exchange-free.
+    *
+    * Moved here from DedupQueries (r19 optimization round): the same
+    * single-split scan starves the image/audio/pdf codec kernels and the
+    * tokenize+hash passes in Multimodal/Source/Curation/Text queries.
+    *
+    * PRECONDITION: pass a plain SCAN (projection/filter at most).
+    * `rdd.getNumPartitions` is job-free only for exchange-free plans —
+    * under AQE, `toRdd` on a DataFrame containing a shuffle eagerly
+    * materializes its query stages (real jobs run at probe time), so a
+    * post-shuffle input would silently execute here instead of planning.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     // SESSION-WIDE by necessity (review finding r15, documented rather
     // than papered over): the conf must hold at ACTION time — the scan

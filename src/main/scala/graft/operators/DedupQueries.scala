@@ -23,25 +23,10 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Widen a NARROW scan so the CPU-heavy hashing map stages that follow
-    * use every core — and do nothing at all when the scan is already
-    * wide. An unconditional `repartition` round-robin-shuffles the full
-    * corpus TEXT before every shingle/minhash stage; at 100 TB (a scan
-    * with ~800k splits at 128 MB `maxPartitionBytes`) that is a
-    * 100 TB exchange bought for zero extra parallelism. The gate keeps
-    * the local-mode win (a tiny parquet file is 1 split, hashing on 1
-    * core without it) and makes the production path exchange-free.
-    *
-    * PRECONDITION: pass a plain SCAN (every call site here does).
-    * `rdd.getNumPartitions` is job-free only for exchange-free plans —
-    * under AQE, `toRdd` on a DataFrame containing a shuffle eagerly
-    * materializes its query stages (real jobs run at probe time), so a
-    * post-shuffle input would silently execute here instead of planning.
+  /** See [[Tables.widen]] (hoisted there in the r19 optimization round —
+    * the same one-effective-split scan starves every module's kernels).
     */
-  private def widen(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  private def widen(df: DataFrame): DataFrame = Tables.widen(df)
 
   /** (doc_id, n_sh, sh) exploded distinct shingle relation (compiled
     * shingle UDF — see [[TextOps.shingles3Udf]] for why not a Catalyst

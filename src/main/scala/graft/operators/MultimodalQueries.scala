@@ -177,14 +177,41 @@ object MultimodalQueries {
     */
   private val MaxAudioSamplesPerDoc = 1 << 24
 
-  /** doc_id, sample index i, sample value v — the relation the audio
-    * feature queries aggregate. Codec failure yields NO rows for the
-    * doc, which the row-count side of the oracle gate flags loudly.
+  /** (doc_id, a: array<int>) — the decoded sample stream as ONE array
+    * row per document (r19 optimization round). The old form exploded
+    * every sample into its own row and then re-grouped/windowed by
+    * doc_id, which shuffled and sorted millions of 12-byte rows to
+    * compute per-doc sequential features the array already has in
+    * order. Every audio feature below is now computed per-doc with
+    * array expressions (zero data-sized exchanges; guide §2.4), and
+    * only frame-level rows (~samples/80) are ever exploded. Codec
+    * failure yields an empty array → the doc is filtered → NO rows,
+    * same as the old exploded form; the row-count side of the oracle
+    * gate flags it loudly either way. Widened first: decode is the
+    * CPU-heavy kernel and the scan is one effective split locally.
     */
-  private def audioSamples(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(audioSamplesUdf(col("doc_id"), col("n_chars"))).as(Seq("i", "v")))
+  private def audioArr(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), audioSamplesUdf(col("doc_id"), col("n_chars")).as("a"))
+      .filter(size(col("a")) > 0)
+
+  /** Fixed-width framing of an integer array column as a SQL expression:
+    * one struct per frame f = (frame_no, n, energy = Σ v², peak =
+    * max |v|), frames of `w` samples, last frame partial. Exact integer
+    * arithmetic throughout (v ≤ 5000 ⇒ Σ v² over a frame < 2³²  — the
+    * fold accumulates in BIGINT regardless). greatest-fold over |v| is
+    * seeded 0, valid because |v| ≥ 0 (the non-negative-fold rule the
+    * oracle discipline pins).
+    */
+  private def framesExpr(arr: String, w: Int): String =
+    s"transform(sequence(CAST(0 AS BIGINT), CAST((size($arr) - 1) div $w AS BIGINT)), " +
+      s"f -> named_struct(" +
+      s"'frame_no', f, " +
+      s"'n', CAST(least($w, size($arr) - f * $w) AS BIGINT), " +
+      s"'energy', aggregate(slice($arr, CAST(f * $w + 1 AS INT), $w), CAST(0 AS BIGINT), " +
+      s"(acc, x) -> acc + CAST(x AS BIGINT) * CAST(x AS BIGINT)), " +
+      s"'peak', CAST(array_max(transform(slice($arr, CAST(f * $w + 1 AS INT), $w), " +
+      s"x -> abs(x))) AS BIGINT)))"
 
   /** Per-frame decoded gray sums of the doc's synthetic "video": F
     * frames, gray level constant within a shot and jumping at the
@@ -400,16 +427,18 @@ object MultimodalQueries {
     // crossings (lag window per doc), peak, integer energy, RMS (sqrt
     // is IEEE-exact, so the only float is the final rounded division).
     "audio_features" -> ((s, d) => {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      audioSamples(s, d)
-        .withColumn("pv", lag(col("v"), 1).over(w))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("pv") * col("v") < 0, 1L).otherwise(0L)).cast("long")
+      // zero crossings: strict-sign product over adjacent samples — a
+      // size(filter(...)) over index pairs replaces the old lag window
+      // (one exchange + per-doc sort of every decoded sample, gone)
+      audioArr(s, d)
+        .select(col("doc_id"),
+          expr("CAST(IF(size(a) > 1, size(filter(sequence(2, size(a)), " +
+            "i -> element_at(a, i - 1) * element_at(a, i) < 0)), 0) AS BIGINT)")
             .as("zero_crossings"),
-          max(abs(col("v"))).cast("long").as("peak"),
-          sum(col("v") * col("v")).cast("long").as("sum_sq"),
-          count(lit(1)).as("n"))
+          expr("CAST(array_max(transform(a, x -> abs(x))) AS BIGINT)").as("peak"),
+          expr("aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT) * CAST(x AS BIGINT))")
+            .as("sum_sq"),
+          size(col("a")).as("n"))
         .select(col("doc_id"), col("zero_crossings"), col("peak"), col("sum_sq"),
           round(sqrt(col("sum_sq").cast("double") / col("n").cast("double")), 6).as("rms"))
         .orderBy("doc_id")
@@ -418,12 +447,15 @@ object MultimodalQueries {
     // windowing every audio feature extractor starts from (the audio
     // analog of mm_frame_sample). One keyed aggregation.
     "audio_frames" -> ((s, d) => {
-      audioSamples(s, d)
-        .withColumn("frame_no", (col("i") / 80).cast("long"))
-        .groupBy(col("doc_id"), col("frame_no"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("v") * col("v")).cast("long").as("energy"),
-          max(abs(col("v"))).cast("long").as("peak"))
+      // framing is a per-doc array fold now: only ~samples/80 frame
+      // rows are ever exploded, and the keyed aggregation (an exchange
+      // of every decoded sample) is gone — the array is already the
+      // per-doc group
+      audioArr(s, d)
+        .select(col("doc_id"), explode(expr(framesExpr("a", 80))).as("fr"))
+        .select(col("doc_id"), col("fr.frame_no").as("frame_no"),
+          col("fr.n").as("n"), col("fr.energy").as("energy"),
+          col("fr.peak").as("peak"))
         .orderBy("doc_id", "frame_no")
     }),
     // 8 kHz → 16 kHz upsample (VERDICT r11 #8 — the one audio step
@@ -440,30 +472,41 @@ object MultimodalQueries {
     // Source samples ride the real RIFF/PCM16 roundtrip; one lead
     // window + one keyed aggregation.
     "audio_resample" -> ((s, d) => {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val withNext = audioSamples(s, d).withColumn("vn", lead(col("v"), 1).over(w))
-      val even = withNext.select(col("doc_id"),
-        (col("i") * 2).cast("long").as("j"), col("v").cast("long").as("v"))
-      val odd = withNext.filter(col("vn").isNotNull)
-        .select(col("doc_id"), (col("i") * 2 + 1).cast("long").as("j"),
-          (expr("(v + vn + 20000) div 2") - 10000).cast("long").as("v"))
-      even.unionByName(odd)
-        .withColumn("frame_no", expr("j div 160").cast("long"))
-        .groupBy(col("doc_id"), col("frame_no"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("v") * col("v")).cast("long").as("energy"),
-          max(abs(col("v"))).cast("long").as("peak"))
+      // The 2× interpolation is a per-doc array transform now: out[2i]
+      // = a[i], out[2i+1] = midpoint of a[i],a[i+1] (same offset-floor
+      // arithmetic — the flatten interleaves them in order, no window,
+      // no union of two copies of the decode subtree, no per-sample
+      // keyed aggregation). The old plan decoded every doc TWICE (the
+      // even/odd union branches each re-ran the UDF subtree), shuffled
+      // ~2N 16-byte rows into a per-doc sort for lead(), and exchanged
+      // them again for the frame groupBy; this one decodes once and
+      // explodes only ~2N/160 frame rows.
+      audioArr(s, d)
+        .select(col("doc_id"),
+          expr("flatten(transform(a, (x, i) -> IF(i < size(a) - 1, " +
+            "array(CAST(x AS BIGINT), " +
+            "(CAST(x AS BIGINT) + element_at(a, i + 2) + 20000) div 2 - 10000), " +
+            "array(CAST(x AS BIGINT)))))").as("r"))
+        .select(col("doc_id"), explode(expr(framesExpr("r", 160))).as("fr"))
+        .select(col("doc_id"), col("fr.frame_no").as("frame_no"),
+          col("fr.n").as("n"), col("fr.energy").as("energy"),
+          col("fr.peak").as("peak"))
         .orderBy("doc_id", "frame_no")
     }),
     // Leading/trailing silence detection (the trim pass a speech corpus
     // runs before feature extraction): first/last nonzero sample per
     // doc, in one aggregation over the decoded stream.
     "audio_silence_trim" -> ((s, d) => {
-      audioSamples(s, d)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("total"),
-          min(when(col("v") =!= 0, col("i"))).as("first_nz"),
-          max(when(col("v") =!= 0, col("i"))).as("last_nz"))
+      // first/last nonzero index via array_min/array_max over an
+      // index-or-null transform (they skip nulls; an all-silence doc
+      // yields NULL exactly like the old conditional min/max) — the
+      // per-doc groupBy exchange of every decoded sample is gone
+      audioArr(s, d)
+        .select(col("doc_id"), size(col("a")).cast("long").as("total"),
+          expr("array_min(transform(a, (x, i) -> IF(x <> 0, i, CAST(NULL AS INT))))")
+            .as("first_nz"),
+          expr("array_max(transform(a, (x, i) -> IF(x <> 0, i, CAST(NULL AS INT))))")
+            .as("last_nz"))
         .select(col("doc_id"),
           col("first_nz").cast("long").as("lead_silence"),
           (col("total") - 1 - col("last_nz")).cast("long").as("trail_silence"),
@@ -576,33 +619,45 @@ object MultimodalQueries {
     // heavily, and an uncapped hot band is an O(df²) shuffle key at any
     // corpus size.
     "mm_phash_pairs" -> ((s, d) => {
-      val ph = Tables.documents(s, d)
+      // widen BEFORE the checkpoint: the phash kernel (PNG encode +
+      // decode + threshold per row) was the measured dominator of this
+      // query at every scale (×100 probe: "per-doc phash UDF dominates,
+      // 80 s at 500k docs") and a one-row-group scan runs it on one core
+      val ph = Tables.widen(Tables.documents(s, d))
         .select(col("doc_id"), phashUdf(col("doc_id"), col("n_chars")).as("m"))
         .select(col("doc_id"), col("m._1").as("b0"), col("m._2").as("b1"),
           col("m._3").as("b2"), col("m._4").as("b3"))
-        .localCheckpoint() // bands + both wide join sides read this
-      val bands = ph.select(col("doc_id"),
+        .localCheckpoint() // bands (rare + both candidate sides) read this
+      // r19 optimization: carry all four bands THROUGH the candidate
+      // join so the hamming verify is computed inline on the match row —
+      // the old shape re-joined the distinct candidate pairs back to the
+      // fingerprint table twice (two more broadcast joins + the pair
+      // distinct before them). Same relation: duplicates from a pair
+      // matching in several rare bands collapse in the final distinct
+      // (hamming is a function of the pair, so distinct-after equals
+      // distinct-before), and doc_a < doc_b keeps the ordered copy the
+      // least/greatest swap used to produce. One equi-join, one
+      // distinct; candidate rows are 4 longs wider — still KB-scale,
+      // df-capped at any corpus size.
+      val bands = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
       val rare = bands.groupBy(col("band"), col("v"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= 10)
         .select(col("band"), col("v"))
       val rb = bands.join(rare, Seq("band", "v"), "left_semi")
-      val cand = rb.select(col("doc_id").as("doc_a"), col("band"), col("v"))
-        .join(rb.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+      def ham(a: Column, b: Column) = bit_count(a.bitwiseXOR(b))
+      rb.select(col("doc_id").as("doc_a"), col("band"), col("v"),
+          col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+        .join(rb.select(col("doc_id").as("doc_b"), col("band"), col("v"),
+          col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")),
           Seq("band", "v"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      def ham(a: Column, b: Column) = bit_count(a.bitwiseXOR(b))
-      cand
-        .join(ph.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
-          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
-        .join(ph.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
-          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (ham(col("a0"), col("c0")) + ham(col("a1"), col("c1")) +
             ham(col("a2"), col("c2")) + ham(col("a3"), col("c3")))
             .cast("long").as("hamming"))
         .filter(col("hamming") <= 8)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     })
   )

@@ -232,13 +232,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
-  test("audio_resample: interpolation window partitions by doc, never a global window") {
-    // the lead() over (doc_id, i) must carry the doc partition key — an
-    // empty partition spec would pull every decoded sample of the
-    // corpus onto one task (the costliest possible audio plan)
+  test("audio_resample: per-doc array interpolation — no window, no keyed exchange") {
+    // r19 optimization: the 2× interpolation + framing is computed on
+    // the per-doc sample ARRAY (the decode already yields the doc's
+    // samples in order), so the plan must carry NO window at all and no
+    // hash exchange of decoded samples — the only exchanges allowed are
+    // the round-robin kernel widener and the presentation sort. The old
+    // per-sample window/groupBy shape shuffled every decoded sample
+    // twice and ran the decode subtree twice (union branches).
     val p = finalPlan("audio_resample")
-    assert(p.contains("windowspecdefinition(doc_id"), p.take(1200))
-    assert(!p.contains("windowspecdefinition(CAST(0"), p.take(1200))
+    assert(!p.contains("windowspecdefinition"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    assert(!p.contains("Union"), p.take(1200)) // one decode subtree, not two
   }
 
   test("dedup_bloom_prefilter: index side scanned, batch-sized exchanges only") {
