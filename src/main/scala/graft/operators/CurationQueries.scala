@@ -68,6 +68,9 @@ object CurationQueries {
     * stage of the NB classifier derives from.
     */
   private def docTokens(s: SparkSession, d: String): DataFrame =
+    // NOT widened (r20): measured A/B (plans/r20/widen_ab.md) — the
+    // native tokenize+explode is cheaper than the round-robin exchange
+    // at bench SFs, and a production scan is wide (widen = no-op)
     docTokensOf(Tables.documents(s, d))
 
   private[operators] def docTokensOf(docs: DataFrame): DataFrame =
@@ -255,7 +258,9 @@ object CurationQueries {
     */
   private def diskLangTb(s: SparkSession, d: String): (DataFrame, Boolean) =
     DiskArtifacts.loadOrBuild(s, d, "lang_tb") {
-      langBucketCountsOf(Tables.documents(s, d)).localCheckpoint()
+      // widened (r20): the cold tokenize+hash build is the lang trio's
+      // one corpus-sized kernel; the warm path reads parquet instead
+      langBucketCountsOf(Tables.widen(Tables.documents(s, d))).localCheckpoint()
     }
 
   /** Batch sufficient statistics: per-(lang, bucket) token counts over

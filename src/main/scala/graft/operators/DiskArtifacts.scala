@@ -51,6 +51,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object DiskArtifacts {
 
+  /** Artifact-warmth telemetry (r20, VERDICT r19 what's-wrong #3): how
+    * many loadOrBuild* calls were served from a committed on-disk
+    * generation (hits) vs built in-memory this JVM (builds). The bench
+    * self-reports both in its one-line JSON so a warm-tmp run is
+    * distinguishable from a cold one without stderr forensics.
+    */
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
+  def artifactHits: Long = hitCount.get
+  def artifactBuilds: Long = buildCount.get
+
+  /** Cold-artifact mode support (same VERDICT item): delete every
+    * on-disk artifact generation OF THIS CORPUS so the next build pays
+    * the true cold cost. Scoped to the corpus-keyed root — other
+    * corpora's artifacts (and non-artifact tmp state) are untouched.
+    * Safe by the class contract: persistence is an optimization, never
+    * a correctness dependency, and no other JVM session can be reading
+    * this corpus root mid-bench (the driver serializes runs).
+    */
+  def clearCorpusArtifacts(corpusDir: String): Unit = try {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = "graft-artifacts-" +
+      corpusDir.replaceAll("[^A-Za-z0-9]", "_") + "-" + md5Hex(corpusDir).take(8)
+    Option(base.listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName == prefix) TmpDirs.deleteRecursively(f)
+    })
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -175,7 +203,7 @@ private[graft] object DiskArtifacts {
           System.err.println(s"[DiskArtifacts] $name uncached: ${e.getMessage}")
           None
       }
-    if (keyOpt.isEmpty) return (checkedBuild(), false)
+    if (keyOpt.isEmpty) { buildCount.incrementAndGet(); return (checkedBuild(), false) }
     val key = keyOpt.get
     val dir = genDir(corpusDir, name, key)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -192,8 +220,10 @@ private[graft] object DiskArtifacts {
         // the full idle hour regardless)
         try fs.setTimes(dirPath, System.currentTimeMillis(), -1)
         catch { case scala.util.control.NonFatal(_) => () }
+        hitCount.incrementAndGet()
         (m, true)
       case None =>
+        buildCount.incrementAndGet()
         val built = checkedBuild()
         try {
           gcStale(fs, dirPath.getParent, dirPath.getName)

