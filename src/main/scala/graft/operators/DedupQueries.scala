@@ -659,13 +659,11 @@ object DedupQueries {
       val docs = widen(Tables.documents(s, d))
         .select(col("source"), col("doc_id"), split(col("text"), " ").as("ts"))
         .withColumn("n", size(col("ts")).cast("long"))
+      // per-doc rolling span hashes: internal key, see substring_dedup
+      val spanUdf = udf((ts: Seq[String]) => spanHashes(ts, K))
       val spans = docs.filter(col("n") >= K)
         .select(col("source"), col("doc_id"),
-          explode(sequence(lit(1L), col("n") - (K - 1))).as("start"),
-          col("ts"))
-        .select(col("source"), col("doc_id"),
-          md5(concat_ws(" ", slice(col("ts"), col("start").cast("int"), lit(K)))
-            .cast("binary")).as("h"))
+          explode(spanUdf(col("ts"))).as("h"))
       val uniq = spans.groupBy(col("h"))
         .agg(count(lit(1)).as("occ"), min(col("source")).as("source"))
         .filter(col("occ") === 1)
@@ -983,20 +981,34 @@ object DedupQueries {
     else {
       val n = cps.length - K + 1
       val hs = new Array[Long](n)
-      var i = 0
+      // Rolling update (r20 optimization round, VERDICT r19 ask #8):
+      // h(i+1) = (h(i) - cps(i)·31^(K-1))·31 + cps(i+K) (mod M) — the
+      // O(n) form of the same polynomial, so every value is IDENTICAL
+      // to the old O(n·K) rescan (the fingerprints are oracle-gated
+      // output; WinnowPropertySpec pins the MOSS guarantee). All
+      // intermediates fit a Long: |h·31| < 3.2e10, cps·31^7 < 3.1e16.
+      val pow = { var p = 1L; var j = 1; while (j < K) { p = p * 31 % Mod; j += 1 }; p }
+      var h = 0L
+      var j = 0
+      while (j < K) { h = (h * 31 + cps(j)) % Mod; j += 1 }
+      hs(0) = h
+      var i = 1
       while (i < n) {
-        var h = 0L
-        var j = 0
-        while (j < K) { h = (h * 31 + cps(i + j)) % Mod; j += 1 }
+        h = java.lang.Math.floorMod((h - cps(i - 1) * pow % Mod) * 31 + cps(i + K - 1), Mod)
         hs(i) = h
         i += 1
       }
+      // O(n) sliding-window minimum (monotonic index deque) replacing
+      // the O(n·W) rescan; same minima, same selected set.
       val sel = scala.collection.mutable.SortedSet.empty[Long]
+      val dq = new Array[Int](n)
+      var head = 0; var tail = 0 // dq[head until tail) — increasing hs
       var p = 0
-      while (p + W <= n) {
-        var m = hs(p); var q = p + 1
-        while (q < p + W) { if (hs(q) < m) m = hs(q); q += 1 }
-        sel += m
+      while (p < n) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+        dq(tail) = p; tail += 1
+        if (dq(head) <= p - W) head += 1
+        if (p >= W - 1) sel += hs(dq(head))
         p += 1
       }
       sel.toSeq
@@ -1007,6 +1019,49 @@ object DedupQueries {
     array_join(filter(TextOps.tokens(text),
       (_, i) => (i + 1) % period =!= 0), " ").as("text")
 
+  /** Per-doc rolling span hashes (r20 optimization round): one 64-bit
+    * FNV-1a hash per token, then every K-token span's hash by a
+    * Rabin-Karp roll over the token hashes (wrap-around mod 2^64, base
+    * odd so removal is exact) — O(chars + n) per document, replacing
+    * the explode → slice → concat_ws → xxhash64 form that built a
+    * ~100-byte string PER SPAN (O(n·K) char copies, twice per query
+    * since both the df-agg and the coverage join consume the span
+    * relation). Span-hash equality ⇔ token-sequence equality modulo
+    * 64-bit collisions, the same contract the joined-string hash gave
+    * (tokens are split on the join character, so the joined string was
+    * itself in bijection with the token sequence).
+    */
+  private[operators] def spanHashes(ts: Seq[String], K: Int): Array[Long] = {
+    val n = ts.length
+    if (n < K) return Array.emptyLongArray
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = ts(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < s.length) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
+      th(i) = h
+      i += 1
+    }
+    val B = 1099511628211L
+    var bk = 1L
+    i = 1
+    while (i < K) { bk *= B; i += 1 } // B^(K-1) mod 2^64
+    val out = new Array[Long](n - K + 1)
+    var h = 0L
+    i = 0
+    while (i < K) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - K) {
+      h = (h - th(i - 1) * bk) * B + th(i + K - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** The substring-dedup rewrite over any (doc_id, text) relation —
     * see the `substring_dedup` query comment for the algorithm and the
     * scale analysis. K is the span length in tokens (the rewrite
@@ -1016,12 +1071,18 @@ object DedupQueries {
       val docs = docsIn
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("ts"))
         .withColumn("n", size(col("ts")).cast("long"))
+      // Rolling span hashes, not md5-of-joined-string (r20, guide §2.3
+      // narrower shuffle keys + §1.2 per-task work): `h` is INTERNAL —
+      // only grouped and joined on, never output — so any
+      // collision-negligible hash yields the same relation; the 8-byte
+      // key shuffles 4x less than md5's 32-char string, and the per-doc
+      // roll ([[spanHashes]]) skips the per-span string build entirely.
+      // (The md5 the ORACLE replays is the oracle's own span equality
+      // check; output equality is what the gate compares.)
+      val spanUdf = udf((ts: Seq[String]) => spanHashes(ts, K))
       val spans = docs.filter(col("n") >= K)
-        .select(col("doc_id"), col("ts"),
-          explode(sequence(lit(1L), col("n") - (K - 1))).as("start"))
-        .select(col("doc_id"), col("start"),
-          md5(concat_ws(" ", slice(col("ts"), col("start").cast("int"), lit(K)))
-            .cast("binary")).as("h"))
+        .select(col("doc_id"), posexplode(spanUdf(col("ts"))).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("start"), col("h"))
       val dup = spans.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2).select(col("h"))
@@ -1030,24 +1091,29 @@ object DedupQueries {
       val cov = spans.join(dup, Seq("h"))
         .select(col("doc_id"), explode(sequence(col("start"), col("start") + (K - 1))).as("pos"))
         .distinct()
-      val affected = cov.select(col("doc_id")).distinct()
-      val rebuilt = docs.join(affected, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-        .join(cov.withColumn("covered", lit(1L)), Seq("doc_id", "pos"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          coalesce(sum(col("covered")), lit(0L)).as("n_removed"),
-          // kept tokens in position order; collect_list drops the null
-          // (covered) slots, array_sort restores document order
-          array_join(transform(
-            array_sort(collect_list(when(col("covered").isNull,
-              struct(col("pos"), col("tok"))))),
-            e => e.getField("tok")), " ").as("new_text"))
-      val untouched = docs.join(affected, Seq("doc_id"), "left_anti")
+      // Rebuild per-doc with ARRAY expressions off ONE outer join (r20,
+      // guide §2.4 — the audio-family discipline): the old form
+      // posexploded every affected doc to token rows, shuffled them
+      // against cov, and re-assembled each doc with a
+      // collect_list(struct)+array_sort aggregate — three corpus-scale
+      // exchanges and a per-doc sort, all to drop marked positions the
+      // doc's own token ARRAY already holds in order. Now the covered
+      // positions aggregate to one small array per affected doc, and
+      // the rewrite is a per-row filter over `ts`; untouched docs are
+      // the NULL side of the same join (no semi/anti pair, no union).
+      // Output-identical: same kept tokens in document order, same
+      // counts (cov is distinct, its positions all lie within the doc).
+      val covAgg = cov.groupBy(col("doc_id"))
+        .agg(collect_list(col("pos")).as("cpos"))
+      docs.join(covAgg, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n").as("n_tokens"),
-          lit(0L).as("n_removed"), col("text").as("new_text"))
-      rebuilt.unionByName(untouched).orderBy("doc_id")
+          when(col("cpos").isNull, lit(0L))
+            .otherwise(size(col("cpos")).cast("long")).as("n_removed"),
+          when(col("cpos").isNull, col("text"))
+            .otherwise(array_join(filter(col("ts"),
+              (_, i) => !array_contains(col("cpos"), (i + 1).cast("long"))), " "))
+            .as("new_text"))
+        .orderBy("doc_id")
   }
 
   private val hexToLong =

@@ -22,14 +22,16 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  // Every query below runs a CPU-heavy per-row codec chain (zlib PDF,
-  // OOXML zip, javax.imageio, OCR raster) straight off the documents
-  // scan. At the bench SFs that scan is ONE effective split, so the
-  // whole kernel ran on one core (VERDICT r19 what's-wrong #1); the
-  // scans are now wrapped in [[Tables.widen]] — a round-robin exchange
-  // gated on scan-narrower-than-parallelism, a no-op on a wide
-  // production scan (guide §2.5). Map-only "no shuffle" notes in the
-  // query comments refer to the production (wide-scan) shape.
+  // Every query below runs a per-row codec chain (zlib PDF, OOXML
+  // zip, javax.imageio, OCR raster) straight off the documents scan.
+  // VERDICT r19 what's-wrong #1 flagged these as single-core-starved;
+  // r20 measured the fix two ways: ImageIO.setUseCache(false) cut the
+  // image kernels ~10x (the real constant was a temp FILE per
+  // encode/decode), after which a gated [[Tables.widen]] round-robin
+  // exchange is a measured net LOSS on the five ≤0.25 s round-trips
+  // (+0.07-0.08 s each at sf0.1 — plans/r20/widen_ab.md) and is
+  // applied ONLY to smart_scanned_pdf, whose multi-page OCR raster
+  // chain is heavy enough to win 2.8x from it.
 
   /** doc → real .docx bytes (two paragraphs: body text + a source tag —
     * exercising the paragraph join, not just identity).
@@ -116,7 +118,7 @@ object SourceQueries {
     // oracle hash-checks the ArrayType(StructType(bbox,text,confidence))
     // geometry, not just the scalars.
     "p7_ocr_confidence" -> ((s, d) => {
-      Tables.widen(Tables.documents(s, d).select(col("doc_id"), col("n_chars")))
+      Tables.documents(s, d)
         .select(col("doc_id"), ocrUdf(col("doc_id"), col("n_chars")).as("ocr"))
         .select(col("doc_id"),
           col("ocr.text").as("ocr_text"),
@@ -132,7 +134,7 @@ object SourceQueries {
     // (ocr_text, description, combined, detected_elements) with the
     // combined-for-embedding composition the reference uses.
     "p8_vision_describe" -> ((s, d) => {
-      Tables.widen(Tables.documents(s, d).select(col("doc_id"), col("n_chars")))
+      Tables.documents(s, d)
         .select(col("doc_id"), visionUdf(col("doc_id"), col("n_chars")).as("v"))
         .select(col("doc_id"),
           col("v.description").as("description"),
@@ -141,8 +143,7 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
     "s5_docx_roundtrip" -> ((s, d) => {
-      Tables.widen(Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("text")))
+      Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           docxEncodeUdf(col("text"), col("source")).as("docx"))
         .select(col("doc_id"),
@@ -157,8 +158,7 @@ object SourceQueries {
     // recovered from Tj operators; pages joined "\n\n" (the pdfplumber
     // contract, text_extraction.py:64-75).
     "s3_pdf_roundtrip" -> ((s, d) => {
-      Tables.widen(Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("text")))
+      Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           pdfEncodeUdf(col("text"), col("source")).as("pdf"))
         .select(col("doc_id"),
@@ -216,7 +216,7 @@ object SourceQueries {
     // format name, wrong dispatch) hash-fails. JPEG rows pin dimensions
     // + the ±3 gray-closeness flag, never the exact lossy pixel.
     "s6_image_meta" -> ((s, d) => {
-      Tables.widen(Tables.documents(s, d).select(col("doc_id"), col("n_chars")))
+      Tables.documents(s, d)
         .select(col("doc_id"), imageRoundtripUdf(col("doc_id"), col("n_chars")).as("m"))
         .select(col("doc_id"), col("m._1").as("format"),
           col("m._2").as("width"), col("m._3").as("height"),
