@@ -110,10 +110,36 @@ object TextOps {
         while (i <= toks.length - 3) { shs.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1 }
       } else shs.add(toks.mkString(" "))
       val md = java.security.MessageDigest.getInstance("MD5")
+      // Value-identical fast path (r20, guide §1.2 per-task work): the
+      // minima are compared on the RAW digest bytes (unsigned) — the
+      // byte→hex map is order-preserving, so the per-(shingle, perm)
+      // 32-char hex build the old form paid is deferred to the 16
+      // winners. Prefix bytes per permutation and the shingle's UTF-8
+      // bytes are materialized once each, not 16×.
+      val prefixes = Array.tabulate(16)(p => s"$p:".getBytes("UTF-8"))
+      val mins = Array.fill[Array[Byte]](16)(null)
+      val it = shs.iterator
+      while (it.hasNext) {
+        val shBytes = it.next().getBytes("UTF-8")
+        var p = 0
+        while (p < 16) {
+          md.update(prefixes(p))
+          md.update(shBytes)
+          val bytes = md.digest()
+          val cur = mins(p)
+          if (cur == null || {
+            var i = 0
+            var cmp = 0
+            while (cmp == 0 && i < 16) {
+              cmp = (bytes(i) & 0xff) - (cur(i) & 0xff); i += 1
+            }
+            cmp < 0
+          }) mins(p) = bytes
+          p += 1
+        }
+      }
       val hexDigits = "0123456789abcdef"
-      val mins = Array.fill[String](16)(null)
-      for (sh <- shs; p <- 0 until 16) {
-        val bytes = md.digest(s"$p:$sh".getBytes("UTF-8"))
+      def hex(bytes: Array[Byte]): String = {
         val sb = new java.lang.StringBuilder(32)
         var i = 0
         while (i < bytes.length) {
@@ -121,10 +147,9 @@ object TextOps {
           sb.append(hexDigits.charAt(bytes(i) & 0xf))
           i += 1
         }
-        val hex = sb.toString
-        if (mins(p) == null || hex.compareTo(mins(p)) < 0) mins(p) = hex
+        sb.toString
       }
-      (0 until 4).map(b => (4 * b until 4 * b + 4).map(mins(_)).mkString("_"))
+      (0 until 4).map(b => (4 * b until 4 * b + 4).map(p => hex(mins(p))).mkString("_"))
     }
 
   /** S4 charset ladder (reference: services/text_extraction.py:78-106):

@@ -83,7 +83,12 @@ object GovernanceQueries {
       def fk(name: String, fact: DataFrame, fkCol: String,
              dim: DataFrame, pkCol: String): DataFrame =
         fact.groupBy(col(fkCol)).agg(count(lit(1)).as("cnt"))
-          .join(dim.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+          // no distinct on the dim side (r20, guide §2.4): anti-join is
+          // membership semantics — duplicate right-side keys cannot
+          // change which left rows survive, so the distinct's
+          // HashAggregate pair was pure overhead (the pk side is
+          // key-partitioned by the join's own exchange either way)
+          .join(dim.select(col(pkCol).as(fkCol)), Seq(fkCol), "left_anti")
           .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("violations"))
           .select(lit(name).as("check_name"), col("violations"))
       val li = Tables.lineitem(s, d)
