@@ -102,7 +102,12 @@ object TextOps {
     * consuming expression and re-run it per reference.
     */
   val minhashBandsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
+    udf(minhashBands _)
+
+  /** The UDF body as a plain function so the r20 equivalence spec can
+    * drive it directly against the pre-optimization definition.
+    */
+  private[graft] def minhashBands(text: String): Seq[String] = {
       val toks = Option(text).getOrElse("").trim.split("\\s+")
       val shs = new scala.collection.mutable.LinkedHashSet[String]
       if (toks.length >= 3) {
